@@ -1,0 +1,73 @@
+"""N-Triples serialization as native column expressions (no Python UDF).
+
+The reference delegates to Jena's N-TRIPLE writer
+(ConvertWorker.java:862-868). Here the escaping rules of the N-Triples
+spec (backslash, double quote, LF, CR, TAB) are a chain of
+``regexp_replace``/``replace`` expressions, so serialization stays
+inside whole-stage codegen — the SURVEY.md §7 "temptation point" for
+per-row Python, done vectorized instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..model import KIND_URI
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def nt_escape(c: Column | str) -> Column:
+    """Escape a literal's lexical form per N-Triples rules.
+
+    Backslash first (so later escapes aren't double-escaped), then
+    quote, LF, CR, TAB.
+    """
+    col = _col(c)
+    col = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    col = F.replace(col, F.lit('"'), F.lit('\\"'))
+    col = F.replace(col, F.lit("\n"), F.lit("\\n"))
+    col = F.replace(col, F.lit("\r"), F.lit("\\r"))
+    col = F.replace(col, F.lit("\t"), F.lit("\\t"))
+    return col
+
+
+def nt_object_term(
+    o: Column | str,
+    o_kind: Column | str,
+    o_datatype: Column | str,
+    o_lang: Column | str,
+) -> Column:
+    """Render the object position: ``<uri>``, ``"lit"``, ``"lit"@lang``,
+    or ``"lit"^^<datatype>``."""
+    o, kind, dt, lang = _col(o), _col(o_kind), _col(o_datatype), _col(o_lang)
+    quoted = F.concat(F.lit('"'), nt_escape(o), F.lit('"'))
+    return (
+        F.when(kind == KIND_URI, F.concat(F.lit("<"), o, F.lit(">")))
+        .when(lang.isNotNull(), F.concat(quoted, F.lit("@"), lang))
+        .when(dt.isNotNull(), F.concat(quoted, F.lit("^^<"), dt, F.lit(">")))
+        .otherwise(quoted)
+    )
+
+
+def nt_statement(
+    s: Column | str = "s",
+    p: Column | str = "p",
+    o: Column | str = "o",
+    o_kind: Column | str = "o_kind",
+    o_datatype: Column | str = "o_datatype",
+    o_lang: Column | str = "o_lang",
+) -> Column:
+    """Full N-Triples line ``<s> <p> <term> .``"""
+    return F.concat(
+        F.lit("<"),
+        _col(s),
+        F.lit("> <"),
+        _col(p),
+        F.lit("> "),
+        nt_object_term(o, o_kind, o_datatype, o_lang),
+        F.lit(" ."),
+    )

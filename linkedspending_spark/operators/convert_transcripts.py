@@ -1,0 +1,322 @@
+"""Transcripts → QB-shaped triple conversion (the flagship pipeline).
+
+Replays ``ConvertWorker.createDataset``/``createObservations``
+(ConvertWorker.java:173-300,580-843) over conversation transcripts:
+one conversation ≙ one dataset, one turn ≙ one observation/entry.
+
+Spark-first shape — per SURVEY.md §2.10 the reference's per-entry
+"1 entry → N triples" inner loop (ConvertWorker.java:617-746) becomes a
+single ``select`` building an ``array<struct>`` of candidate triples
+followed by ``explode`` + null-filter; dataset-level schema/aggregate
+triples come from one ``groupBy(conv_id)`` pass; entity mentions are
+broadcast dictionary joins. Everything stays in whole-stage codegen;
+the only shuffle is the per-conversation aggregation (keyed on
+``conv_id``, the natural partition key, salted upstream when skewed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import model as M
+from .. import uris as U
+from ..functions import clean_string
+from ..sources.dictionaries import country_df, currency_df
+
+TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss'Z'"  # our canonical xsd:dateTime lexical form
+
+# transcript field → QB component role (mirrors mapping `type` dispatch,
+# ConvertWorker.java:468-536: compound/date→dimension, measure, attribute)
+COMPONENT_ROLES = {
+    "role": ("dimension", M.QB_DIMENSION, M.QB_DIMENSION_PROPERTY),
+    "text": ("attribute", M.QB_ATTRIBUTE, M.QB_ATTRIBUTE_PROPERTY),
+    "tool": ("attribute", M.QB_ATTRIBUTE, M.QB_ATTRIBUTE_PROPERTY),
+}
+
+
+def _t(p: Column, o: Column, kind: str, datatype: str | None = None) -> Column:
+    """Build one candidate-triple struct (p, o, o_kind, o_datatype)."""
+    return F.struct(
+        p.alias("p"),
+        o.alias("o"),
+        F.lit(kind).alias("o_kind"),
+        F.lit(datatype).cast("string").alias("o_datatype"),
+    )
+
+
+def observation_triples(transcripts: DataFrame) -> DataFrame:
+    """Per-turn triples (ConvertWorker.java:601-746 analog), narrow + codegen.
+
+    Output schema: TRIPLE_SCHEMA + dataset partition column.
+    """
+    df = transcripts
+    obs = U.observation_uri(F.col("conv_id"), F.col("turn_idx").cast("string"))
+    ds = U.dataset_uri(F.col("conv_id"))
+    tool_clean = clean_string("tool")
+
+    candidates = F.array(
+        _t(F.lit(M.RDF_TYPE), F.lit(M.QB_OBSERVATION), M.KIND_URI),
+        _t(F.lit(M.QB_DATASET_PROP), ds, M.KIND_URI),
+        _t(
+            F.lit(M.RDFS_LABEL),
+            F.concat(F.col("conv_id"), F.lit(" turn "), F.col("turn_idx").cast("string")),
+            M.KIND_LITERAL,
+        ),
+        _t(
+            U.property_uri(F.col("conv_id"), F.lit("role")),
+            F.col("role"),
+            M.KIND_LITERAL,
+        ),
+        _t(
+            U.property_uri(F.col("conv_id"), F.lit("text")),
+            F.col("text"),
+            M.KIND_LITERAL,
+        ),
+        _t(
+            U.property_uri(F.col("conv_id"), F.lit("tool")),
+            tool_clean,
+            M.KIND_LITERAL,
+        ),
+        _t(
+            F.lit(M.LSO_REF_DATE),
+            F.date_format(F.col("ts"), TS_FORMAT),
+            M.KIND_LITERAL,
+            M.XSD_DATETIME,
+        ),
+        _t(
+            F.lit(M.DCT_SOURCE),
+            U.skolem_source_uri(F.col("conv_id"), F.col("turn_idx").cast("string")),
+            M.KIND_URI,
+        ),
+    )
+    out = (
+        df.select(
+            obs.alias("s"),
+            F.explode(candidates).alias("t"),
+            F.col("conv_id").alias("dataset"),
+        )
+        .where(F.col("t.o").isNotNull())
+        .select(
+            "s",
+            F.col("t.p").alias("p"),
+            F.col("t.o").alias("o"),
+            F.col("t.o_kind").alias("o_kind"),
+            F.col("t.o_datatype").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+            "dataset",
+        )
+    )
+    return out
+
+
+def mention_triples(
+    transcripts: DataFrame,
+    currencies: DataFrame,
+    countries: DataFrame,
+) -> DataFrame:
+    """Dictionary-based entity linking per turn (J1/J2 analogs).
+
+    Currency codes (uppercase 3-letter tokens) → ``dbo:currency`` DBpedia
+    URIs (ConvertWorker.java:205-223); lowercase 2-letter tokens →
+    ``sdmx-attribute:refArea`` LinkedGeoData URIs
+    (ConvertWorker.java:258-267). Token extraction is a native
+    regexp+explode (narrow); lookups are **broadcast** hash joins — no
+    shuffle on the fact side at any scale.
+    """
+    base = transcripts.select(
+        U.observation_uri(F.col("conv_id"), F.col("turn_idx").cast("string")).alias("s"),
+        F.col("conv_id").alias("dataset"),
+        F.col("text"),
+    )
+    cur_tokens = base.select(
+        "s",
+        "dataset",
+        F.explode(
+            F.array_distinct(F.expr(r"regexp_extract_all(text, '\\b([A-Z]{3})\\b', 1)"))
+        ).alias("code"),
+    )
+    cur = cur_tokens.join(F.broadcast(currencies), "code", "inner").select(
+        "s",
+        F.lit(M.DBO_CURRENCY).alias("p"),
+        F.col("uri").alias("o"),
+        F.lit(M.KIND_URI).alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        "dataset",
+    )
+    ctry_tokens = base.select(
+        "s",
+        "dataset",
+        F.explode(
+            F.array_distinct(
+                F.expr(r"regexp_extract_all(text, '(?<![a-z])([a-z]{2})(?![a-z])', 1)")
+            )
+        ).alias("code"),
+    )
+    ctry = ctry_tokens.join(F.broadcast(countries), "code", "inner").select(
+        "s",
+        F.lit(M.SDMX_REF_AREA).alias("p"),
+        F.col("uri").alias("o"),
+        F.lit(M.KIND_URI).alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        "dataset",
+    )
+    return cur.unionByName(ctry)
+
+
+def dataset_triples(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation dataset/DSD/component/aggregate triples.
+
+    Mirrors ``createDataset`` (ConvertWorker.java:173-300): dataset
+    typing + structure, component specifications per field, distinct
+    ``lso:refYear``s (ConvertWorker.java:817-820), completeness ratio
+    (ConvertWorker.java:798-804), ``lso:transformationVersion`` stamp
+    (ConvertWorker.java:970-976). One shuffle (groupBy conv_id).
+    """
+    agg = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("role").isNull().cast("int")).alias("miss_role"),
+        F.sum(F.col("text").isNull().cast("int")).alias("miss_text"),
+        F.sum(clean_string("tool").isNull().cast("int")).alias("miss_tool"),
+        F.sum(F.col("ts").isNull().cast("int")).alias("miss_ts"),
+        F.array_sort(F.collect_set(F.year("ts"))).alias("years"),
+    )
+    ds = U.dataset_uri(F.col("conv_id"))
+    dsd = U.dsd_uri(F.col("conv_id"))
+    expected = F.col("n_turns") * 4
+    missing = (
+        F.col("miss_role") + F.col("miss_text") + F.col("miss_tool") + F.col("miss_ts")
+    )
+    completeness = F.format_string(
+        "%.6f", (F.lit(1.0) - missing.cast("double") / expected.cast("double"))
+    )
+
+    fixed = [
+        _t(F.lit(M.RDF_TYPE), F.lit(M.QB_DATASET), M.KIND_URI),
+        _t(F.lit(M.QB_STRUCTURE), dsd, M.KIND_URI),
+        _t(F.lit(M.RDFS_LABEL), F.col("conv_id"), M.KIND_LITERAL),
+        _t(
+            F.lit(M.LSO_COMPLETENESS),
+            completeness,
+            M.KIND_LITERAL,
+            M.XSD_DOUBLE,
+        ),
+        _t(
+            F.lit(M.LSO_TRANSFORMATION_VERSION),
+            F.lit(str(M.TRANSFORMATION_VERSION)),
+            M.KIND_LITERAL,
+            M.XSD_INT,
+        ),
+    ]
+    ds_rows = agg.select(
+        ds.alias("s"),
+        F.explode(F.array(*fixed)).alias("t"),
+        F.col("conv_id").alias("dataset"),
+    )
+
+    # refYear per distinct year observed (xsd:gYear, %04d)
+    year_rows = agg.select(
+        ds.alias("s"),
+        F.explode("years").alias("y"),
+        F.col("conv_id").alias("dataset"),
+    ).select(
+        "s",
+        F.struct(
+            F.lit(M.LSO_REF_YEAR).alias("p"),
+            F.format_string("%04d", F.col("y")).alias("o"),
+            F.lit(M.KIND_LITERAL).alias("o_kind"),
+            F.lit(M.XSD_GYEAR).cast("string").alias("o_datatype"),
+        ).alias("t"),
+        "dataset",
+    )
+
+    # DSD typing + per-field component specifications + date component
+    comp_structs = [
+        _t(F.lit(M.RDF_TYPE), F.lit(M.QB_DSD), M.KIND_URI),
+        _t(F.lit(M.QB_COMPONENT), F.lit(M.LSO_DATE_COMPONENT), M.KIND_URI),
+    ]
+    for field in COMPONENT_ROLES:
+        comp_structs.append(
+            _t(
+                F.lit(M.QB_COMPONENT),
+                U.spec_uri(U.property_uri(F.col("conv_id"), F.lit(field))),
+                M.KIND_URI,
+            )
+        )
+    dsd_rows = agg.select(
+        dsd.alias("s"),
+        F.explode(F.array(*comp_structs)).alias("t"),
+        F.col("conv_id").alias("dataset"),
+    )
+
+    # spec → role-property link + property typing + label
+    spec_frames = []
+    for field, (_, role_prop, prop_class) in COMPONENT_ROLES.items():
+        prop = U.property_uri(F.col("conv_id"), F.lit(field))
+        spec_frames.append(
+            agg.select(
+                U.spec_uri(prop).alias("s"),
+                F.explode(
+                    F.array(
+                        _t(F.lit(M.RDF_TYPE), F.lit(M.QB_COMPONENT_SPECIFICATION), M.KIND_URI),
+                        _t(F.lit(role_prop), prop, M.KIND_URI),
+                    )
+                ).alias("t"),
+                F.col("conv_id").alias("dataset"),
+            )
+        )
+        spec_frames.append(
+            agg.select(
+                prop.alias("s"),
+                F.explode(
+                    F.array(
+                        _t(F.lit(M.RDF_TYPE), F.lit(prop_class), M.KIND_URI),
+                        _t(F.lit(M.RDFS_LABEL), F.lit(field), M.KIND_LITERAL),
+                    )
+                ).alias("t"),
+                F.col("conv_id").alias("dataset"),
+            )
+        )
+
+    frames = [ds_rows, year_rows, dsd_rows, *spec_frames]
+    out = None
+    for fr in frames:
+        flat = fr.select(
+            "s",
+            F.col("t.p").alias("p"),
+            F.col("t.o").alias("o"),
+            F.col("t.o_kind").alias("o_kind"),
+            F.col("t.o_datatype").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+            "dataset",
+        )
+        out = flat if out is None else out.unionByName(flat)
+    return out
+
+
+def convert_transcripts(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    with_mentions: bool = True,
+    dedup: bool = True,
+) -> DataFrame:
+    """Full conversion: observation + mention + dataset triples.
+
+    ``dedup`` reproduces Jena's statement-set semantics
+    (DataModel.java:23-37 → U3 ``dropDuplicates``). The dedup shuffle
+    hashes on (s,p,o) which is near-uniform — no skew risk even when
+    conversations are skewed.
+    """
+    parts = [observation_triples(transcripts), dataset_triples(transcripts)]
+    if with_mentions:
+        parts.append(
+            mention_triples(transcripts, currency_df(spark), country_df(spark))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if dedup:
+        out = out.dropDuplicates(["s", "p", "o"])
+    return out

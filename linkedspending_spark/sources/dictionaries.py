@@ -1,0 +1,123 @@
+"""Broadcast dictionary tables for entity linking.
+
+Reference analogs:
+
+* currency code → DBpedia currency URI (``codetocurrency.tsv`` loaded at
+  ConvertWorker.java:90-105; 216 rows upstream). We ship a compact
+  built-in table of common ISO-4217 codes constructed from public
+  knowledge — the *mechanism* (broadcast hash join + reject-on-miss,
+  ConvertWorker.java:205-223) is what's reproduced, and
+  :func:`read_tsv_dictionary` loads a full user-supplied TSV.
+* ISO country code → LinkedGeoData URI (hardcoded map,
+  Countries.java:243-252). Same approach.
+* (dataset, field) → user property URI override (``propertymapping.tsv``,
+  ConvertWorker.java:107-122) — empty upstream; we support the lookup
+  with :func:`property_mapping_df`.
+
+All are tiny dimension tables → always joined with ``F.broadcast`` so no
+shuffle ever happens on the fact side, which is the only strategy that
+holds at 10^12 fact rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_DBPEDIA = "http://dbpedia.org/resource/"
+_LGD = "http://linkedgeodata.org/triplify/"
+
+# ISO-4217 code → DBpedia resource name (public knowledge; reference
+# mechanism per ConvertWorker.java:90-105, data NOT copied from
+# codetocurrency.tsv — regenerate/extend freely).
+_CURRENCY_PAGES = {
+    "EUR": "Euro",
+    "USD": "United_States_dollar",
+    "JPY": "Japanese_yen",
+    "GBP": "Pound_sterling",
+    "CHF": "Swiss_franc",
+    "CAD": "Canadian_dollar",
+    "AUD": "Australian_dollar",
+    "SEK": "Swedish_krona",
+    "NOK": "Norwegian_krone",
+    "DKK": "Danish_krone",
+    "PLN": "Polish_złoty",
+    "CZK": "Czech_koruna",
+    "HUF": "Hungarian_forint",
+    "RUB": "Russian_ruble",
+    "CNY": "Renminbi",
+    "INR": "Indian_rupee",
+    "BRL": "Brazilian_real",
+    "MXN": "Mexican_peso",
+    "ZAR": "South_African_rand",
+    "KRW": "South_Korean_won",
+    "TRY": "Turkish_lira",
+    "NZD": "New_Zealand_dollar",
+    "ILS": "Israeli_new_shekel",
+    "SGD": "Singapore_dollar",
+}
+
+# ISO-3166 alpha-2 (lowercase, as OpenSpending territories use) → country
+# name for LinkedGeoData-style URIs (mechanism per Countries.java:243-252).
+_COUNTRY_NAMES = {
+    "de": "Germany",
+    "fr": "France",
+    "jp": "Japan",
+    "us": "United_States",
+    "gb": "United_Kingdom",
+    "ch": "Switzerland",
+    "it": "Italy",
+    "es": "Spain",
+    "nl": "Netherlands",
+    "be": "Belgium",
+    "at": "Austria",
+    "se": "Sweden",
+    "no": "Norway",
+    "dk": "Denmark",
+    "fi": "Finland",
+    "pl": "Poland",
+    "cz": "Czech_Republic",
+    "hu": "Hungary",
+    "ru": "Russia",
+    "cn": "China",
+    "in": "India",
+    "br": "Brazil",
+    "mx": "Mexico",
+    "za": "South_Africa",
+    "kr": "South_Korea",
+    "tr": "Turkey",
+    "nz": "New_Zealand",
+    "il": "Israel",
+    "sg": "Singapore",
+    "ca": "Canada",
+    "au": "Australia",
+}
+
+
+def currency_pairs() -> list[tuple[str, str]]:
+    return [(code, _DBPEDIA + page) for code, page in sorted(_CURRENCY_PAGES.items())]
+
+
+def country_pairs() -> list[tuple[str, str]]:
+    return [(code, _LGD + name) for code, name in sorted(_COUNTRY_NAMES.items())]
+
+
+def currency_df(spark: SparkSession) -> DataFrame:
+    """code → URI dimension table (broadcast side of J1)."""
+    return spark.createDataFrame(currency_pairs(), "code string, uri string")
+
+
+def country_df(spark: SparkSession) -> DataFrame:
+    """ISO code → URI dimension table (broadcast side of J2)."""
+    return spark.createDataFrame(country_pairs(), "code string, uri string")
+
+
+def property_mapping_df(
+    spark: SparkSession, rows: list[tuple[str, str, str]] | None = None
+) -> DataFrame:
+    """(dataset, name) → override property URI (J3; empty upstream)."""
+    return spark.createDataFrame(rows or [], "dataset string, name string, uri string")
+
+
+def read_tsv_dictionary(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Load a user-supplied TSV dictionary (TSVReader.java:30-46 analog)."""
+    return spark.read.csv(path, sep="\t", header=False, schema=schema)

@@ -1,0 +1,57 @@
+"""Golden triple-set P/R for the flagship transcripts converter.
+
+Mirrors the reference's converter-integration test role
+(ConvertWorkerTest.java:11-15) but against an independent pure-Python
+oracle instead of a live service; target P/R ≥ 0.95 (BASELINE.json),
+exact at fixture scale.
+"""
+
+from __future__ import annotations
+
+from linkedspending_spark.operators.convert_transcripts import convert_transcripts
+from linkedspending_spark.operators.convert_transcripts_golden import golden_triples
+from linkedspending_spark.sources.dictionaries import country_pairs, currency_pairs
+from linkedspending_spark.transcripts import synth_transcripts, synth_transcripts_df
+
+
+def _pr(actual: set, expected: set) -> tuple[float, float]:
+    tp = len(actual & expected)
+    precision = tp / len(actual) if actual else 0.0
+    recall = tp / len(expected) if expected else 0.0
+    return precision, recall
+
+
+def test_triples_match_golden(spark):
+    pdf = synth_transcripts(n_convs=12, base_turns=6, seed=42)
+    df = synth_transcripts_df(spark, n_convs=12, base_turns=6, seed=42)
+    out = convert_transcripts(spark, df)
+    actual = {(r["s"], r["p"], r["o"]) for r in out.collect()}
+    expected = golden_triples(pdf, dict(currency_pairs()), dict(country_pairs()))
+    precision, recall = _pr(actual, expected)
+    only_a = sorted(actual - expected)[:5]
+    only_e = sorted(expected - actual)[:5]
+    assert precision >= 0.95 and recall >= 0.95, (
+        f"P={precision:.4f} R={recall:.4f}\nonly_actual={only_a}\nonly_expected={only_e}"
+    )
+    # at fixture scale the match should be exact
+    assert precision == 1.0 and recall == 1.0, (precision, recall, only_a, only_e)
+
+
+def test_idempotent_set_semantics(spark):
+    """Re-running the conversion yields the identical triple set (U3)."""
+    df = synth_transcripts_df(spark, n_convs=5, base_turns=4, seed=7)
+    a = convert_transcripts(spark, df)
+    b = convert_transcripts(spark, df)
+    sa = {(r["s"], r["p"], r["o"]) for r in a.collect()}
+    sb = {(r["s"], r["p"], r["o"]) for r in b.collect()}
+    assert sa == sb and len(sa) == a.count() == b.count()
+
+
+def test_skewed_mega_conversation(spark):
+    """Skew fixture: one hot conv_id with 100x turns still converts exactly."""
+    pdf = synth_transcripts(n_convs=4, base_turns=5, mega_conv_turns=500, seed=9)
+    df = spark.createDataFrame(pdf)
+    out = convert_transcripts(spark, df)
+    actual = {(r["s"], r["p"], r["o"]) for r in out.collect()}
+    expected = golden_triples(pdf, dict(currency_pairs()), dict(country_pairs()))
+    assert actual == expected
