@@ -48,4 +48,4 @@ def structured_date_str(year: Column | str, month: Column | str, day: Column | s
 
 def year_of_default_time(c: Column | str) -> Column:
     """First 4 characters of ``default_time`` as the dataset default year."""
-    return F.substring(_col(c), 1, 4).cast("int")
+    return F.substring(_col(c), 1, 4).try_cast("int")
