@@ -1,0 +1,172 @@
+"""Entity canonicalization: exact dictionary links + connected components.
+
+Reference analogs: the ``createlinks`` script emits all-pairs
+``owl:sameAs`` within a URI group (createlinks:1-10) — fine at file
+scale, quadratic at ours. At 10^12 turns the same semantics is
+"canonicalize every node to its component representative", computed with
+the alternating large-star/small-star method (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) as iterative DataFrame
+self-joins with a driver-side convergence check — the SURVEY.md §4
+"driver loop of self-joins, not a planner rule" design.
+
+Skew note: large-star keys by node and emits (neighbor>node → min), so a
+celebrity node's edges all hash to one reducer. AQE skew-join splitting
+is on (session.py); for pathological hubs, ``salt_edges`` pre-splits
+hub adjacency lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import model as M
+
+
+def exact_dictionary_links(
+    labels: DataFrame, dictionary: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Broadcast-dictionary exact linking (J1/J2 pattern).
+
+    ``labels``: (uri, label); ``dictionary``: (label, uri AS target).
+    Returns (s=uri, p=owl:sameAs, o=target) matches on lowercased label.
+    """
+    lab = labels.withColumn("__k", F.lower(F.col(label_col)))
+    dic = dictionary.select(
+        F.lower(F.col("label")).alias("__k"), F.col("uri").alias("__target")
+    )
+    return (
+        lab.join(F.broadcast(dic), "__k", "inner")
+        .select(
+            F.col("uri").alias("s"),
+            F.lit(M.OWL_SAMEAS).alias("p"),
+            F.col("__target").alias("o"),
+        )
+        .dropDuplicates(["s", "o"])
+    )
+
+
+def sameas_closure_within_group(df: DataFrame, group_col: str, uri_col: str) -> DataFrame:
+    """All-pairs ``owl:sameAs`` within a group (createlinks analog, J6).
+
+    Quadratic in group size — only for small groups; the scale path is
+    :func:`connected_components`.
+    """
+    a = df.select(F.col(group_col).alias("g"), F.col(uri_col).alias("s"))
+    b = df.select(F.col(group_col).alias("g"), F.col(uri_col).alias("o"))
+    return (
+        a.join(b, "g")
+        .where(F.col("s") != F.col("o"))
+        .select("s", F.lit(M.OWL_SAMEAS).alias("p"), "o")
+        .dropDuplicates(["s", "o"])
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation via alternating large-star / small-star.
+
+    Input: undirected edge list (string node ids). Output:
+    ``(node, component)`` where component is the lexicographic min node
+    id of the component. Converges in O(log n) rounds; each round is two
+    shuffles keyed on node id. The driver loop checks a global sum-hash
+    for convergence (one lightweight action per round).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+    )
+    # symmetrize once; all later rounds keep orientation invariants
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+    def large_star(edges_df: DataFrame) -> DataFrame:
+        # neighborhoods are over the UNDIRECTED graph: symmetrize first
+        # (small-star output is oriented big→small)
+        sym = edges_df.union(
+            edges_df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # for each node u: connect every neighbor v > u to min(N(u) ∪ {u})
+        nbrs = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"),
+            F.collect_set("v").alias("vs"),
+        )
+        return (
+            nbrs.select("u", "m", F.explode("vs").alias("v"))
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(edges_df: DataFrame) -> DataFrame:
+        # orient edges to (larger, smaller); connect all smaller nbrs to min
+        oriented = edges_df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        nbrs = oriented.groupBy("u").agg(
+            F.min("v").alias("m"), F.collect_set("v").alias("vs")
+        )
+        out = nbrs.select("u", "m", F.explode("vs").alias("v")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edge = nbrs.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            out.union(self_edge)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    cur = e
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = small_star(large_star(cur)).localCheckpoint(eager=True)
+        sig = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        cur_sig = (sig["n"], sig["h"])
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+
+    # final star edges point node → component min; add singletons' reps
+    comp = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    all_nodes = e.select(F.col("u").alias("node")).distinct()
+    return (
+        all_nodes.join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def canonicalize_triples(triples: DataFrame, components: DataFrame) -> DataFrame:
+    """Rewrite subject and URI-object through the canonical map.
+
+    ``components``: (node, component). Two left joins + coalesce; the
+    map is usually small relative to triples — Catalyst broadcasts it
+    under the threshold, otherwise AQE picks the strategy.
+    """
+    s_map = components.select(
+        F.col("node").alias("s"), F.col("component").alias("__s_canon")
+    )
+    o_map = components.select(
+        F.col("node").alias("o"), F.col("component").alias("__o_canon")
+    )
+    out = triples.join(s_map, "s", "left").join(o_map, "o", "left")
+    cols = [c for c in triples.columns if c not in ("s", "o")]
+    return out.select(
+        F.coalesce("__s_canon", "s").alias("s"),
+        F.when(
+            F.col("o_kind") == M.KIND_URI, F.coalesce("__o_canon", "o")
+        ).otherwise(F.col("o")).alias("o"),
+        *cols,
+    ).select(*triples.columns)

@@ -1,0 +1,178 @@
+"""Similarity entity linking (LIMES trigram-metric analog, J5).
+
+The reference links DBpedia country/organisation labels to observation
+source labels with trigram similarity, lowercased, accept ≥0.8 / review
+≥0.5 (limes/dbpedia_country_source.xml:41-70). Two implementations:
+
+* :func:`trigram_similarity_join` — exact n-gram Jaccard: explode grams,
+  equi-join on gram, count co-occurrences, Jaccard filter. SQL-
+  expressible (the **[Q]** oracle path); cost ∝ total gram matches, fine
+  when one side is a dictionary.
+* :func:`minhash_lsh_join` — the 100-TB path: deterministic MinHash
+  signatures (md5-based, engine-portable), banded LSH bucketing, and a
+  bucket equi-join so only likely pairs are compared; candidates are
+  re-scored with exact Jaccard. No cross product anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import char_ngrams
+
+# deterministic 64-bit mix constants for minhash permutations
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _gram_hash(col):
+    """Stable 64-bit-ish hash of a gram: first 15 hex chars of md5.
+
+    md5 (not xxhash64) so a DuckDB oracle can reproduce it exactly.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("decimal(20,0)").cast("long")
+
+
+def trigram_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    left_label: str,
+    right_key: str,
+    right_label: str,
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard join: returns (left_key, right_key, sim ≥ threshold).
+
+    Gram explode is narrow; the only shuffles are the equi-join on gram
+    and the pair-count aggregation — both on well-distributed keys.
+    """
+    lsize = left.select(
+        F.col(left_key).alias("lk"), F.size(char_ngrams(left_label, n)).alias("lsize")
+    )
+    rsize = right.select(
+        F.col(right_key).alias("rk"), F.size(char_ngrams(right_label, n)).alias("rsize")
+    )
+    lg = left.select(
+        F.col(left_key).alias("lk"), F.explode(char_ngrams(left_label, n)).alias("gram")
+    )
+    rg = right.select(
+        F.col(right_key).alias("rk"), F.explode(char_ngrams(right_label, n)).alias("gram")
+    )
+    inter = (
+        lg.join(rg, "gram")
+        .groupBy("lk", "rk")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        inter.join(lsize, "lk")
+        .join(rsize, "rk")
+        .withColumn(
+            "sim",
+            F.col("common")
+            / (F.col("lsize") + F.col("rsize") - F.col("common")).cast("double"),
+        )
+        .where(F.col("sim") >= threshold)
+        .select(
+            F.col("lk").alias(left_key),
+            F.col("rk").alias(right_key),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def minhash_signature(label_col, n_hashes: int = 32, n: int = 3):
+    """array<long> MinHash signature of a string's char n-grams.
+
+    One md5 base hash per gram, then ``n_hashes`` universal-hash
+    permutations ``(a_i * h + b_i) mod p`` with fixed odd constants —
+    all native expressions, evaluated once per row.
+    """
+    grams = char_ngrams(label_col, n)
+    base = F.transform(grams, lambda g: _gram_hash(g))
+    sigs = []
+    for i in range(n_hashes):
+        a = 2 * i + 1
+        b = 0x9E3779B9 * (i + 1) & 0xFFFFFFFF
+        # multiply in decimal(38,0): h*a can exceed int64 under ANSI mode
+        permuted = F.transform(
+            base,
+            lambda h: ((h.cast("decimal(38,0)") * a + b) % _MERSENNE_P).cast("long"),
+        )
+        sigs.append(F.array_min(permuted))
+    return F.array(*sigs)
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    left_label: str,
+    right_key: str,
+    right_label: str,
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """LSH-banded candidate generation + exact Jaccard verification.
+
+    rows-per-band = n_hashes // bands; a pair collides if any band's
+    signature slice matches exactly. Candidates are then re-scored with
+    the exact trigram Jaccard so the output contract matches
+    :func:`trigram_similarity_join` (same columns, same threshold).
+    """
+    rows_per_band = n_hashes // bands
+
+    def banded(df: DataFrame, key: str, label: str, prefix: str) -> DataFrame:
+        sig = df.select(
+            F.col(key).alias(f"{prefix}k"),
+            F.col(label).alias(f"{prefix}label"),
+            minhash_signature(label, n_hashes, n).alias("sig"),
+        )
+        bands_col = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.hash(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", i * rows_per_band + j + 1).cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for i in range(bands)
+            ]
+        )
+        return sig.select(
+            f"{prefix}k", f"{prefix}label", F.explode(bands_col).alias("b")
+        ).select(
+            f"{prefix}k",
+            f"{prefix}label",
+            F.col("b.band").alias("band"),
+            F.col("b.bucket").alias("bucket"),
+        )
+
+    lb = banded(left, left_key, left_label, "l")
+    rb = banded(right, right_key, right_label, "r")
+    candidates = (
+        lb.join(rb, ["band", "bucket"])
+        .select("lk", "llabel", "rk", "rlabel")
+        .dropDuplicates(["lk", "rk"])
+    )
+    scored = candidates.withColumn(
+        "sim",
+        F.size(F.array_intersect(char_ngrams("llabel", n), char_ngrams("rlabel", n)))
+        / F.size(F.array_union(char_ngrams("llabel", n), char_ngrams("rlabel", n))).cast(
+            "double"
+        ),
+    )
+    return scored.where(F.col("sim") >= threshold).select(
+        F.col("lk").alias(left_key),
+        F.col("rk").alias(right_key),
+        F.round("sim", 6).alias("sim"),
+    )

@@ -1,0 +1,137 @@
+"""Tests for canonicalization (connected components) and similarity linking."""
+
+from __future__ import annotations
+
+import random
+
+from linkedspending_spark.operators.canon import (
+    canonicalize_triples,
+    connected_components,
+    exact_dictionary_links,
+    sameas_closure_within_group,
+)
+from linkedspending_spark.operators.linking import (
+    minhash_lsh_join,
+    trigram_similarity_join,
+)
+
+
+def _union_find_components(edges: list[tuple[str, str]]) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_random_graph(spark):
+    rng = random.Random(13)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = [
+        (nodes[rng.randrange(len(nodes))], nodes[rng.randrange(len(nodes))])
+        for _ in range(150)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    expected = _union_find_components(edges)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_chain_and_star(spark):
+    # a long chain (worst case for naive propagation) + a star
+    chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(30)]
+    star = [("hub", f"s{i}") for i in range(20)]
+    df = spark.createDataFrame(chain + star, "src string, dst string")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert all(got[f"c{i:02d}"] == "c00" for i in range(31))
+    assert all(got[f"s{i}"] == "hub" for i in range(20)) and got["hub"] == "hub"
+
+
+def test_exact_dictionary_links_and_closure(spark):
+    labels = spark.createDataFrame(
+        [("http://x/1", "Japan"), ("http://x/2", "JAPAN "), ("http://x/3", "Peru")],
+        "uri string, label string",
+    )
+    dictionary = spark.createDataFrame(
+        [("japan", "http://dbp/Japan")], "label string, uri string"
+    )
+    links = exact_dictionary_links(labels, dictionary).collect()
+    assert {(r["s"], r["o"]) for r in links} == {("http://x/1", "http://dbp/Japan")}
+
+    grp = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g1", "c"), ("g2", "d")], "g string, uri string"
+    )
+    pairs = {(r["s"], r["o"]) for r in sameas_closure_within_group(grp, "g", "uri").collect()}
+    assert pairs == {("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"), ("c", "b")}
+
+
+def test_canonicalize_triples(spark):
+    triples = spark.createDataFrame(
+        [
+            ("http://x/dup", "p1", "http://x/other", "uri", None, None),
+            ("http://x/keep", "p2", "http://x/dup", "uri", None, None),
+            ("http://x/keep", "p3", "http://x/dup", "literal", None, None),
+        ],
+        "s string, p string, o string, o_kind string, o_datatype string, o_lang string",
+    )
+    comp = spark.createDataFrame(
+        [("http://x/dup", "http://x/canon")], "node string, component string"
+    )
+    got = {(r["s"], r["p"], r["o"]) for r in canonicalize_triples(triples, comp).collect()}
+    assert got == {
+        ("http://x/canon", "p1", "http://x/other"),
+        ("http://x/keep", "p2", "http://x/canon"),
+        ("http://x/keep", "p3", "http://x/dup"),  # literal object untouched
+    }
+
+
+_LEFT = [
+    ("l1", "japan"),
+    ("l2", "german federal budget"),
+    ("l3", "xyzzy"),
+]
+_RIGHT = [
+    ("r1", "japan"),
+    ("r2", "germany federal budget"),
+    ("r3", "peru"),
+]
+
+
+def test_trigram_similarity_join(spark):
+    left = spark.createDataFrame(_LEFT, "lid string, label string")
+    right = spark.createDataFrame(_RIGHT, "rid string, label string")
+    got = trigram_similarity_join(left, right, "lid", "label", "rid", "label", 0.5)
+    pairs = {(r["lid"], r["rid"]): r["sim"] for r in got.collect()}
+    assert ("l1", "r1") in pairs and pairs[("l1", "r1")] == 1.0
+    assert ("l2", "r2") in pairs and 0.5 <= pairs[("l2", "r2")] < 1.0
+    assert not any(k for k in pairs if k[0] == "l3")
+
+
+def test_minhash_lsh_matches_exact_on_identical(spark):
+    left = spark.createDataFrame(_LEFT, "lid string, label string")
+    right = spark.createDataFrame(_RIGHT, "rid string, label string")
+    got = minhash_lsh_join(left, right, "lid", "label", "rid", "label", 0.5)
+    pairs = {(r["lid"], r["rid"]) for r in got.collect()}
+    # identical strings always collide in every band → must be found
+    assert ("l1", "r1") in pairs
+    # high-sim pair should usually be found; verify scores are exact Jaccard
+    exact = {
+        (r["lid"], r["rid"]): r["sim"]
+        for r in trigram_similarity_join(
+            left, right, "lid", "label", "rid", "label", 0.5
+        ).collect()
+    }
+    for r in got.collect():
+        assert abs(exact.get((r["lid"], r["rid"]), -1) - r["sim"]) < 1e-9
