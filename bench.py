@@ -1,0 +1,175 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS], plus the two-parallelism-level scaling check
+demanded by BASELINE.json's north rule (N vs 4N cores on the same input
+— the sandbox stand-in for N vs 4N executors; default N=2 vs 4N=8,
+override with SPARK_GRAFT_BENCH_N).
+
+Flagship job = the full KG-construction pipeline: events-derived
+transcripts (replicated with distinct conv_ids so parallel work dominates
+fixed overheads) → observation/dataset/mention triples → statement-set
+dedup → N-Triples serialization → byte-count reduce. Methodology for a
+fair strong-scaling measurement on one shared box:
+
+* identical partition count (64) at both levels — same work units,
+  only concurrency differs;
+* AQE partition coalescing off + locality wait 0 for the measured job;
+* one full warm-up run per level (JIT/codegen/broadcast), then
+  min-of-2 timed runs (filters host noise);
+* fresh JVM per level via subprocess.
+
+Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ..., "flagship": {"localN": {...}, "local4N": {...},
+ "speedup": s, "scaling_efficiency": s/4}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "8"))
+PARTITIONS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "64"))
+
+# headline operator subset (full registry is validated by the driver's
+# correctness pass; bench times representative heavy hitters)
+BENCH_QUERIES = [
+    "obs_triples",
+    "mention_triples",
+    "conv_completeness",
+    "group_agg",
+    "window_order",
+    "topk_per_group",
+    "dedup_exact",
+    "minhash_sig",
+    "shingle_jaccard",
+    "ann_cosine",
+    "quality_score",
+]
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_flagship(cpus: int, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from linkedspending_spark.functions import nt_statement
+    from linkedspending_spark.operators.convert_transcripts import convert_transcripts
+    from linkedspending_spark.session import get_spark
+    from linkedspending_spark.transcripts import transcripts_from_events
+
+    spark = get_spark(
+        cpus,
+        app_name=f"bench_flagship_{cpus}",
+        shuffle_partitions=PARTITIONS,
+        extra_conf={
+            "spark.locality.wait": "0",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    )
+    t = transcripts_from_events(spark, sf_dir)
+    big = (
+        t.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(REPLICATE - 1))))
+        .withColumn("conv_id", F.concat_ws("-r", "conv_id", "rep"))
+        .drop("rep")
+        .repartition(PARTITIONS, "conv_id")
+        .persist()
+    )
+    n_turns = big.count()  # materialize the cached input
+
+    def job() -> tuple[int, int]:
+        row = (
+            convert_transcripts(spark, big)
+            .select(nt_statement().alias("nt"))
+            .agg(
+                F.count(F.lit(1)).alias("n"), F.sum(F.length("nt")).alias("bytes")
+            )
+            .collect()[0]
+        )
+        return row["n"], row["bytes"]
+
+    n_triples, nt_bytes = job()  # full warm-up (JIT, codegen, broadcasts)
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        job()
+        runs.append(time.perf_counter() - t0)
+    sec = min(runs)
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "turns": n_turns,
+        "triples": n_triples,
+        "nt_bytes": nt_bytes,
+        "sec": round(sec, 3),
+        "runs": [round(r, 3) for r in runs],
+        "triples_per_sec": round(n_triples / sec, 1),
+    }
+
+
+def main() -> None:
+    if "--flagship-only" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        print(json.dumps(run_flagship(cpus, SF_DIR)))
+        return
+
+    from linkedspending_spark.queries import QUERIES
+    from linkedspending_spark.session import get_spark
+
+    spark = get_spark(CPUS, app_name="bench")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()  # warm
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+
+    # scaling: same flagship job at N and 4N cores, fresh JVM each
+    flagship: dict = {}
+    for cpus in (BENCH_N, BENCH_N * 4):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship-only",
+             "--cpus", str(cpus)],
+            capture_output=True, text=True, env={**os.environ},
+            cwd=os.path.dirname(os.path.abspath(__file__)), check=False,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            flagship[f"local{cpus}"] = json.loads(lines[-1])
+    lo, hi = f"local{BENCH_N}", f"local{BENCH_N * 4}"
+    if lo in flagship and hi in flagship:
+        speedup = flagship[lo]["sec"] / flagship[hi]["sec"]
+        flagship["speedup"] = round(speedup, 3)
+        flagship["scaling_efficiency"] = round(speedup / 4.0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(SF_DIR),
+                "flagship": flagship,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

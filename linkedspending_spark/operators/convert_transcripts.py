@@ -129,41 +129,28 @@ def mention_triples(
         F.col("conv_id").alias("dataset"),
         F.col("text"),
     )
-    cur_tokens = base.select(
+    # token-split (portable: identical semantics in DuckDB for the oracle);
+    # dictionary membership does the filtering, so no per-token regex needed
+    tokens = base.select(
         "s",
         "dataset",
-        F.explode(
-            F.array_distinct(F.expr(r"regexp_extract_all(text, '\\b([A-Z]{3})\\b', 1)"))
-        ).alias("code"),
+        F.explode(F.array_distinct(F.split(F.col("text"), "[^a-zA-Z]+"))).alias("code"),
     )
-    cur = cur_tokens.join(F.broadcast(currencies), "code", "inner").select(
+    # one explode + ONE broadcast join against the combined dictionary
+    # (currency codes are uppercase, country codes lowercase — disjoint),
+    # each dictionary row carrying its predicate
+    combined = currencies.select(
+        "code", "uri", F.lit(M.DBO_CURRENCY).alias("p")
+    ).unionByName(countries.select("code", "uri", F.lit(M.SDMX_REF_AREA).alias("p")))
+    return tokens.join(F.broadcast(combined), "code", "inner").select(
         "s",
-        F.lit(M.DBO_CURRENCY).alias("p"),
+        "p",
         F.col("uri").alias("o"),
         F.lit(M.KIND_URI).alias("o_kind"),
         F.lit(None).cast("string").alias("o_datatype"),
         F.lit(None).cast("string").alias("o_lang"),
         "dataset",
     )
-    ctry_tokens = base.select(
-        "s",
-        "dataset",
-        F.explode(
-            F.array_distinct(
-                F.expr(r"regexp_extract_all(text, '(?<![a-z])([a-z]{2})(?![a-z])', 1)")
-            )
-        ).alias("code"),
-    )
-    ctry = ctry_tokens.join(F.broadcast(countries), "code", "inner").select(
-        "s",
-        F.lit(M.SDMX_REF_AREA).alias("p"),
-        F.col("uri").alias("o"),
-        F.lit(M.KIND_URI).alias("o_kind"),
-        F.lit(None).cast("string").alias("o_datatype"),
-        F.lit(None).cast("string").alias("o_lang"),
-        "dataset",
-    )
-    return cur.unionByName(ctry)
 
 
 def dataset_triples(transcripts: DataFrame) -> DataFrame:
@@ -193,98 +180,60 @@ def dataset_triples(transcripts: DataFrame) -> DataFrame:
         "%.6f", (F.lit(1.0) - missing.cast("double") / expected.cast("double"))
     )
 
-    fixed = [
-        _t(F.lit(M.RDF_TYPE), F.lit(M.QB_DATASET), M.KIND_URI),
-        _t(F.lit(M.QB_STRUCTURE), dsd, M.KIND_URI),
-        _t(F.lit(M.RDFS_LABEL), F.col("conv_id"), M.KIND_LITERAL),
-        _t(
-            F.lit(M.LSO_COMPLETENESS),
-            completeness,
-            M.KIND_LITERAL,
-            M.XSD_DOUBLE,
-        ),
-        _t(
+    def _st(s: Column, p: Column, o: Column, kind: str, datatype: str | None = None):
+        """Full (s,p,o,...) struct — subject varies across the array."""
+        return F.struct(
+            s.alias("s"),
+            p.alias("p"),
+            o.alias("o"),
+            F.lit(kind).alias("o_kind"),
+            F.lit(datatype).cast("string").alias("o_datatype"),
+        )
+
+    structs = [
+        _st(ds, F.lit(M.RDF_TYPE), F.lit(M.QB_DATASET), M.KIND_URI),
+        _st(ds, F.lit(M.QB_STRUCTURE), dsd, M.KIND_URI),
+        _st(ds, F.lit(M.RDFS_LABEL), F.col("conv_id"), M.KIND_LITERAL),
+        _st(ds, F.lit(M.LSO_COMPLETENESS), completeness, M.KIND_LITERAL, M.XSD_DOUBLE),
+        _st(
+            ds,
             F.lit(M.LSO_TRANSFORMATION_VERSION),
             F.lit(str(M.TRANSFORMATION_VERSION)),
             M.KIND_LITERAL,
             M.XSD_INT,
         ),
+        _st(dsd, F.lit(M.RDF_TYPE), F.lit(M.QB_DSD), M.KIND_URI),
+        _st(dsd, F.lit(M.QB_COMPONENT), F.lit(M.LSO_DATE_COMPONENT), M.KIND_URI),
     ]
-    ds_rows = agg.select(
-        ds.alias("s"),
-        F.explode(F.array(*fixed)).alias("t"),
-        F.col("conv_id").alias("dataset"),
-    )
-
-    # refYear per distinct year observed (xsd:gYear, %04d)
-    year_rows = agg.select(
-        ds.alias("s"),
-        F.explode("years").alias("y"),
-        F.col("conv_id").alias("dataset"),
-    ).select(
-        "s",
-        F.struct(
-            F.lit(M.LSO_REF_YEAR).alias("p"),
-            F.format_string("%04d", F.col("y")).alias("o"),
-            F.lit(M.KIND_LITERAL).alias("o_kind"),
-            F.lit(M.XSD_GYEAR).cast("string").alias("o_datatype"),
-        ).alias("t"),
-        "dataset",
-    )
-
-    # DSD typing + per-field component specifications + date component
-    comp_structs = [
-        _t(F.lit(M.RDF_TYPE), F.lit(M.QB_DSD), M.KIND_URI),
-        _t(F.lit(M.QB_COMPONENT), F.lit(M.LSO_DATE_COMPONENT), M.KIND_URI),
-    ]
-    for field in COMPONENT_ROLES:
-        comp_structs.append(
-            _t(
-                F.lit(M.QB_COMPONENT),
-                U.spec_uri(U.property_uri(F.col("conv_id"), F.lit(field))),
-                M.KIND_URI,
-            )
-        )
-    dsd_rows = agg.select(
-        dsd.alias("s"),
-        F.explode(F.array(*comp_structs)).alias("t"),
-        F.col("conv_id").alias("dataset"),
-    )
-
-    # spec → role-property link + property typing + label
-    spec_frames = []
     for field, (_, role_prop, prop_class) in COMPONENT_ROLES.items():
         prop = U.property_uri(F.col("conv_id"), F.lit(field))
-        spec_frames.append(
-            agg.select(
-                U.spec_uri(prop).alias("s"),
-                F.explode(
-                    F.array(
-                        _t(F.lit(M.RDF_TYPE), F.lit(M.QB_COMPONENT_SPECIFICATION), M.KIND_URI),
-                        _t(F.lit(role_prop), prop, M.KIND_URI),
-                    )
-                ).alias("t"),
-                F.col("conv_id").alias("dataset"),
-            )
+        spec = U.spec_uri(prop)
+        structs += [
+            _st(dsd, F.lit(M.QB_COMPONENT), spec, M.KIND_URI),
+            _st(spec, F.lit(M.RDF_TYPE), F.lit(M.QB_COMPONENT_SPECIFICATION), M.KIND_URI),
+            _st(spec, F.lit(role_prop), prop, M.KIND_URI),
+            _st(prop, F.lit(M.RDF_TYPE), F.lit(prop_class), M.KIND_URI),
+            _st(prop, F.lit(M.RDFS_LABEL), F.lit(field), M.KIND_LITERAL),
+        ]
+    # refYear per distinct year, appended to the same array → ONE explode,
+    # ONE aggregation pass over the input (no re-agg per union branch)
+    year_structs = F.transform(
+        F.col("years"),
+        lambda y: _st(
+            ds,
+            F.lit(M.LSO_REF_YEAR),
+            F.format_string("%04d", y),
+            M.KIND_LITERAL,
+            M.XSD_GYEAR,
+        ),
+    )
+    all_structs = F.concat(F.array(*structs), year_structs)
+    return (
+        agg.select(
+            F.explode(all_structs).alias("t"), F.col("conv_id").alias("dataset")
         )
-        spec_frames.append(
-            agg.select(
-                prop.alias("s"),
-                F.explode(
-                    F.array(
-                        _t(F.lit(M.RDF_TYPE), F.lit(prop_class), M.KIND_URI),
-                        _t(F.lit(M.RDFS_LABEL), F.lit(field), M.KIND_LITERAL),
-                    )
-                ).alias("t"),
-                F.col("conv_id").alias("dataset"),
-            )
-        )
-
-    frames = [ds_rows, year_rows, dsd_rows, *spec_frames]
-    out = None
-    for fr in frames:
-        flat = fr.select(
-            "s",
+        .select(
+            F.col("t.s").alias("s"),
             F.col("t.p").alias("p"),
             F.col("t.o").alias("o"),
             F.col("t.o_kind").alias("o_kind"),
@@ -292,8 +241,7 @@ def dataset_triples(transcripts: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("o_lang"),
             "dataset",
         )
-        out = flat if out is None else out.unionByName(flat)
-    return out
+    )
 
 
 def convert_transcripts(

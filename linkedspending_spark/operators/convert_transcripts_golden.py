@@ -29,8 +29,7 @@ DCT = "http://purl.org/dc/terms/"
 SDMX = "http://purl.org/linked-data/sdmx/2009/attribute#"
 DBO = "http://dbpedia.org/ontology/"
 
-_CUR_RE = re.compile(r"\b([A-Z]{3})\b")
-_CTRY_RE = re.compile(r"(?<![a-z])([a-z]{2})(?![a-z])")
+_TOKEN_RE = re.compile(r"[^a-zA-Z]+")
 
 
 def _clean(v) -> str | None:
@@ -108,12 +107,11 @@ def golden_triples(
                 years.add(pd.Timestamp(ts).year)
             text = row["text"]
             if text is not None and not (isinstance(text, float) and pd.isna(text)):
-                for code in set(_CUR_RE.findall(str(text))):
-                    if code in currency_map:
-                        out.add((obs, DBO + "currency", currency_map[code]))
-                for code in set(_CTRY_RE.findall(str(text))):
-                    if code in country_map:
-                        out.add((obs, SDMX + "refArea", country_map[code]))
+                for tok in set(_TOKEN_RE.split(str(text))):
+                    if tok in currency_map:
+                        out.add((obs, DBO + "currency", currency_map[tok]))
+                    if tok in country_map:
+                        out.add((obs, SDMX + "refArea", country_map[tok]))
         out.add((ds, ONT + "completeness", _fmt6(1.0 - missing / (4 * n))))
         for y in years:
             out.add((ds, ONT + "refYear", f"{y:04d}"))

@@ -1,0 +1,914 @@
+"""Named query registry: every SURVEY.md §2 **[Q]** operator plus the
+training-data-pipeline operators, each as (Spark callable, DuckDB oracle SQL).
+
+Design rules for oracle parity (driver compares row-count + schema +
+order-insensitive value hash):
+
+* identical column names on both sides (everything aliased);
+* timestamps always formatted to ISO strings;
+* doubles always ``round(x, N)`` on both sides;
+* DuckDB ``SUM(int)`` is HUGEINT → always ``CAST(... AS BIGINT)``;
+* no LIMIT-at-a-float-boundary (top-k uses deterministic tiebreaks);
+* the transcripts table is derived from ``events`` by the portable SQL in
+  :mod:`linkedspending_spark.transcripts`, so both engines see identical
+  rows without any external data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import model as M
+from .functions import (
+    char_ngrams,
+    clean_string,
+    nt_escape,
+    parse_string_date,
+    token_shingles,
+)
+from .operators.convert_transcripts import mention_triples, observation_triples
+from .sources.dictionaries import country_df, country_pairs, currency_df, currency_pairs
+from .transcripts import TRANSCRIPTS_FROM_EVENTS_SQL, transcripts_from_events
+
+INST = M.PREFIX_INSTANCE
+ONT = M.PREFIX_ONTOLOGY
+ISO = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+ISO_DUCK = "%Y-%m-%dT%H:%M:%SZ"
+
+_TRANSCRIPTS_CTE = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _values_clause(pairs: list[tuple[str, str]]) -> str:
+    rows = ", ".join(f"('{k}', '{v}')" for k, v in pairs)
+    return rows
+
+
+# --------------------------------------------------------------------------
+# flagship: triple emission (F1,F2,P1,P2,J7)
+# --------------------------------------------------------------------------
+
+def q_obs_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return observation_triples(t).select("s", "p", "o")
+
+
+SQL_OBS_TRIPLES = f"""
+{_TRANSCRIPTS_CTE},
+base AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         '{INST}observation-' || conv_id || '-' || CAST(turn_idx AS STRING) AS obs,
+         '{INST}' || conv_id AS ds
+  FROM transcripts
+)
+SELECT obs AS s, '{M.RDF_TYPE}' AS p, '{M.QB_OBSERVATION}' AS o FROM base
+UNION ALL
+SELECT obs, '{M.QB_DATASET_PROP}', ds FROM base
+UNION ALL
+SELECT obs, '{M.RDFS_LABEL}', conv_id || ' turn ' || CAST(turn_idx AS STRING) FROM base
+UNION ALL
+SELECT obs, '{ONT}' || conv_id || '-role', role FROM base WHERE role IS NOT NULL
+UNION ALL
+SELECT obs, '{ONT}' || conv_id || '-text', text FROM base WHERE text IS NOT NULL
+UNION ALL
+SELECT obs, '{ONT}' || conv_id || '-tool', tool FROM base
+  WHERE NOT (tool IS NULL OR trim(tool) IN ('', 'null'))
+UNION ALL
+SELECT obs, '{M.LSO_REF_DATE}', strftime(ts, '{ISO_DUCK}') FROM base WHERE ts IS NOT NULL
+UNION ALL
+SELECT obs, '{M.DCT_SOURCE}', '{INST}source-' || conv_id || '-' || CAST(turn_idx AS STRING)
+  FROM base
+"""
+
+
+def q_mention_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return mention_triples(t, currency_df(spark), country_df(spark)).select("s", "p", "o")
+
+
+SQL_MENTION_TRIPLES = f"""
+{_TRANSCRIPTS_CTE},
+toks AS (
+  SELECT '{INST}observation-' || conv_id || '-' || CAST(turn_idx AS STRING) AS s,
+         unnest(list_distinct(string_split_regex(text, '[^a-zA-Z]+'))) AS code
+  FROM transcripts
+),
+cur(code, uri) AS (VALUES {{CURRENCY_VALUES}}),
+ctry(code, uri) AS (VALUES {{COUNTRY_VALUES}})
+SELECT s, '{M.DBO_CURRENCY}' AS p, uri AS o FROM toks JOIN cur USING (code)
+UNION ALL
+SELECT s, '{M.SDMX_REF_AREA}' AS p, uri AS o FROM toks JOIN ctry USING (code)
+""".replace("{CURRENCY_VALUES}", _values_clause(currency_pairs())).replace(
+    "{COUNTRY_VALUES}", _values_clause(country_pairs())
+)
+
+
+# --------------------------------------------------------------------------
+# aggregations (A1,A2,A3,A8) and predicates (P1,P5)
+# --------------------------------------------------------------------------
+
+def q_conv_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    missing = (
+        clean_string("tool").isNull().cast("int")
+        + F.col("role").isNull().cast("int")
+        + F.col("text").isNull().cast("int")
+        + F.col("ts").isNull().cast("int")
+    )
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(missing).cast("long").alias("n_missing"),
+        F.round(
+            F.lit(1.0) - F.sum(missing) / (F.count(F.lit(1)) * 4.0), 6
+        ).alias("completeness"),
+    )
+
+
+SQL_CONV_COMPLETENESS = f"""
+{_TRANSCRIPTS_CTE}
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(CASE WHEN tool IS NULL OR trim(tool) IN ('', 'null') THEN 1 ELSE 0 END
+              + CASE WHEN role IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN text IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       ROUND(1.0 - SUM(CASE WHEN tool IS NULL OR trim(tool) IN ('', 'null') THEN 1 ELSE 0 END
+              + CASE WHEN role IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN text IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN ts IS NULL THEN 1 ELSE 0 END) / (COUNT(*) * 4.0), 6)
+         AS completeness
+FROM transcripts GROUP BY conv_id
+"""
+
+
+def q_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    frames = []
+    for col, expr in [
+        ("role", F.col("role").isNull()),
+        ("text", F.col("text").isNull()),
+        ("tool", clean_string("tool").isNull()),
+        ("ts", F.col("ts").isNull()),
+    ]:
+        frames.append(
+            t.agg(
+                F.lit(col).alias("col"),
+                F.sum(expr.cast("int")).cast("long").alias("n_missing"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+SQL_NULL_RATES = f"""
+{_TRANSCRIPTS_CTE}
+SELECT 'role' AS col, CAST(SUM(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing, COUNT(*) AS n FROM transcripts
+UNION ALL
+SELECT 'text', CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM transcripts
+UNION ALL
+SELECT 'tool', CAST(SUM(CASE WHEN tool IS NULL OR trim(tool) IN ('', 'null') THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM transcripts
+UNION ALL
+SELECT 'ts', CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM transcripts
+"""
+
+
+def q_distinct_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(F.year("ts").cast("int").alias("y")).distinct()
+
+
+SQL_DISTINCT_YEARS = "SELECT DISTINCT CAST(year(ts) AS INT) AS y FROM events"
+
+
+def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_COUNT_ROWS = "SELECT COUNT(*) AS n FROM lineitem"
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return per_user.groupBy("n_events").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+SQL_EVENTS_HISTOGRAM = """
+SELECT n_events, COUNT(*) AS n_users
+FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+GROUP BY n_events
+"""
+
+
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style multi-aggregate (the reference's `count` script analog A6)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+SQL_GROUP_AGG = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(AVG(l_discount), 6) AS avg_disc
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# joins & set ops (J1,J2,J4,J5,J6,U1,U2)
+# --------------------------------------------------------------------------
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog diff: customers that never ordered (Boss.java:61-76 analog)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_pool_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+SQL_POOL_UNION = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+"""
+
+
+def q_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 shape on TPC-H: nation enriched via broadcast region dim."""
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_name", "r_name"
+    )
+
+
+SQL_BROADCAST_LOOKUP = """
+SELECT n_name, r_name FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def q_trigram_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMES trigram-similarity link (J5) between supplier and customer names."""
+    s = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), F.lower(F.col("s_name")).alias("sname")
+    )
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.lower(F.col("c_name")).alias("cname")
+    )
+    sg = s.select("sk", F.explode(char_ngrams("sname", 3)).alias("gram"))
+    cg = c.select("ck", F.explode(char_ngrams("cname", 3)).alias("gram"))
+    ssize = s.select("sk", F.size(char_ngrams("sname", 3)).alias("ssz"))
+    csize = c.select("ck", F.size(char_ngrams("cname", 3)).alias("csz"))
+    inter = sg.join(cg, "gram").groupBy("sk", "ck").agg(F.count(F.lit(1)).alias("common"))
+    return (
+        inter.join(ssize, "sk")
+        .join(csize, "ck")
+        .withColumn(
+            "sim",
+            F.round(
+                F.col("common") / (F.col("ssz") + F.col("csz") - F.col("common")), 6
+            ),
+        )
+        .where(F.col("sim") >= 0.5)
+        .select("sk", "ck", "sim")
+    )
+
+
+SQL_TRIGRAM_JOIN = """
+WITH s AS (SELECT s_suppkey AS sk, lower(s_name) AS nm FROM supplier),
+c AS (SELECT c_custkey AS ck, lower(c_name) AS nm FROM customer),
+sg AS (SELECT sk, unnest(list_distinct(list_transform(
+         generate_series(1, greatest(length(nm) - 2, 1)),
+         i -> substr(nm, i, 3)))) AS gram FROM s),
+cg AS (SELECT ck, unnest(list_distinct(list_transform(
+         generate_series(1, greatest(length(nm) - 2, 1)),
+         i -> substr(nm, i, 3)))) AS gram FROM c),
+ssz AS (SELECT sk, len(list_distinct(list_transform(
+         generate_series(1, greatest(length(nm) - 2, 1)),
+         i -> substr(nm, i, 3)))) AS ssz FROM s),
+csz AS (SELECT ck, len(list_distinct(list_transform(
+         generate_series(1, greatest(length(nm) - 2, 1)),
+         i -> substr(nm, i, 3)))) AS csz FROM c),
+inter AS (SELECT sk, ck, COUNT(*) AS common FROM sg JOIN cg USING (gram) GROUP BY sk, ck)
+SELECT sk, ck, ROUND(common / CAST(ssz + csz - common AS DOUBLE), 6) AS sim
+FROM inter JOIN ssz USING (sk) JOIN csz USING (ck)
+WHERE common / CAST(ssz + csz - common AS DOUBLE) >= 0.5
+"""
+
+
+def q_sameas_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sameAs within a group (createlinks J6): nations per region."""
+    n = _read(spark, sf_dir, "nation")
+    a = n.select(F.col("n_regionkey").alias("g"), F.col("n_name").alias("s"))
+    b = n.select(F.col("n_regionkey").alias("g"), F.col("n_name").alias("o"))
+    return a.join(b, "g").where(F.col("s") != F.col("o")).select("s", "o")
+
+
+SQL_SAMEAS_CLOSURE = """
+SELECT a.n_name AS s, b.n_name AS o
+FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+WHERE a.n_name <> b.n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# windows / sorts / top-k (§2.5, O1-O4)
+# --------------------------------------------------------------------------
+
+def q_window_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable turn ordering + lag — the per-turn invariant window (§2.5)."""
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        (F.row_number().over(w) - 1).cast("int").alias("rn0"),
+        F.lag("text").over(w).alias("prev_text"),
+    )
+
+
+SQL_WINDOW_ORDER = f"""
+{_TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx,
+       CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS rn0,
+       LAG(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text
+FROM transcripts
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_freshness_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasets by modified time (O2/P7 freshness analog)."""
+    t = transcripts_from_events(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.date_format(F.max("ts"), ISO).alias("latest"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+SQL_FRESHNESS_SORT = f"""
+{_TRANSCRIPTS_CTE}
+SELECT conv_id, strftime(MAX(ts), '{ISO_DUCK}') AS latest, COUNT(*) AS n_turns
+FROM transcripts GROUP BY conv_id
+"""
+
+
+# --------------------------------------------------------------------------
+# scalar functions (F1-F9, F11)
+# --------------------------------------------------------------------------
+
+def q_uri_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit(INST + "observation-orders-"), F.col("o_orderkey").cast("string")
+        ).alias("obs_uri"),
+    )
+
+
+SQL_URI_MINT = f"""
+SELECT o_orderkey,
+       '{INST}observation-orders-' || CAST(o_orderkey AS STRING) AS obs_uri
+FROM orders
+"""
+
+
+def q_date_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", ISO).alias("iso"),
+        F.format_string("%04d", F.year("ts")).alias("gyear"),
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+    )
+
+
+SQL_DATE_LEXICAL = f"""
+SELECT event_id, strftime(ts, '{ISO_DUCK}') AS iso,
+       printf('%04d', CAST(year(ts) AS INT)) AS gyear,
+       strftime(ts, '%Y-%m-%d') AS d
+FROM events
+"""
+
+
+def q_string_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3+F4: synthesize messy date strings, strip offsets, pad, parse."""
+    ev = _read(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_id") % 3 == 0, F.date_format("ts", "yyyy-MM-dd"))
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'.00Z'"),
+        )
+        .otherwise(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'.00+02:00'"))
+    )
+    df = ev.select("event_id", raw.alias("raw"))
+    return df.select(
+        "event_id",
+        "raw",
+        F.date_format(parse_string_date(F.col("raw")), ISO).alias("parsed"),
+    )
+
+
+SQL_STRING_DATE_ROUNDTRIP = """
+WITH raws AS (
+  SELECT event_id,
+         CASE CAST(event_id % 3 AS INT)
+           WHEN 0 THEN strftime(ts, '%Y-%m-%d')
+           WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.00Z')
+           ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S.00+02:00')
+         END AS raw
+  FROM events
+), norm AS (
+  SELECT event_id, raw,
+         CASE WHEN length(regexp_replace(raw, '\\+[0-9][0-9]:[0-9][0-9]', '')) = 10
+              THEN regexp_replace(raw, '\\+[0-9][0-9]:[0-9][0-9]', '') || 'T00:00:00.00Z'
+              ELSE regexp_replace(raw, '\\+[0-9][0-9]:[0-9][0-9]', '')
+         END AS n
+  FROM raws
+)
+SELECT event_id, raw,
+       strftime(CAST(replace(n, 'Z', '') AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS parsed
+FROM norm
+"""
+
+
+def q_int_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: int-parse with string fallback over synthesized mixed strings."""
+    ev = _read(spark, sf_dir, "events")
+    s = (
+        F.when(F.col("event_id") % 3 == 0, F.col("event_id").cast("string"))
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.round(F.col("value"), 2).cast("decimal(18,2)").cast("string"),
+        )
+        .otherwise(F.lit("null"))
+    )
+    df = ev.select("event_id", s.alias("s"))
+    is_int = F.col("s").rlike("^[+-]?[0-9]+$")
+    return df.select(
+        "event_id",
+        F.when(is_int, F.col("s").cast("int")).alias("int_val"),
+        F.when(
+            ~is_int & (clean_string(F.col("s")).isNotNull()), F.col("s")
+        ).alias("fallback"),
+    )
+
+
+SQL_INT_FALLBACK = """
+WITH src AS (
+  SELECT event_id,
+         CASE CAST(event_id % 3 AS INT)
+           WHEN 0 THEN CAST(event_id AS STRING)
+           WHEN 1 THEN CAST(CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS STRING)
+           ELSE 'null'
+         END AS s
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN regexp_matches(s, '^[+-]?[0-9]+$') THEN CAST(s AS INT) END AS int_val,
+       CASE WHEN NOT regexp_matches(s, '^[+-]?[0-9]+$')
+                 AND NOT (s IS NULL OR trim(s) IN ('', 'null')) THEN s END AS fallback
+FROM src
+"""
+
+
+def q_year_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.substring(F.date_format("o_orderdate", "yyyy-MM-dd"), 1, 4)
+        .try_cast("int")
+        .alias("yr"),
+    )
+
+
+SQL_YEAR_SUBSTRING = """
+SELECT o_orderkey,
+       CAST(substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 4) AS INT) AS yr
+FROM orders
+"""
+
+
+def q_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+SQL_JSON_GET = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+"""
+
+
+def q_nt_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: NT escaping over hazard-injected text (quote/backslash/newline/tab)."""
+    d = _read(spark, sf_dir, "documents")
+    hazard = F.concat(
+        F.substring("text", 1, 40), F.lit('"\\\n\tend')
+    )
+    return d.select("doc_id", nt_escape(hazard).alias("esc"))
+
+
+SQL_NT_ESCAPE = r"""
+SELECT doc_id,
+       replace(replace(replace(replace(replace(
+         substr(text, 1, 40) || '"' || '\' || chr(10) || chr(9) || 'end',
+         '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t') AS esc
+FROM documents
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " +")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split_regex(text, ' +')) AS token FROM documents)
+WHERE token <> '' GROUP BY token
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data ops: dedup / text analysis / fingerprint / ANN
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (3-token shingle) Jaccard near-dup pairs, doc_id<150 block."""
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    sh = d.select("doc_id", token_shingles("text", 3).alias("sh"))
+    sz = sh.select("doc_id", F.size("sh").alias("sz"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = ex.select(F.col("doc_id").alias("da"), "s")
+    b = ex.select(F.col("doc_id").alias("db"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza")), "da")
+        .join(sz.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb")), "db")
+        .withColumn(
+            "jac",
+            F.round(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
+        )
+        .where(F.col("jac") >= 0.2)
+        .select("da", "db", "jac")
+    )
+
+
+SQL_SHINGLE_JACCARD = """
+WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM documents WHERE doc_id < 150),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(0, greatest(len(toks) - 3, 0)),
+         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+       FROM d),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sz AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+  FROM ex a JOIN ex b USING (s) WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da, db,
+       ROUND(common / CAST(sza.sz + szb.sz - common AS DOUBLE), 6) AS jac
+FROM inter
+JOIN sz sza ON sza.doc_id = da
+JOIN sz szb ON szb.doc_id = db
+WHERE common / CAST(sza.sz + szb.sz - common AS DOUBLE) >= 0.2
+"""
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature parity (md5-based, 4 permutations), doc_id<100."""
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    grams = char_ngrams("text", 3)
+    base = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    p = (1 << 61) - 1
+    cols = [F.col("doc_id")]
+    for i in range(4):
+        a = 2 * i + 1
+        b = (0x9E3779B9 * (i + 1)) & 0xFFFFFFFF
+        cols.append(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: ((h.cast("decimal(38,0)") * a + b) % p).cast("long"),
+                )
+            ).alias(f"s{i}")
+        )
+    return d.select(*cols)
+
+
+def _sql_minhash() -> str:
+    p = (1 << 61) - 1
+    sig_exprs = []
+    for i in range(4):
+        a = 2 * i + 1
+        b = (0x9E3779B9 * (i + 1)) & 0xFFFFFFFF
+        sig_exprs.append(
+            f"CAST(MIN((CAST(h AS HUGEINT) * {a} + {b}) % {p}) AS BIGINT) AS s{i}"
+        )
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(lower(text)) - 2, 1)),
+           i -> substr(lower(text), i, 3)))) AS gram
+  FROM documents WHERE doc_id < 100
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h FROM g
+)
+SELECT doc_id, {", ".join(sig_exprs)} FROM hashed GROUP BY doc_id
+"""
+
+
+SQL_MINHASH_SIG = _sql_minhash()
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " +")
+    non_alpha = F.length(F.regexp_replace("text", "[a-z ]", ""))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            (F.length("text") - F.size(toks) + 1) / F.size(toks), 4
+        ).alias("avg_token_len"),
+        F.round(non_alpha / F.length("text"), 6).alias("non_alpha_ratio"),
+    )
+
+
+SQL_QUALITY_SCORE = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+       ROUND((length(text) - len(string_split_regex(trim(text), ' +')) + 1)
+             / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE), 4)
+         AS avg_token_len,
+       ROUND(length(regexp_replace(text, '[a-z ]', '', 'g'))
+             / CAST(length(text) AS DOUBLE), 6) AS non_alpha_ratio
+FROM documents
+"""
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
+
+
+def q_stopword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-token share per document."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), " +")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return d.select(
+        "doc_id",
+        F.round(n_stop / F.size(toks), 6).alias("stop_ratio"),
+    )
+
+
+SQL_STOPWORD_SCORE = f"""
+SELECT doc_id,
+       ROUND(len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+                             t -> t IN {str(tuple(_STOPWORDS))}))
+             / CAST(len(string_split_regex(trim(lower(text)), ' +')) AS DOUBLE), 6)
+         AS stop_ratio
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", "[^a-zA-Z]+", ""))).alias("fp"),
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z]+', '', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine similarity to query vector vec_id=0 (sim ≥ 0.3)."""
+    e = _read(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    q = ex.where(F.col("vec_id") == 0).select(
+        F.col("i").alias("qi"), F.col("v").alias("qv")
+    )
+    dots = (
+        ex.join(F.broadcast(q), ex.i == q.qi)
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("v") * F.col("qv")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("na"),
+            F.sum(F.col("qv") * F.col("qv")).alias("nq"),
+        )
+    )
+    return (
+        dots.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(
+                F.col("dot") / (F.sqrt("na") * F.sqrt("nq")), 4
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= 0.3)
+    )
+
+
+SQL_ANN_COSINE = """
+WITH ex AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), q AS (SELECT i AS qi, v AS qv FROM ex WHERE vec_id = 0),
+dots AS (
+  SELECT vec_id, SUM(v * qv) AS dot, SUM(v * v) AS na, SUM(qv * qv) AS nq
+  FROM ex JOIN q ON ex.i = q.qi GROUP BY vec_id
+)
+SELECT vec_id, ROUND(dot / (sqrt(na) * sqrt(nq)), 4) AS sim
+FROM dots WHERE vec_id <> 0 AND ROUND(dot / (sqrt(na) * sqrt(nq)), 4) >= 0.3
+"""
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style per-label centroids (first 8 dims), rounded."""
+    e = _read(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("i", "v"))
+    return (
+        ex.where(F.col("i") < 8)
+        .groupBy("label", "i")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid"))
+        .select("label", F.col("i").cast("int").alias("i"), "centroid")
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label, CAST(i AS INT) AS i, ROUND(AVG(v), 4) AS centroid
+FROM (
+  SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+WHERE i < 8 GROUP BY label, i
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "obs_triples": q_obs_triples,
+    "mention_triples": q_mention_triples,
+    "conv_completeness": q_conv_completeness,
+    "null_rates": q_null_rates,
+    "distinct_years": q_distinct_years,
+    "count_rows": q_count_rows,
+    "events_histogram": q_events_histogram,
+    "group_agg": q_group_agg,
+    "anti_join": q_anti_join,
+    "pool_union": q_pool_union,
+    "broadcast_lookup": q_broadcast_lookup,
+    "trigram_join": q_trigram_join,
+    "sameas_closure": q_sameas_closure,
+    "window_order": q_window_order,
+    "topk_per_group": q_topk_per_group,
+    "freshness_sort": q_freshness_sort,
+    "uri_mint": q_uri_mint,
+    "date_lexical": q_date_lexical,
+    "string_date_roundtrip": q_string_date_roundtrip,
+    "int_fallback": q_int_fallback,
+    "year_substring": q_year_substring,
+    "json_get": q_json_get,
+    "nt_escape": q_nt_escape,
+    "token_counts": q_token_counts,
+    "dedup_exact": q_dedup_exact,
+    "shingle_jaccard": q_shingle_jaccard,
+    "minhash_sig": q_minhash_sig,
+    "quality_score": q_quality_score,
+    "stopword_score": q_stopword_score,
+    "fingerprint": q_fingerprint,
+    "ann_cosine": q_ann_cosine,
+    "embedding_centroids": q_embedding_centroids,
+}
+
+ORACLES: dict[str, str] = {
+    "obs_triples": SQL_OBS_TRIPLES,
+    "mention_triples": SQL_MENTION_TRIPLES,
+    "conv_completeness": SQL_CONV_COMPLETENESS,
+    "null_rates": SQL_NULL_RATES,
+    "distinct_years": SQL_DISTINCT_YEARS,
+    "count_rows": SQL_COUNT_ROWS,
+    "events_histogram": SQL_EVENTS_HISTOGRAM,
+    "group_agg": SQL_GROUP_AGG,
+    "anti_join": SQL_ANTI_JOIN,
+    "pool_union": SQL_POOL_UNION,
+    "broadcast_lookup": SQL_BROADCAST_LOOKUP,
+    "trigram_join": SQL_TRIGRAM_JOIN,
+    "sameas_closure": SQL_SAMEAS_CLOSURE,
+    "window_order": SQL_WINDOW_ORDER,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "freshness_sort": SQL_FRESHNESS_SORT,
+    "uri_mint": SQL_URI_MINT,
+    "date_lexical": SQL_DATE_LEXICAL,
+    "string_date_roundtrip": SQL_STRING_DATE_ROUNDTRIP,
+    "int_fallback": SQL_INT_FALLBACK,
+    "year_substring": SQL_YEAR_SUBSTRING,
+    "json_get": SQL_JSON_GET,
+    "nt_escape": SQL_NT_ESCAPE,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "shingle_jaccard": SQL_SHINGLE_JACCARD,
+    "minhash_sig": SQL_MINHASH_SIG,
+    "quality_score": SQL_QUALITY_SCORE,
+    "stopword_score": SQL_STOPWORD_SCORE,
+    "fingerprint": SQL_FINGERPRINT,
+    "ann_cosine": SQL_ANN_COSINE,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+}

@@ -97,14 +97,14 @@ def synth_transcripts_df(spark: SparkSession, **kwargs) -> DataFrame:
 # decimal casts (double→varchar differs between engines, decimal does not).
 TRANSCRIPTS_FROM_EVENTS_SQL = """
 SELECT
-  CONCAT('conv-', CAST(user_id AS VARCHAR))                       AS conv_id,
+  CONCAT('conv-', CAST(user_id AS STRING))                       AS conv_id,
   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
                           ORDER BY ts, event_id) - 1 AS INT)      AS turn_idx,
   CASE CAST(event_id % 4 AS INT)
     WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
     WHEN 2 THEN 'tool' ELSE 'system' END                          AS role,
   CONCAT(event_type, ' paid ',
-         CAST(CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS VARCHAR), ' ',
+         CAST(CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS STRING), ' ',
          CASE CAST(event_id % 5 AS INT)
            WHEN 0 THEN 'EUR' WHEN 1 THEN 'USD' WHEN 2 THEN 'JPY'
            WHEN 3 THEN 'GBP' ELSE 'CHF' END,
