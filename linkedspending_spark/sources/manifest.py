@@ -1,0 +1,101 @@
+"""Per-partition manifests: checkpoint/resume/lineage for the pipeline.
+
+Reference analogs:
+
+* ``lso:transformationVersion`` stamp + regex skip-scan
+  (ConvertWorker.java:59,878-964, P6) — a conversion is skipped when an
+  up-to-date manifest row exists;
+* ``lso:uploadComplete`` flag written after the Virtuoso bulk load
+  (UploadWorker.java:32-59, S7) — completion is recorded *after* the
+  data is durably written, so a crash before the manifest row simply
+  re-runs that partition (idempotent overwrite);
+* freshness predicates (LinkedSpendingDatasetInfo.java:102-117, P7) —
+  the resume set is an **anti-join** of work units against manifests.
+
+Manifest rows live in a parquet table (one file per commit, append-only;
+at deployment scale this is an Iceberg table — same log-structured
+semantics). Columns: dataset, version, n_rows, n_triples, finished_at,
+run_id.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..model import TRANSFORMATION_VERSION
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("dataset", T.StringType(), False),
+        T.StructField("version", T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), True),
+        T.StructField("n_triples", T.LongType(), True),
+        T.StructField("finished_at", T.DoubleType(), False),
+        T.StructField("run_id", T.StringType(), False),
+    ]
+)
+
+
+class ManifestStore:
+    """Append-only manifest table over a directory of parquet commits."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _has_commits(self) -> bool:
+        return any(name.endswith(".parquet") or not name.startswith("_")
+                   for name in os.listdir(self.path)) and any(
+            os.scandir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        if not os.listdir(self.path):
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+        return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+
+    def record(
+        self,
+        dataset: str,
+        n_rows: int | None,
+        n_triples: int | None,
+        run_id: str,
+        version: int = TRANSFORMATION_VERSION,
+    ) -> None:
+        """Append one completion row (written AFTER the data commit)."""
+        df = self.spark.createDataFrame(
+            [(dataset, version, n_rows, n_triples, time.time(), run_id)],
+            MANIFEST_SCHEMA,
+        )
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def completed(self, version: int = TRANSFORMATION_VERSION) -> DataFrame:
+        """Datasets already converted at this version (P6 skip predicate)."""
+        return (
+            self.read()
+            .where(F.col("version") >= version)
+            .select("dataset")
+            .distinct()
+        )
+
+    def pending(
+        self, work: DataFrame, version: int = TRANSFORMATION_VERSION
+    ) -> DataFrame:
+        """Anti-join: work units with no completed manifest (J4 pattern).
+
+        ``work`` must have a ``dataset`` column; returns the subset still
+        to do. The manifest side is tiny → broadcast.
+        """
+        done = self.completed(version)
+        return work.join(F.broadcast(done), "dataset", "left_anti")
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]

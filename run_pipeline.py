@@ -1,0 +1,71 @@
+"""spark-submit entry point for the KG-construction pipeline.
+
+Usage (cluster):
+  spark-submit --py-files linkedspending_spark.zip run_pipeline.py \
+      --input /path/events_or_transcripts --output /path/triples \
+      --manifests /path/manifests --buckets 4096
+
+Usage (sandbox):
+  python run_pipeline.py --sf-dir /root/testdata/sf0.01 \
+      --output /tmp/triples --manifests /tmp/manifests
+
+Resumable: re-running after a crash converts only buckets without a
+completed manifest row (see linkedspending_spark/jobs.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet of transcripts (conv_id, turn_idx, ...)")
+    ap.add_argument("--sf-dir", help="testdata dir; derives transcripts from events")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--manifests", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--no-mentions", action="store_true")
+    args = ap.parse_args(argv)
+
+    from linkedspending_spark.jobs import run_transcripts_job
+    from linkedspending_spark.session import get_spark
+    from linkedspending_spark.transcripts import transcripts_from_events
+
+    spark = get_spark(args.cpus, app_name="ls_pipeline")
+    if args.sf_dir:
+        transcripts = transcripts_from_events(spark, args.sf_dir)
+    elif args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        ap.error("one of --input / --sf-dir required")
+
+    report = run_transcripts_job(
+        spark,
+        transcripts,
+        out_path=args.output,
+        manifest_path=args.manifests,
+        n_buckets=args.buckets,
+        with_mentions=not args.no_mentions,
+    )
+    print(
+        json.dumps(
+            {
+                "run_id": report.run_id,
+                "state": report.state,
+                "n_buckets": report.n_buckets,
+                "pending_done": len(report.pending),
+                "skipped": report.skipped,
+                "converted_triples": report.converted_triples,
+                "seconds": round(report.seconds, 2),
+            }
+        )
+    )
+    return 0 if report.state == "FINISHED" else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

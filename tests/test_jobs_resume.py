@@ -1,0 +1,85 @@
+"""Resume-from-manifest correctness: killed run resumes without
+recomputation and converges to the clean-run result (north rule)."""
+
+from __future__ import annotations
+
+import pytest
+
+from linkedspending_spark.jobs import run_transcripts_job
+from linkedspending_spark.sources.io import read_nt, write_nt
+from linkedspending_spark.sources.manifest import ManifestStore
+from linkedspending_spark.transcripts import synth_transcripts_df
+
+
+def _triples_set(spark, path):
+    df = spark.read.parquet(path)
+    return {(r["s"], r["p"], r["o"]) for r in df.collect()}
+
+
+def test_clean_run_then_skip(spark, tmp_path):
+    t = synth_transcripts_df(spark, n_convs=10, base_turns=4, seed=3)
+    out, man = str(tmp_path / "out"), str(tmp_path / "man")
+    r1 = run_transcripts_job(spark, t, out, man, n_buckets=8)
+    assert r1.state == "FINISHED" and len(r1.pending) > 0
+    assert r1.converted_triples > 0
+    # second run: everything skipped, output unchanged
+    before = _triples_set(spark, out)
+    r2 = run_transcripts_job(spark, t, out, man, n_buckets=8)
+    assert r2.state == "FINISHED" and r2.pending == [] and r2.converted_triples == 0
+    assert _triples_set(spark, out) == before
+
+
+def test_crash_resume_equals_clean_run(spark, tmp_path):
+    t = synth_transcripts_df(spark, n_convs=10, base_turns=4, seed=3)
+    # clean reference run
+    clean_out, clean_man = str(tmp_path / "c_out"), str(tmp_path / "c_man")
+    run_transcripts_job(spark, t, clean_out, clean_man, n_buckets=8)
+    expected = _triples_set(spark, clean_out)
+
+    # crashed run: data written, manifests NOT recorded
+    out, man = str(tmp_path / "out"), str(tmp_path / "man")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_transcripts_job(spark, t, out, man, n_buckets=8, fail_after_write=True)
+    store = ManifestStore(spark, man)
+    assert store.read().count() == 0  # nothing recorded
+
+    # resume: all buckets still pending, overwrite idempotently
+    r = run_transcripts_job(spark, t, out, man, n_buckets=8)
+    assert r.state == "FINISHED"
+    assert _triples_set(spark, out) == expected
+    assert store.read().count() == len(r.pending)
+
+
+def test_partial_manifest_resume_skips_done(spark, tmp_path):
+    t = synth_transcripts_df(spark, n_convs=10, base_turns=4, seed=3)
+    out, man = str(tmp_path / "out"), str(tmp_path / "man")
+    r1 = run_transcripts_job(spark, t, out, man, n_buckets=8)
+    # simulate partially-lost manifests: keep store, delete nothing —
+    # instead run with MORE buckets? No: forge a fresh manifest dir with
+    # only half the rows to model a mid-run kill after some records.
+    store = ManifestStore(spark, man)
+    rows = store.read().collect()
+    half = {r["dataset"] for r in rows[: len(rows) // 2]}
+    man2 = str(tmp_path / "man2")
+    store2 = ManifestStore(spark, man2)
+    for r in rows:
+        if r["dataset"] in half:
+            store2.record(r["dataset"], r["n_rows"], r["n_triples"], r["run_id"], r["version"])
+    r2 = run_transcripts_job(spark, t, out, man2, n_buckets=8)
+    assert r2.state == "FINISHED"
+    assert set(map(str, r2.pending)).isdisjoint(half)
+    assert len(r2.pending) == len(r1.pending) - len(half)
+
+
+def test_nt_roundtrip(spark, tmp_path):
+    """write_nt → read_nt is lossless incl. escapes (S6 + F9/F10)."""
+    from linkedspending_spark.operators.convert_transcripts import convert_transcripts
+
+    t = synth_transcripts_df(spark, n_convs=4, base_turns=5, seed=11)
+    triples = convert_transcripts(spark, t).drop("dataset")
+    path = str(tmp_path / "nt")
+    write_nt(triples, path)
+    back = read_nt(spark, path)
+    a = {tuple(r) for r in triples.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
