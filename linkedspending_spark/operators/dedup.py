@@ -1,0 +1,295 @@
+"""Deduplication operator suite for large-scale training-data pipelines.
+
+Five strategies, all shuffle-conscious:
+
+* :func:`exact_dedup` — hash groupBy, keep deterministic representative.
+* :func:`minhash_lsh_pairs` — shingle → MinHash → banded LSH buckets →
+  bucket equi-join → exact-Jaccard verify. The 100-TB path: candidate
+  generation never compares non-colliding pairs.
+* :func:`simhash` / :func:`simhash_pairs` — 64-bit SimHash fingerprints
+  from token hashes (bit-majority), near-dups = small Hamming distance;
+  banded by fingerprint prefix for the join.
+* :func:`ngram_jaccard_pairs` — exact token-shingle Jaccard (the
+  verification metric, also standalone for small blocks).
+* :func:`embedding_near_dup_pairs` — cosine over an embedding column;
+  exact within LSH-ish buckets via random-hyperplane signs.
+
+Everything is native column expressions (JVM, codegen); hashes are
+md5-based where cross-engine parity matters and xxhash64 where only
+speed matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import token_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct text (min key wins — deterministic)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _shingle_hashes(text_col, k: int = 3):
+    """array<long> of xxhash64 of distinct k-token shingles."""
+    return F.transform(token_shingles(text_col, k), lambda s: F.xxhash64(s))
+
+
+def minhash_signature_fast(text_col, n_hashes: int = 32, k: int = 3):
+    """MinHash over token shingles using xxhash64 with salted seeds —
+    the fast (JVM-only, non-oracle) twin of linking.minhash_signature."""
+    sigs = []
+    for i in range(n_hashes):
+        sigs.append(
+            F.array_min(
+                F.transform(
+                    token_shingles(text_col, k),
+                    lambda s: F.xxhash64(s, F.lit(i)),
+                )
+            )
+        )
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b, jaccard ≥ threshold), LSH-blocked.
+
+    Shuffles: one on (band, bucket) for candidates, one aggregation for
+    the verify counts. Bucket sizes are bounded by similarity structure,
+    not corpus size — no quadratic blowup on uniform data.
+    """
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(key_col).alias("k"),
+        F.col(text_col).alias("t"),
+        minhash_signature_fast(text_col, n_hashes, k).alias("sig"),
+    )
+    banded = sig.select(
+        "k",
+        "t",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", i * rows_per_band + j + 1).cast(
+                                        "string"
+                                    )
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("k", "t", "b.band", "b.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.k").alias("ka"),
+            F.col("b.k").alias("kb"),
+            F.col("a.t").alias("ta"),
+            F.col("b.t").alias("tb"),
+        )
+        .dropDuplicates(["ka", "kb"])
+    )
+    sha = token_shingles("ta", k)
+    shb = token_shingles("tb", k)
+    return (
+        cands.withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect(sha, shb))
+                / F.size(F.array_union(sha, shb)).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("ka").alias("a"), F.col("kb").alias("b"), "jaccard")
+    )
+
+
+def simhash(text_col, bits: int = 64):
+    """64-bit SimHash fingerprint from token xxhash64s (bit-majority).
+
+    For each bit position: sum(+1/−1 over tokens by that bit) > 0 → 1.
+    Built from ``aggregate`` over the token-hash array — no shuffle,
+    no UDF.
+    """
+    toks = F.array_distinct(F.split(F.trim(F.lower(text_col)), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        fp = fp.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
+        )
+    return fp
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_hamming: int = 8,
+    bits: int = 64,
+    prefix_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded by fingerprint
+    chunks (a pair within distance d must agree exactly on ≥1 of
+    ``prefix_bands`` chunks when d < prefix_bands ... pigeonhole)."""
+    chunk = bits // prefix_bands
+    fp = df.select(
+        F.col(key_col).alias("k"), simhash(F.col(text_col), bits).alias("fp")
+    )
+    banded = fp.select(
+        "k",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("fp"), i * chunk)
+                        .bitwiseAND(F.lit((1 << chunk) - 1))
+                        .alias("bucket"),
+                    )
+                    for i in range(prefix_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("k", "fp", "b.band", "b.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.k").alias("a"),
+            F.col("b.k").alias("b"),
+            hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact token-shingle Jaccard pairs via shingle equi-join (J5 shape)."""
+    sh = df.select(F.col(key_col).alias("k"), token_shingles(text_col, k).alias("sh"))
+    sz = sh.select("k", F.size("sh").alias("sz"))
+    ex = sh.select("k", F.explode("sh").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), "s")
+        .where(F.col("a.k") < F.col("b.k"))
+        .groupBy(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        inter.join(sz.select(F.col("k").alias("ka"), F.col("sz").alias("sza")), "ka")
+        .join(sz.select(F.col("k").alias("kb"), F.col("sz").alias("szb")), "kb")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("ka").alias("a"), F.col("kb").alias("b"), "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-dups, blocked by random-hyperplane signs.
+
+    Plane normals are derived deterministically from xxhash64 so runs
+    are reproducible without Math.random. Candidates share the full
+    sign-bucket; verify computes exact cosine via zip_with/aggregate.
+    """
+    dims = F.size(F.col(vec_col))
+    # deterministic pseudo-random plane: weight(i,p) from hash bits
+    def plane_sign(p: int):
+        # sum_i v[i] * w(i,p), w ∈ {-1,+1}
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), dims - 1),
+                lambda v, i: v.cast("double")
+                * F.when(
+                    F.pmod(F.xxhash64(i, F.lit(p)), F.lit(2)) == 0, 1.0
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) > 0
+
+    bucket = F.concat_ws(
+        "", *[plane_sign(p).cast("int").cast("string") for p in range(n_planes)]
+    )
+    sig = df.select(
+        F.col(key_col).alias("k"), F.col(vec_col).alias("v"), bucket.alias("bucket")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, w: u.cast("double") * w.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    va, vb = F.col("a.v"), F.col("b.v")
+    cos = dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb)))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.k").alias("a"),
+            F.col("b.k").alias("b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

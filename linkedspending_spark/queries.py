@@ -839,6 +839,236 @@ WHERE i < 8 GROUP BY label, i
 """
 
 
+def q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 16-bit SimHash fingerprint (md5 token hashes, bit-majority)."""
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    toks = F.array_distinct(F.split(F.trim(F.lower("text")), " +"))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    fp = F.lit(0).cast("long")
+    for j in range(16):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        fp = fp + F.when(vote > 0, F.lit(1 << j)).otherwise(0)
+    return d.select("doc_id", fp.alias("fp"))
+
+
+def _sql_simhash() -> str:
+    bits = []
+    for j in range(16):
+        bits.append(
+            f"CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), ' +'))) AS t
+  FROM documents WHERE doc_id < 150
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM toks
+)
+SELECT doc_id, CAST({" + ".join(bits)} AS BIGINT) AS fp FROM hashed GROUP BY doc_id
+"""
+
+
+SQL_SIMHASH_FP = _sql_simhash()
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+SQL_ROLLUP_AGG = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: new session when gap to previous event > 30 min."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int")
+        .alias("session_id"),
+    )
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, event_id,
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+FROM (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+"""
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding cosine ≥ 0.5 on a bounded block."""
+    e = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    ex = e.select("vec_id", F.posexplode("embedding").alias("i", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    a = ex.select(F.col("vec_id").alias("a"), "i", F.col("v").alias("va"))
+    b = ex.select(F.col("vec_id").alias("b"), "i", F.col("v").alias("vb"))
+    dots = (
+        a.join(b, "i")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    norms = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    return (
+        dots.join(norms.select(F.col("vec_id").alias("a"), F.col("nrm").alias("na")), "a")
+        .join(norms.select(F.col("vec_id").alias("b"), F.col("nrm").alias("nb")), "b")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4))
+        .where(F.col("cosine") >= 0.5)
+        .select("a", "b", "cosine")
+    )
+
+
+SQL_COSINE_PAIRS = """
+WITH ex AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id < 200
+), dots AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.v * b.v) AS dot
+  FROM ex a JOIN ex b USING (i) WHERE a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+), norms AS (
+  SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id
+)
+SELECT a, b, ROUND(dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.5
+"""
+
+
+def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata shape: utf8 payload bytes + sha256 digest."""
+    d = _read(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+    )
+
+
+SQL_BINARY_METADATA = """
+SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest
+FROM documents
+"""
+
+
+# ---- rows-only queries (no SQL oracle: iterative / LSH / UDF-driven) ------
+
+def q_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH name linking (scale path of trigram_join) — rows-only."""
+    from .operators.linking import minhash_lsh_join
+
+    s = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), F.lower(F.col("s_name")).alias("sname")
+    )
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.lower(F.col("c_name")).alias("cname")
+    )
+    return minhash_lsh_join(s, c, "sk", "sname", "ck", "cname", threshold=0.5)
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the part–supplier bipartite graph."""
+    from .operators.canon import connected_components
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return connected_components(edges)
+
+
+def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return minhash_lsh_pairs(d, threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return simhash_pairs(d, max_hamming=10)
+
+
+def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_near_dup_pairs
+
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.9)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.simsearch import build_ivf, ivf_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"]
+    assigned, centroids = build_ivf(spark, e, n_cells=8, iters=2)
+    return ivf_topk(assigned, centroids, [float(x) for x in q], k=10, n_probe=4)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow pandas-UDF language-ID heuristic (A9 analog) — rows-only."""
+    from .operators.mentions import make_language_id
+
+    d = _read(spark, sf_dir, "documents")
+    lang = make_language_id(spark)
+    return d.select("doc_id", lang(F.col("text")).alias("lang_guess"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over synthesized binary assets."""
+    from .operators.multimodal import extract_features
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    assets = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.lit("image").alias("media_type"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return extract_features(assets)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -876,6 +1106,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "ann_cosine": q_ann_cosine,
     "embedding_centroids": q_embedding_centroids,
+    "simhash_fp": q_simhash_fp,
+    "rollup_agg": q_rollup_agg,
+    "sessionize": q_sessionize,
+    "cosine_pairs": q_cosine_pairs,
+    "binary_metadata": q_binary_metadata,
+    # rows-only (iterative / LSH / pandas-UDF — no SQL oracle by design)
+    "lsh_join": q_lsh_join,
+    "connected_components": q_connected_components,
+    "dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    "ivf_topk": q_ivf_topk,
+    "lang_id": q_lang_id,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -911,4 +1155,9 @@ ORACLES: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "ann_cosine": SQL_ANN_COSINE,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "simhash_fp": SQL_SIMHASH_FP,
+    "rollup_agg": SQL_ROLLUP_AGG,
+    "sessionize": SQL_SESSIONIZE,
+    "cosine_pairs": SQL_COSINE_PAIRS,
+    "binary_metadata": SQL_BINARY_METADATA,
 }
