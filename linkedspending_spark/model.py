@@ -40,6 +40,7 @@ QB_DIMENSION = NS_QB + "dimension"
 QB_MEASURE = NS_QB + "measure"
 QB_ATTRIBUTE = NS_QB + "attribute"
 QB_SLICE_PROP = NS_QB + "slice"
+QB_OBSERVATION_PROP = NS_QB + "observation"
 
 # --- RDF/RDFS/OWL/DCT
 RDF_TYPE = NS_RDF + "type"

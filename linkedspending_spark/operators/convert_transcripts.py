@@ -244,6 +244,69 @@ def dataset_triples(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def slice_triples(transcripts: DataFrame) -> DataFrame:
+    """QB slices: one per (conversation, role) — the views analog.
+
+    The reference emits one ``qb:Slice`` per dataset view with URI
+    ``{inst}{ds}/views/{name}`` (ConvertWorker.java:846-860, 852).
+    Transcripts have no external view definitions, so slices fix the
+    ``role`` dimension: every conversation gets one slice per distinct
+    role, linked to its observations via ``qb:observation``.
+    """
+    ds = U.dataset_uri(F.col("conv_id"))
+    slice_uri = U.view_uri(F.col("conv_id"), F.concat(F.lit("role-"), F.col("role")))
+    obs = U.observation_uri(F.col("conv_id"), F.col("turn_idx").cast("string"))
+    base = transcripts.where(F.col("role").isNotNull())
+
+    # per-observation membership (narrow, no shuffle)
+    member = base.select(
+        slice_uri.alias("s"),
+        F.lit(M.QB_OBSERVATION_PROP).alias("p"),
+        obs.alias("o"),
+        F.lit(M.KIND_URI).alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.col("conv_id").alias("dataset"),
+    )
+    # per-slice typing/labels/attachment (one distinct per (conv, role))
+    per_slice = base.select("conv_id", "role").distinct()
+    s_uri = U.view_uri(F.col("conv_id"), F.concat(F.lit("role-"), F.col("role")))
+    head = per_slice.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    s_uri.alias("s"),
+                    F.lit(M.RDF_TYPE).alias("p"),
+                    F.lit(M.QB_SLICE).alias("o"),
+                    F.lit(M.KIND_URI).alias("o_kind"),
+                ),
+                F.struct(
+                    s_uri.alias("s"),
+                    U.property_uri(F.col("conv_id"), F.lit("role")).alias("p"),
+                    F.col("role").alias("o"),
+                    F.lit(M.KIND_LITERAL).alias("o_kind"),
+                ),
+                F.struct(
+                    U.dataset_uri(F.col("conv_id")).alias("s"),
+                    F.lit(M.QB_SLICE_PROP).alias("p"),
+                    s_uri.alias("o"),
+                    F.lit(M.KIND_URI).alias("o_kind"),
+                ),
+            )
+        ).alias("t"),
+        F.col("conv_id").alias("dataset"),
+    ).select(
+        F.col("t.s").alias("s"),
+        F.col("t.p").alias("p"),
+        F.col("t.o").alias("o"),
+        F.col("t.o_kind").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        "dataset",
+    )
+    return member.unionByName(head)
+
+
 def convert_transcripts(
     spark: SparkSession,
     transcripts: DataFrame,

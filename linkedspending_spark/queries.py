@@ -839,6 +839,47 @@ WHERE i < 8 GROUP BY label, i
 """
 
 
+def q_slice_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QB slice emission per (conversation, role) — the views analog."""
+    from .operators.convert_transcripts import slice_triples
+
+    t = transcripts_from_events(spark, sf_dir)
+    return slice_triples(t).select("s", "p", "o")
+
+
+SQL_SLICE_TRIPLES = f"""
+{_TRANSCRIPTS_CTE},
+base AS (
+  SELECT conv_id, turn_idx, role,
+         '{INST}' || conv_id || '/views/role-' || role AS sl,
+         '{INST}observation-' || conv_id || '-' || CAST(turn_idx AS STRING) AS obs,
+         '{INST}' || conv_id AS ds
+  FROM transcripts WHERE role IS NOT NULL
+)
+SELECT sl AS s, '{M.QB_OBSERVATION_PROP}' AS p, obs AS o FROM base
+UNION ALL
+SELECT DISTINCT sl, '{M.RDF_TYPE}', '{M.QB_SLICE}' FROM base
+UNION ALL
+SELECT DISTINCT sl, '{ONT}' || conv_id || '-role', role FROM base
+UNION ALL
+SELECT DISTINCT ds, '{M.QB_SLICE_PROP}', sl FROM base
+"""
+
+
+def q_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — identical result to plain count."""
+    from .operators.skew import salted_count
+
+    t = transcripts_from_events(spark, sf_dir)
+    return salted_count(t, "conv_id", n_salts=16)
+
+
+SQL_SALTED_COUNT = f"""
+{_TRANSCRIPTS_CTE}
+SELECT conv_id, COUNT(*) AS n FROM transcripts GROUP BY conv_id
+"""
+
+
 def q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable 16-bit SimHash fingerprint (md5 token hashes, bit-majority)."""
     d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
@@ -1106,6 +1147,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "ann_cosine": q_ann_cosine,
     "embedding_centroids": q_embedding_centroids,
+    "slice_triples": q_slice_triples,
+    "salted_count": q_salted_count,
     "simhash_fp": q_simhash_fp,
     "rollup_agg": q_rollup_agg,
     "sessionize": q_sessionize,
@@ -1155,6 +1198,8 @@ ORACLES: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "ann_cosine": SQL_ANN_COSINE,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "slice_triples": SQL_SLICE_TRIPLES,
+    "salted_count": SQL_SALTED_COUNT,
     "simhash_fp": SQL_SIMHASH_FP,
     "rollup_agg": SQL_ROLLUP_AGG,
     "sessionize": SQL_SESSIONIZE,
