@@ -72,7 +72,11 @@ def read_nt(spark: SparkSession, path: str) -> DataFrame:
     Inverse of :func:`write_nt` for round-trip tests and for ingesting
     reference-produced dumps. Unescapes the four NT literal escapes.
     """
-    lines = spark.read.text(path)
+    return _parse_nt_lines(spark.read.text(path))
+
+
+def _parse_nt_lines(lines: DataFrame) -> DataFrame:
+    """Parse a DataFrame of NT lines (column ``value``) → triple schema."""
     parsed = lines.select(
         F.regexp_extract("value", _NT_LINE, 1).alias("s"),
         F.regexp_extract("value", _NT_LINE, 2).alias("p"),
@@ -83,14 +87,28 @@ def read_nt(spark: SparkSession, path: str) -> DataFrame:
     ).where(F.col("s") != "")
 
     def _unescape(c):
-        # escaped backslashes first (to a sentinel) so '\\n' (backslash+n
-        # in the data) is not misread as a newline escape
-        col = F.replace(c, F.lit("\\\\"), F.lit("\x00"))
-        col = F.replace(col, F.lit("\\t"), F.lit("\t"))
-        col = F.replace(col, F.lit("\\r"), F.lit("\r"))
-        col = F.replace(col, F.lit("\\n"), F.lit("\n"))
-        col = F.replace(col, F.lit('\\"'), F.lit('"'))
-        return F.replace(col, F.lit("\x00"), F.lit("\\"))
+        # single-pass-correct without a sentinel (hypothesis found that a
+        # sentinel char can collide with raw data): split on escaped
+        # backslashes — inside each segment every remaining backslash
+        # starts exactly one short escape — then rejoin with '\'
+        parts = F.split(c, r"\\\\", -1)
+        fixed = F.transform(
+            parts,
+            lambda seg: F.replace(
+                F.replace(
+                    F.replace(
+                        F.replace(seg, F.lit("\\t"), F.lit("\t")),
+                        F.lit("\\r"),
+                        F.lit("\r"),
+                    ),
+                    F.lit("\\n"),
+                    F.lit("\n"),
+                ),
+                F.lit('\\"'),
+                F.lit('"'),
+            ),
+        )
+        return F.array_join(fixed, "\\")
 
     is_uri = F.col("o_uri") != ""
     return parsed.select(

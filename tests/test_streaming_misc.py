@@ -1,0 +1,117 @@
+"""Streaming ingestion, label functions, TSV dictionaries, property tests."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from linkedspending_spark.functions.labels import (
+    extract_label,
+    extract_transformation_version,
+    unicode_unescape,
+)
+from linkedspending_spark.sources.dictionaries import read_tsv_dictionary
+from linkedspending_spark.streaming.ingest import run_stream_to_memory, stream_turn_rate
+from linkedspending_spark.transcripts import TRANSCRIPT_SCHEMA, synth_transcripts_df
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    """Streaming per-turn triples == batch per-turn triples on same files."""
+    from linkedspending_spark.operators.convert_transcripts import observation_triples
+
+    t = synth_transcripts_df(spark, n_convs=6, base_turns=4, seed=21)
+    in_path = str(tmp_path / "in")
+    t.write.parquet(in_path)
+    n_stream = run_stream_to_memory(spark, in_path, "triples_stream_t1")
+    batch = observation_triples(spark.read.schema(TRANSCRIPT_SCHEMA).parquet(in_path))
+    assert n_stream == batch.count() > 0
+    got = {
+        (r["s"], r["p"], r["o"]) for r in spark.sql("SELECT * FROM triples_stream_t1").collect()
+    }
+    want = {(r["s"], r["p"], r["o"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_turn_rate_runs(spark, tmp_path):
+    t = synth_transcripts_df(spark, n_convs=3, base_turns=5, seed=22)
+    in_path = str(tmp_path / "in2")
+    t.write.parquet(in_path)
+    from linkedspending_spark.streaming.ingest import read_transcript_stream
+
+    q = (
+        stream_turn_rate(read_transcript_stream(spark, in_path))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # append mode emits only watermark-closed windows; just check schema/run
+    df = spark.sql("SELECT * FROM rate_t")
+    assert df.columns == ["window_start", "window_end", "conv_id", "n_turns"]
+
+
+def test_label_extract_and_version(spark):
+    rows = [
+        ('<http://x/a> <http://www.w3.org/2000/01/rdf-schema#label> "caf\\u00e9 \\"x\\"" .',),
+        (
+            '<http://x/ds> <http://linkedspending.aksw.org/ontology/transformationVersion> '
+            '"4"^^<http://www.w3.org/2001/XMLSchema#int> .',
+        ),
+        ('<http://x/a> <http://x/other> "nope" .',),
+    ]
+    df = spark.createDataFrame(rows, "line string")
+    got = df.select(
+        extract_label("line").alias("l"),
+        extract_transformation_version("line").alias("v"),
+    ).collect()
+    assert got[0]["l"]["s"] == "http://x/a"
+    assert got[0]["l"]["label"] == 'caf\\u00e9 \\"x\\"'
+    assert got[1]["v"] == 4 and got[0]["v"] is None and got[2]["v"] is None
+    un = df.where(F.col("line").contains("label")).select(
+        unicode_unescape(extract_label("line").getField("label")).alias("u")
+    ).collect()
+    assert un[0]["u"] == 'café \\"x\\"'
+
+
+def test_tsv_dictionary_reader(spark, tmp_path):
+    p = tmp_path / "dict.tsv"
+    p.write_text("JPY\thttp://dbpedia.org/resource/Japanese_yen\nEUR\thttp://dbpedia.org/resource/Euro\n")
+    df = read_tsv_dictionary(spark, str(p), "code string, uri string")
+    got = {r["code"]: r["uri"] for r in df.collect()}
+    assert got["JPY"].endswith("Japanese_yen") and len(got) == 2
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_nt_escape_roundtrip_property(texts):
+    """Any unicode literal survives NT write→read (F9/F10 robustness)."""
+    # hypothesis can't take the pytest fixture; get_spark returns the
+    # session singleton, so this reuses the suite's SparkSession
+    from linkedspending_spark.session import get_spark
+
+    spark = get_spark(8, app_name="ls_tests")
+    from linkedspending_spark.functions import nt_statement
+    from linkedspending_spark.sources.io import _parse_nt_lines
+
+    # NT is a line-oriented format: normalize CR/LF handling is the
+    # serializer's job (escapes them), so raw texts may contain them
+    rows = [("http://x/s", "http://x/p", t, "literal", None, None) for t in texts]
+    schema = "s string, p string, o string, o_kind string, o_datatype string, o_lang string"
+    df = spark.createDataFrame(rows, schema)
+    line_rows = [(r["value"],) for r in df.select(nt_statement().alias("value")).collect()]
+    back_df = spark.createDataFrame(line_rows, "value string")
+    got = sorted(r["o"] for r in _parse_nt_lines(back_df).collect())
+    assert got == sorted(texts)
