@@ -60,13 +60,18 @@ def run_transcripts_job(
     version: int = TRANSFORMATION_VERSION,
     with_mentions: bool = True,
     fail_after_write: bool = False,
+    metrics_path: str | None = None,
 ) -> JobReport:
     """Convert all not-yet-done buckets of ``transcripts`` and materialize.
 
     ``fail_after_write`` simulates a crash between the data commit and
-    the manifest record (for resume tests).
+    the manifest record (for resume tests). ``metrics_path`` appends
+    per-stage lineage rows (A5 analog) next to the manifests.
     """
+    from .sources.metrics import MetricsStore
+
     store = ManifestStore(spark, manifest_path)
+    metrics = MetricsStore(spark, metrics_path) if metrics_path else None
     report = JobReport(run_id=new_run_id(), n_buckets=n_buckets)
     t0 = time.time()
     report.state = "RUNNING"
@@ -109,6 +114,16 @@ def run_transcripts_job(
                     version=version,
                 )
             report.converted_triples = sum(by_bucket.values())
+            if metrics:
+                metrics.record(
+                    report.run_id,
+                    "convert",
+                    {
+                        "buckets_converted": len(pending),
+                        "triples": report.converted_triples,
+                        "seconds": time.time() - t0,
+                    },
+                )
         report.state = "FINISHED"
     except Exception:
         if report.state != "FAILED":

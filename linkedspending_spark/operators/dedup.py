@@ -42,16 +42,25 @@ def _shingle_hashes(text_col, k: int = 3):
     return F.transform(token_shingles(text_col, k), lambda s: F.xxhash64(s))
 
 
-def minhash_signature_fast(text_col, n_hashes: int = 32, k: int = 3):
-    """MinHash over token shingles using xxhash64 with salted seeds —
-    the fast (JVM-only, non-oracle) twin of linking.minhash_signature."""
+def minhash_signature_fast(shingles_col, n_hashes: int = 32):
+    """MinHash over a (pre-materialized) shingle-array column.
+
+    One xxhash64 pass over the shingles, then ``n_hashes`` arithmetic
+    permutations of the longs — NOT n_hashes shingle recomputations.
+    Pass an attribute (not the shingle expression) so the shingle build
+    runs once per row.
+    """
+    base = F.transform(shingles_col, lambda s: F.xxhash64(s))
     sigs = []
     for i in range(n_hashes):
+        a, b = 2 * i + 1, (0x9E3779B9 * (i + 1)) & 0x7FFFFFFF
         sigs.append(
             F.array_min(
                 F.transform(
-                    token_shingles(text_col, k),
-                    lambda s: F.xxhash64(s, F.lit(i)),
+                    base,
+                    lambda h: F.pmod(
+                        (h.cast("decimal(38,0)") * a + b), F.lit((1 << 61) - 1)
+                    ).cast("long"),
                 )
             )
         )
@@ -74,10 +83,13 @@ def minhash_lsh_pairs(
     not corpus size — no quadratic blowup on uniform data.
     """
     rows_per_band = n_hashes // bands
-    sig = df.select(
+    with_sh = df.select(
         F.col(key_col).alias("k"),
         F.col(text_col).alias("t"),
-        minhash_signature_fast(text_col, n_hashes, k).alias("sig"),
+        token_shingles(text_col, k).alias("__sh"),
+    )
+    sig = with_sh.select(
+        "k", "t", minhash_signature_fast(F.col("__sh"), n_hashes).alias("sig")
     )
     banded = sig.select(
         "k",

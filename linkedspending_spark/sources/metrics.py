@@ -1,0 +1,49 @@
+"""Per-stage metrics table (A5 statistics-TSV analog → lineage rows).
+
+The reference appends per-dataset statistics lines to
+``statistics/statistics{epoch}`` (ConvertWorker.java:69-76,823-834).
+Here every pipeline stage appends typed rows (run_id, stage, dataset,
+key, value, ts) to a parquet metrics table — the lineage/row-count
+record the north rule requires next to the manifests.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("dataset", T.StringType(), True),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("ts", T.DoubleType(), False),
+    ]
+)
+
+
+class MetricsStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def record(self, run_id: str, stage: str, metrics: dict[str, float], dataset: str | None = None) -> None:
+        now = time.time()
+        rows = [
+            (run_id, stage, dataset, k, float(v) if v is not None else None, now)
+            for k, v in metrics.items()
+        ]
+        self.spark.createDataFrame(rows, METRICS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.path)
+
+    def read(self) -> DataFrame:
+        if not os.listdir(self.path):
+            return self.spark.createDataFrame([], METRICS_SCHEMA)
+        return self.spark.read.schema(METRICS_SCHEMA).parquet(self.path)
