@@ -101,8 +101,11 @@ def run_flagship(cpus: int, sf_dir: str) -> dict:
         return row["n"], row["bytes"]
 
     n_triples, nt_bytes = job()  # full warm-up (JIT, codegen, broadcasts)
+    # min-of-k filters shared-host noise spikes (one-sided: noise only
+    # inflates); more reps at the fast level, where they're cheap
+    n_reps = 2 if cpus <= BENCH_N else 4
     runs = []
-    for _ in range(2):
+    for _ in range(n_reps):
         t0 = time.perf_counter()
         job()
         runs.append(time.perf_counter() - t0)
