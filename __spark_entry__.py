@@ -4,7 +4,8 @@
 sf0.001. ``queries()``/``oracle_sql()`` expose the SURVEY.md §2 **[Q]**
 operator registry with DuckDB oracles (see
 ``linkedspending_spark/queries.py``; validated side-by-side by
-``tools/compare_oracle.py`` — 32/32 at sf0.001 and sf0.01).
+``tools/compare_oracle.py`` — 41/41 SQL-oracled at sf0.001 and sf0.01,
+8 rows-only; physical plans gated by ``tools/plan_audit.py`` — 49/49).
 """
 
 from __future__ import annotations

@@ -148,26 +148,31 @@ FROM transcripts GROUP BY conv_id
 """
 
 
+def _per_column_missing_agg(t: DataFrame) -> DataFrame:
+    """ONE scan computing every per-column missing count (P5/A2).
+
+    The reference counts missing values per property inside the same
+    per-entry loop (ConvertWorker.java:617-645); the Spark analog is a
+    single aggregate row with one conditional-count per column, unpivoted
+    afterwards with ``stack`` — never one scan per column (at 10^12 rows
+    a scan per property would be N_props full passes over the fact table).
+    """
+    return t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("role").isNull().cast("int")).cast("long").alias("m_role"),
+        F.sum(F.col("text").isNull().cast("int")).cast("long").alias("m_text"),
+        F.sum(clean_string("tool").isNull().cast("int")).cast("long").alias("m_tool"),
+        F.sum(F.col("ts").isNull().cast("int")).cast("long").alias("m_ts"),
+    )
+
+
 def q_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_from_events(spark, sf_dir)
-    frames = []
-    for col, expr in [
-        ("role", F.col("role").isNull()),
-        ("text", F.col("text").isNull()),
-        ("tool", clean_string("tool").isNull()),
-        ("ts", F.col("ts").isNull()),
-    ]:
-        frames.append(
-            t.agg(
-                F.lit(col).alias("col"),
-                F.sum(expr.cast("int")).cast("long").alias("n_missing"),
-                F.count(F.lit(1)).alias("n"),
-            )
-        )
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out
+    return _per_column_missing_agg(t).selectExpr(
+        "stack(4, 'role', m_role, 'text', m_text, 'tool', m_tool, 'ts', m_ts)"
+        " AS (col, n_missing)",
+        "n",
+    )
 
 
 SQL_NULL_RATES = f"""
@@ -180,6 +185,93 @@ SELECT 'tool', CAST(SUM(CASE WHEN tool IS NULL OR trim(tool) IN ('', 'null') THE
 UNION ALL
 SELECT 'ts', CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM transcripts
 """
+
+
+def q_property_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-property completeness ratio (ConvertWorker.java:805-814).
+
+    Single scan (see :func:`_per_column_missing_agg`), then completeness
+    = 1 − missing/expected per property, matching the reference's
+    per-component ratio triples.
+    """
+    t = transcripts_from_events(spark, sf_dir)
+    return _per_column_missing_agg(t).selectExpr(
+        "stack(4, 'role', m_role, 'text', m_text, 'tool', m_tool, 'ts', m_ts)"
+        " AS (col, n_missing)",
+        "n",
+    ).select(
+        F.concat(F.lit(ONT), F.lit("transcripts-"), F.col("col")).alias("property"),
+        "n_missing",
+        "n",
+        F.round(F.lit(1.0) - F.col("n_missing") / F.col("n"), 6).alias("completeness"),
+    )
+
+
+SQL_PROPERTY_COMPLETENESS = f"""
+{_TRANSCRIPTS_CTE},
+a AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_role,
+         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_text,
+         CAST(SUM(CASE WHEN tool IS NULL OR trim(tool) IN ('', 'null') THEN 1 ELSE 0 END) AS BIGINT) AS m_tool,
+         CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_ts
+  FROM transcripts
+),
+u AS (
+  SELECT 'role' AS col, m_role AS n_missing, n FROM a
+  UNION ALL SELECT 'text', m_text, n FROM a
+  UNION ALL SELECT 'tool', m_tool, n FROM a
+  UNION ALL SELECT 'ts', m_ts, n FROM a
+)
+SELECT '{{ONT}}transcripts-' || col AS property,
+       n_missing, n,
+       ROUND(1.0 - n_missing / (1.0 * n), 6) AS completeness
+FROM u
+""".replace("{ONT}", ONT)
+
+
+def q_territory_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+F7: territories array → explode → broadcast country join.
+
+    Reference: per-dataset ``territories`` string array exploded and
+    looked up code→LinkedGeoData URI (ConvertWorker.java:258-267 +
+    ArrayNodeToStringList :554-562), emitting one
+    ``sdmx-attribute:refArea`` triple per (dataset, country). Here the
+    per-conversation territory set is collected from text mentions, then
+    exploded and broadcast-joined — the dict side is tiny so the fact
+    side never shuffles for the join.
+    """
+    t = transcripts_from_events(spark, sf_dir)
+    codes = t.select(
+        "conv_id",
+        F.regexp_extract("text", " in ([a-z]{2})$", 1).alias("code"),
+    ).where(F.col("code") != "")
+    territories = codes.groupBy("conv_id").agg(
+        F.collect_set("code").alias("territories")
+    )
+    exploded = territories.select(
+        "conv_id", F.explode("territories").alias("code")
+    )
+    return exploded.join(F.broadcast(country_df(spark)), "code", "inner").select(
+        F.concat(F.lit(INST), F.col("conv_id")).alias("s"),
+        F.lit(M.SDMX_REF_AREA).alias("p"),
+        F.col("uri").alias("o"),
+    )
+
+
+SQL_TERRITORY_LINKS = f"""
+{_TRANSCRIPTS_CTE},
+codes AS (
+  SELECT DISTINCT conv_id, regexp_extract(text, ' in ([a-z]{{2}})$', 1) AS code
+  FROM transcripts
+  WHERE regexp_extract(text, ' in ([a-z]{{2}})$', 1) <> ''
+),
+dict(code, uri) AS (VALUES {{COUNTRY_VALUES}})
+SELECT '{INST}' || conv_id AS s,
+       '{M.NS_SDMX_ATTR}refArea' AS p,
+       uri AS o
+FROM codes JOIN dict USING (code)
+""".replace("{COUNTRY_VALUES}", _values_clause(country_pairs()))
 
 
 def q_distinct_years(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1119,6 +1211,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mention_triples": q_mention_triples,
     "conv_completeness": q_conv_completeness,
     "null_rates": q_null_rates,
+    "property_completeness": q_property_completeness,
+    "territory_links": q_territory_links,
     "distinct_years": q_distinct_years,
     "count_rows": q_count_rows,
     "events_histogram": q_events_histogram,
@@ -1170,6 +1264,8 @@ ORACLES: dict[str, str] = {
     "mention_triples": SQL_MENTION_TRIPLES,
     "conv_completeness": SQL_CONV_COMPLETENESS,
     "null_rates": SQL_NULL_RATES,
+    "property_completeness": SQL_PROPERTY_COMPLETENESS,
+    "territory_links": SQL_TERRITORY_LINKS,
     "distinct_years": SQL_DISTINCT_YEARS,
     "count_rows": SQL_COUNT_ROWS,
     "events_histogram": SQL_EVENTS_HISTOGRAM,
