@@ -702,22 +702,48 @@ FROM documents GROUP BY md5(text)
 
 
 def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram (3-token shingle) Jaccard near-dup pairs, doc_id<150 block."""
+    """n-gram (3-token shingle) Jaccard near-dup pairs, doc_id<150 block.
+
+    Single scan: shingles explode once, then pairs come from
+    ``groupBy(shingle) → sorted doc list → native i<j pair expansion``
+    instead of a self-join (a self-join recomputes the shingle lineage
+    per side — 3 scans — and its shuffle carries every posting twice).
+    Sizes rebroadcast from the tiny per-doc aggregate. At scale the
+    posting-list group caps naturally via LSH banding
+    (operators/dedup.py); this exact variant is the oracle-checkable
+    small-block path.
+    """
     d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
-    sh = d.select("doc_id", token_shingles("text", 3).alias("sh"))
-    sz = sh.select("doc_id", F.size("sh").alias("sz"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    a = ex.select(F.col("doc_id").alias("da"), "s")
-    b = ex.select(F.col("doc_id").alias("db"), "s")
-    inter = (
-        a.join(b, "s")
-        .where(F.col("da") < F.col("db"))
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("common"))
+    ex = d.select(
+        "doc_id", F.explode(token_shingles("text", 3)).alias("s")
     )
+    sz = d.select("doc_id", F.size(token_shingles("text", 3)).alias("sz"))
+    ids = ex.groupBy("s").agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+    pairs = ids.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + F.lit(2), F.size(F.col("ids"))
+                        ),
+                        lambda y: F.struct(x.alias("da"), y.alias("db")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select(F.col("pr.da").alias("da"), F.col("pr.db").alias("db"))
+    inter = pairs.groupBy("da", "db").agg(F.count(F.lit(1)).alias("common"))
     return (
-        inter.join(sz.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza")), "da")
-        .join(sz.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb")), "db")
+        inter.join(
+            F.broadcast(sz.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))),
+            "da",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))),
+            "db",
+        )
         .withColumn(
             "jac",
             F.round(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
