@@ -132,3 +132,78 @@ def run_transcripts_job(
     finally:
         report.seconds = time.time() - t0
     return report
+
+
+CANON_SENTINEL = "__canonicalize__"
+
+
+def run_canonicalize_job(
+    spark: SparkSession,
+    triples_path: str,
+    out_path: str,
+    manifest_path: str,
+    version: int = TRANSFORMATION_VERSION,
+    metrics_path: str | None = None,
+) -> JobReport:
+    """Phase 2: entity canonicalization over the landed triple table.
+
+    North-rule shape: broadcast-dictionary links (per-dataset property
+    URIs → global anchors, the propertymapping.tsv role) + connected-
+    components merge, then every triple rewritten through the canonical
+    map and re-deduplicated (merging creates duplicates), materialized
+    partitioned-by-bucket like phase 1. Resumable: a manifest row with
+    the ``__canonicalize__`` sentinel dataset marks completion; re-runs
+    anti-join it away and become no-ops.
+    """
+    from .operators.canon import (
+        canonicalize_triples,
+        connected_components,
+        prefer_representatives,
+        property_alias_edges,
+    )
+    from .sources.metrics import MetricsStore
+
+    store = ManifestStore(spark, manifest_path)
+    metrics = MetricsStore(spark, metrics_path) if metrics_path else None
+    report = JobReport(run_id=new_run_id(), n_buckets=1)
+    t0 = time.time()
+    report.state = "RUNNING"
+    try:
+        work = spark.createDataFrame([(CANON_SENTINEL,)], "dataset string")
+        if store.pending(work, version).count() == 0:
+            report.skipped = 1
+            report.state = "FINISHED"
+            return report
+        report.pending = [0]
+        # plain read (not read_triples): keeps the bucket partition column
+        triples = spark.read.parquet(triples_path)
+        edges = property_alias_edges(triples)
+        comp = connected_components(edges, "src", "dst")
+        anchors = edges.select(F.col("dst").alias("uri"))
+        comp = prefer_representatives(comp, anchors)
+        canon = canonicalize_triples(
+            triples, comp, rewrite_predicates=True
+        ).dropDuplicates(["s", "p", "o"])
+        write_triples(canon, out_path, partition_col="bucket")
+        n = spark.read.parquet(out_path).count()
+        store.record(
+            dataset=CANON_SENTINEL,
+            n_rows=None,
+            n_triples=n,
+            run_id=report.run_id,
+            version=version,
+        )
+        report.converted_triples = n
+        if metrics:
+            metrics.record(
+                report.run_id,
+                "canonicalize",
+                {"triples": n, "seconds": time.time() - t0},
+            )
+        report.state = "FINISHED"
+    except Exception:
+        report.state = "FAILED"
+        raise
+    finally:
+        report.seconds = time.time() - t0
+    return report

@@ -62,6 +62,75 @@ def sameas_closure_within_group(df: DataFrame, group_col: str, uri_col: str) -> 
     )
 
 
+def property_alias_edges(
+    triples: DataFrame,
+    fields: tuple[str, ...] = ("role", "text", "tool"),
+    canonical_dataset: str = "transcripts",
+) -> DataFrame:
+    """sameAs edges merging per-dataset property URIs into global anchors.
+
+    The reference lets ``propertymapping.tsv`` map a (dataset, field)
+    pair to a shared property URI (ConvertWorker.java:107-122,397-402);
+    without it every dataset mints its own ``{ont}{ds}-{field}`` URI for
+    the SAME logical field. This derives the merge edges: every minted
+    property URI whose field suffix is in ``fields`` links to the global
+    anchor ``{ont}{canonical_dataset}-{field}``. Edge count is
+    O(datasets × fields) — tiny next to the triple table — and the
+    distinct() over predicate/subject URIs is a partial-agg shuffle of
+    the URI column only.
+    """
+    import re as _re
+
+    pat = (
+        "^"
+        + _re.escape(M.PREFIX_ONTOLOGY)
+        + "(.+)-("
+        + "|".join(fields)
+        + ")$"
+    )
+    uris = (
+        triples.select(F.col("p").alias("uri"))
+        .union(triples.select(F.col("s").alias("uri")))
+        .distinct()
+    )
+    anchored = uris.select(
+        "uri", F.regexp_extract("uri", pat, 2).alias("field")
+    ).where(F.col("field") != "")
+    return anchored.select(
+        F.col("uri").alias("src"),
+        F.concat(
+            F.lit(M.PREFIX_ONTOLOGY + canonical_dataset + "-"), F.col("field")
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+
+
+def prefer_representatives(
+    components: DataFrame, preferred: DataFrame
+) -> DataFrame:
+    """Re-root each component at its preferred member when one exists.
+
+    ``components``: (node, component) from :func:`connected_components`
+    (representative = min node id). ``preferred``: single-column
+    ``uri`` DataFrame of nodes that should win representative election
+    (e.g. global anchor URIs). Components containing a preferred node
+    are re-keyed to the min preferred member; others keep the min-node
+    representative. Both joins are on the small component map.
+    """
+    pref = preferred.select(F.col("uri").alias("node")).distinct()
+    winners = (
+        components.join(pref, "node")
+        .groupBy("component")
+        .agg(F.min("node").alias("rep"))
+    )
+    return (
+        components.join(F.broadcast(winners), "component", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("rep"), F.col("component")).alias("component"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -148,12 +217,17 @@ def connected_components(
     )
 
 
-def canonicalize_triples(triples: DataFrame, components: DataFrame) -> DataFrame:
-    """Rewrite subject and URI-object through the canonical map.
+def canonicalize_triples(
+    triples: DataFrame, components: DataFrame, rewrite_predicates: bool = False
+) -> DataFrame:
+    """Rewrite subject, URI-object (and optionally predicate) through the
+    canonical map.
 
-    ``components``: (node, component). Two left joins + coalesce; the
-    map is usually small relative to triples — Catalyst broadcasts it
-    under the threshold, otherwise AQE picks the strategy.
+    ``components``: (node, component). Left joins + coalesce; the map is
+    usually small relative to triples — Catalyst broadcasts it under the
+    threshold, otherwise AQE picks the strategy. ``rewrite_predicates``
+    is needed when properties themselves were merged
+    (:func:`property_alias_edges`).
     """
     s_map = components.select(
         F.col("node").alias("s"), F.col("component").alias("__s_canon")
@@ -162,9 +236,17 @@ def canonicalize_triples(triples: DataFrame, components: DataFrame) -> DataFrame
         F.col("node").alias("o"), F.col("component").alias("__o_canon")
     )
     out = triples.join(s_map, "s", "left").join(o_map, "o", "left")
-    cols = [c for c in triples.columns if c not in ("s", "o")]
+    cols = [c for c in triples.columns if c not in ("s", "o", "p")]
+    p_col = F.col("p")
+    if rewrite_predicates:
+        p_map = components.select(
+            F.col("node").alias("p"), F.col("component").alias("__p_canon")
+        )
+        out = out.join(p_map, "p", "left")
+        p_col = F.coalesce("__p_canon", "p")
     return out.select(
         F.coalesce("__s_canon", "s").alias("s"),
+        p_col.alias("p"),
         F.when(
             F.col("o_kind") == M.KIND_URI, F.coalesce("__o_canon", "o")
         ).otherwise(F.col("o")).alias("o"),

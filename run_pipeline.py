@@ -29,9 +29,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--no-mentions", action="store_true")
+    ap.add_argument(
+        "--canonicalize",
+        action="store_true",
+        help="run phase 2: property-URI canonicalization (broadcast dict "
+        "+ connected components) into <output>_canonical",
+    )
     args = ap.parse_args(argv)
 
-    from linkedspending_spark.jobs import run_transcripts_job
+    from linkedspending_spark.jobs import run_canonicalize_job, run_transcripts_job
     from linkedspending_spark.session import get_spark
     from linkedspending_spark.transcripts import transcripts_from_events
 
@@ -51,20 +57,32 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets,
         with_mentions=not args.no_mentions,
     )
-    print(
-        json.dumps(
-            {
-                "run_id": report.run_id,
-                "state": report.state,
-                "n_buckets": report.n_buckets,
-                "pending_done": len(report.pending),
-                "skipped": report.skipped,
-                "converted_triples": report.converted_triples,
-                "seconds": round(report.seconds, 2),
-            }
+    out = {
+        "run_id": report.run_id,
+        "state": report.state,
+        "n_buckets": report.n_buckets,
+        "pending_done": len(report.pending),
+        "skipped": report.skipped,
+        "converted_triples": report.converted_triples,
+        "seconds": round(report.seconds, 2),
+    }
+    if args.canonicalize and report.state == "FINISHED":
+        canon = run_canonicalize_job(
+            spark,
+            triples_path=args.output,
+            out_path=args.output + "_canonical",
+            manifest_path=args.manifests,
         )
-    )
-    return 0 if report.state == "FINISHED" else 1
+        out["canonicalize"] = {
+            "state": canon.state,
+            "skipped": canon.skipped,
+            "triples": canon.converted_triples,
+            "seconds": round(canon.seconds, 2),
+        }
+        if canon.state != "FINISHED":
+            out["state"] = canon.state
+    print(json.dumps(out))
+    return 0 if out["state"] == "FINISHED" else 1
 
 
 if __name__ == "__main__":
