@@ -9,10 +9,11 @@ Components in MapReduce and Beyond", SoCC'14) as iterative DataFrame
 self-joins with a driver-side convergence check — the SURVEY.md §4
 "driver loop of self-joins, not a planner rule" design.
 
-Skew note: large-star keys by node and emits (neighbor>node → min), so a
-celebrity node's edges all hash to one reducer. AQE skew-join splitting
-is on (session.py); for pathological hubs, ``salt_edges`` pre-splits
-hub adjacency lists.
+Skew note: the per-node min aggregations are algebraic (map-side
+partial agg absorbs hub fan-in) and neighbor re-emission is an
+equi-join against the per-node min table, which AQE skew-join splitting
+(on in session.py) divides when a celebrity node's partition is
+outsized — no collect_set ever materializes a hub adjacency list.
 """
 
 from __future__ import annotations
@@ -153,6 +154,14 @@ def connected_components(
     # symmetrize once; all later rounds keep orientation invariants
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
 
+    # Both stars are formulated WITHOUT collect_set: a hub node's full
+    # adjacency never materializes in one aggregation row. min() is
+    # algebraic (map-side partial agg absorbs hub fan-in), and the
+    # re-emission is an equi-join of the edge list against the tiny
+    # per-node min table — which AQE skew-join splits when a hub's
+    # partition is outsized. This is what makes 10^8-degree celebrity
+    # nodes survivable; a collect_set formulation OOMs on them.
+
     def large_star(edges_df: DataFrame) -> DataFrame:
         # neighborhoods are over the UNDIRECTED graph: symmetrize first
         # (small-star output is oriented big→small)
@@ -160,12 +169,9 @@ def connected_components(
             edges_df.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         # for each node u: connect every neighbor v > u to min(N(u) ∪ {u})
-        nbrs = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m"),
-            F.collect_set("v").alias("vs"),
-        )
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         return (
-            nbrs.select("u", "m", F.explode("vs").alias("v"))
+            sym.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
@@ -177,13 +183,11 @@ def connected_components(
         oriented = edges_df.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        nbrs = oriented.groupBy("u").agg(
-            F.min("v").alias("m"), F.collect_set("v").alias("vs")
-        )
-        out = nbrs.select("u", "m", F.explode("vs").alias("v")).select(
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        out = oriented.join(mins, "u").select(
             F.col("v").alias("u"), F.col("m").alias("v")
         )
-        self_edge = nbrs.select(F.col("u"), F.col("m").alias("v"))
+        self_edge = mins.select(F.col("u"), F.col("m").alias("v"))
         return (
             out.union(self_edge)
             .where(F.col("u") != F.col("v"))

@@ -579,6 +579,78 @@ FROM norm
 """
 
 
+def q_date_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+O3: date-parse success/error/empty counters + ≤10 error samples.
+
+    The reference counts parse successes, errors and empties per dataset
+    and keeps at most 10 error samples (ConvertWorker.java:595-599,
+    705-722). Sample order is made deterministic here (sorted ascending
+    before the 10-cap) since "first seen" is partition-order-dependent
+    in a parallel engine. collect_set state is bounded by the planted
+    error vocabulary; an unbounded-cardinality deployment would swap in
+    a bottom-k sketch.
+    """
+    ev = _read(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_id") % 5 == 0, F.date_format("ts", "yyyy-MM-dd"))
+        .when(
+            F.col("event_id") % 5 == 1,
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'.00Z'"),
+        )
+        .when(
+            F.col("event_id") % 5 == 2,
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'.00+02:00'"),
+        )
+        .when(
+            F.col("event_id") % 5 == 3,
+            F.concat(F.lit("bad-"), (F.col("event_id") % 7).cast("string")),
+        )
+        .otherwise(F.lit(""))
+    )
+    df = ev.select(raw.alias("raw"), parse_string_date(raw).alias("parsed"))
+    is_empty = F.col("raw") == ""
+    is_err = ~is_empty & F.col("parsed").isNull()
+    return df.agg(
+        F.sum((~is_empty & F.col("parsed").isNotNull()).cast("int"))
+        .cast("long")
+        .alias("n_success"),
+        F.sum(is_err.cast("int")).cast("long").alias("n_error"),
+        F.sum(is_empty.cast("int")).cast("long").alias("n_empty"),
+        F.slice(
+            F.array_sort(F.collect_set(F.when(is_err, F.col("raw")))), 1, 10
+        ).alias("error_samples"),
+    )
+
+
+SQL_DATE_PARSE_STATS = """
+WITH raws AS (
+  SELECT CASE CAST(event_id % 5 AS INT)
+           WHEN 0 THEN strftime(ts, '%Y-%m-%d')
+           WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.00Z')
+           WHEN 2 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.00+02:00')
+           WHEN 3 THEN 'bad-' || CAST(CAST(event_id % 7 AS INT) AS STRING)
+           ELSE ''
+         END AS raw
+  FROM events
+), norm AS (
+  SELECT raw,
+         CASE WHEN length(regexp_replace(raw, '\\+[0-9][0-9]:[0-9][0-9]', '')) = 10
+              THEN regexp_replace(raw, '\\+[0-9][0-9]:[0-9][0-9]', '') || 'T00:00:00.00Z'
+              ELSE regexp_replace(raw, '\\+[0-9][0-9]:[0-9][0-9]', '')
+         END AS n
+  FROM raws
+), parsed AS (
+  SELECT raw, TRY_CAST(replace(n, 'Z', '') AS TIMESTAMP) AS p FROM norm
+)
+SELECT CAST(SUM(CASE WHEN raw <> '' AND p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+       CAST(SUM(CASE WHEN raw <> '' AND p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN raw = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       list_slice(list_sort(list(DISTINCT raw) FILTER (WHERE raw <> '' AND p IS NULL)), 1, 10)
+         AS error_samples
+FROM parsed
+"""
+
+
 def q_int_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: int-parse with string fallback over synthesized mixed strings."""
     ev = _read(spark, sf_dir, "events")
@@ -1254,6 +1326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uri_mint": q_uri_mint,
     "date_lexical": q_date_lexical,
     "string_date_roundtrip": q_string_date_roundtrip,
+    "date_parse_stats": q_date_parse_stats,
     "int_fallback": q_int_fallback,
     "year_substring": q_year_substring,
     "json_get": q_json_get,
@@ -1307,6 +1380,7 @@ ORACLES: dict[str, str] = {
     "uri_mint": SQL_URI_MINT,
     "date_lexical": SQL_DATE_LEXICAL,
     "string_date_roundtrip": SQL_STRING_DATE_ROUNDTRIP,
+    "date_parse_stats": SQL_DATE_PARSE_STATS,
     "int_fallback": SQL_INT_FALLBACK,
     "year_substring": SQL_YEAR_SUBSTRING,
     "json_get": SQL_JSON_GET,
