@@ -105,14 +105,11 @@ def run_transcripts_job(
                 .collect()
             )
             by_bucket = {r["bucket"]: r["n"] for r in written}
-            for b in pending:
-                store.record(
-                    dataset=str(b),
-                    n_rows=None,
-                    n_triples=by_bucket.get(b, 0),
-                    run_id=report.run_id,
-                    version=version,
-                )
+            store.record_many(
+                [(str(b), None, by_bucket.get(b, 0)) for b in pending],
+                run_id=report.run_id,
+                version=version,
+            )
             report.converted_triples = sum(by_bucket.values())
             if metrics:
                 metrics.record(

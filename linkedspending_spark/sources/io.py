@@ -35,15 +35,30 @@ def write_triples(
     path: str,
     mode: str = "overwrite",
     partition_col: str = "dataset",
+    files_per_partition: int = 1,
 ) -> None:
     """Materialize the triple table partitioned by dataset.
 
     Dynamic partition overwrite: only the datasets present in ``triples``
     are replaced — the semantics of the reference's per-dataset graph
     drop+recreate, and the idempotence required for resume.
+
+    Rows are clustered on ``partition_col`` before the write: without
+    it, every upstream task writes a file into every partition
+    directory (tasks × partitions tiny files — measured 2048 files /
+    35 MB at sf0.1, dominating job wall time). ``files_per_partition``
+    > 1 adds a hash salt for partitions too large for one file at
+    deployment scale.
     """
+    if files_per_partition > 1:
+        clustered = triples.repartition(
+            F.col(partition_col),
+            F.pmod(F.xxhash64("s"), F.lit(files_per_partition)),
+        )
+    else:
+        clustered = triples.repartition(F.col(partition_col))
     (
-        triples.write.mode(mode)
+        clustered.write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)

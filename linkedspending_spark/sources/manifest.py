@@ -70,8 +70,25 @@ class ManifestStore:
         version: int = TRANSFORMATION_VERSION,
     ) -> None:
         """Append one completion row (written AFTER the data commit)."""
+        self.record_many([(dataset, n_rows, n_triples)], run_id, version)
+
+    def record_many(
+        self,
+        entries: list[tuple[str, int | None, int | None]],
+        run_id: str,
+        version: int = TRANSFORMATION_VERSION,
+    ) -> None:
+        """Append completion rows for many datasets in ONE commit.
+
+        One row per (dataset, n_rows, n_triples) tuple. A separate
+        write job per bucket costs seconds of commit overhead each
+        (measured 64 buckets → ~370 s at sf0.1); all buckets of a run
+        finish together, so they are recorded together — which is also
+        the atomic all-or-nothing completion mark a resume wants.
+        """
+        now = time.time()
         df = self.spark.createDataFrame(
-            [(dataset, version, n_rows, n_triples, time.time(), run_id)],
+            [(d, version, nr, nt, now, run_id) for d, nr, nt in entries],
             MANIFEST_SCHEMA,
         )
         df.coalesce(1).write.mode("append").parquet(self.path)
