@@ -26,6 +26,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sf-dir", help="testdata dir; derives transcripts from events")
     ap.add_argument("--output", required=True)
     ap.add_argument("--manifests", required=True)
+    ap.add_argument(
+        "--metrics",
+        default=None,
+        help="lineage metrics table path (default: <manifests>_metrics)",
+    )
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--no-mentions", action="store_true")
@@ -49,6 +54,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         ap.error("one of --input / --sf-dir required")
 
+    metrics_path = args.metrics or args.manifests.rstrip("/") + "_metrics"
     report = run_transcripts_job(
         spark,
         transcripts,
@@ -56,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
         manifest_path=args.manifests,
         n_buckets=args.buckets,
         with_mentions=not args.no_mentions,
+        metrics_path=metrics_path,
     )
     out = {
         "run_id": report.run_id,
@@ -72,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
             triples_path=args.output,
             out_path=args.output + "_canonical",
             manifest_path=args.manifests,
+            metrics_path=metrics_path,
         )
         out["canonicalize"] = {
             "state": canon.state,
