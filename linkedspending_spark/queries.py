@@ -56,6 +56,7 @@ def _values_clause(pairs: list[tuple[str, str]]) -> str:
 # --------------------------------------------------------------------------
 
 def q_obs_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship per-turn observation triples (ConvertWorker.java:601-746 analog)."""
     t = transcripts_from_events(spark, sf_dir)
     return observation_triples(t).select("s", "p", "o")
 
@@ -89,6 +90,7 @@ SELECT obs, '{M.DCT_SOURCE}', '{INST}source-' || conv_id || '-' || CAST(turn_idx
 
 
 def q_mention_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2: token mentions -> broadcast currency/country dictionary links."""
     t = transcripts_from_events(spark, sf_dir)
     return mention_triples(t, currency_df(spark), country_df(spark)).select("s", "p", "o")
 
@@ -115,6 +117,7 @@ SELECT s, '{M.SDMX_REF_AREA}' AS p, uri AS o FROM toks JOIN ctry USING (code)
 # --------------------------------------------------------------------------
 
 def q_conv_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-conversation completeness ratio (ConvertWorker.java:798-804)."""
     t = transcripts_from_events(spark, sf_dir)
     missing = (
         clean_string("tool").isNull().cast("int")
@@ -167,6 +170,7 @@ def _per_column_missing_agg(t: DataFrame) -> DataFrame:
 
 
 def q_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: per-column missing counts, single scan + stack unpivot."""
     t = transcripts_from_events(spark, sf_dir)
     return _per_column_missing_agg(t).selectExpr(
         "stack(4, 'role', m_role, 'text', m_text, 'tool', m_tool, 'ts', m_ts)"
@@ -275,6 +279,7 @@ FROM codes JOIN dict USING (code)
 
 
 def q_distinct_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: distinct refYear set (ConvertWorker.java:817-820)."""
     ev = _read(spark, sf_dir, "events")
     return ev.select(F.year("ts").cast("int").alias("y")).distinct()
 
@@ -283,6 +288,7 @@ SQL_DISTINCT_YEARS = "SELECT DISTINCT CAST(year(ts) AS INT) AS y FROM events"
 
 
 def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: total row count (entries.json?pagesize=0 analog)."""
     return _read(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -290,6 +296,7 @@ SQL_COUNT_ROWS = "SELECT COUNT(*) AS n FROM lineitem"
 
 
 def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: count-histogram of events per type (CreateHistogram analog)."""
     ev = _read(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     return per_user.groupBy("n_events").agg(F.count(F.lit(1)).alias("n_users"))
@@ -344,6 +351,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 
 def q_pool_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: scheduling-pool union with dedup (Boss.java:69-76)."""
     c = _read(spark, sf_dir, "customer")
     a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
@@ -461,6 +469,7 @@ FROM transcripts
 
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O3 family: deterministic top-3 orders per customer (window row_number)."""
     o = _read(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -503,6 +512,7 @@ FROM transcripts GROUP BY conv_id
 # --------------------------------------------------------------------------
 
 def q_uri_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: deterministic observation-URI minting by concat (ConvertWorker.java:609-611)."""
     o = _read(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -520,6 +530,7 @@ FROM orders
 
 
 def q_date_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: canonical ISO / gYear / date lexical forms (zero-padded)."""
     ev = _read(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -692,6 +703,7 @@ FROM src
 
 
 def q_year_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: default-year = first 4 chars cast to int (ConvertWorker.java:226-229)."""
     o = _read(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -709,6 +721,7 @@ FROM orders
 
 
 def q_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: JSON field access via get_json_object on events.props."""
     ev = _read(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -740,6 +753,7 @@ FROM documents
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split + non-empty filter per document."""
     d = _read(spark, sf_dir, "documents")
     return (
         d.select(F.explode(F.split("text", " +")).alias("token"))
@@ -761,6 +775,7 @@ WHERE token <> '' GROUP BY token
 # --------------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on text, keep min doc_id per group."""
     d = _read(spark, sf_dir, "documents")
     return d.groupBy(F.md5("text").alias("h")).agg(
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper")
@@ -898,6 +913,7 @@ SQL_MINHASH_SIG = _sql_minhash()
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/uppercase ratio features per document."""
     d = _read(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), " +")
     non_alpha = F.length(F.regexp_replace("text", "[a-z ]", ""))
@@ -948,6 +964,7 @@ FROM documents
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over letters-only normalized text."""
     d = _read(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -1111,6 +1128,7 @@ SQL_SIMHASH_FP = _sql_simhash()
 
 
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over (source, lang) with grouping-set totals."""
     li = _read(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
@@ -1243,6 +1261,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate near-dup pairs (banded bucket join; rows-only)."""
     from .operators.dedup import minhash_lsh_pairs
 
     d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
@@ -1250,6 +1269,7 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance on 64-bit fingerprints (rows-only)."""
     from .operators.dedup import simhash_pairs
 
     d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
@@ -1257,6 +1277,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs over embeddings (rows-only)."""
     from .operators.dedup import embedding_near_dup_pairs
 
     e = _read(spark, sf_dir, "embeddings")
@@ -1264,6 +1285,7 @@ def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: Lloyd centroids, probe nearest cells (rows-only)."""
     from .operators.simsearch import build_ivf, ivf_topk
 
     e = _read(spark, sf_dir, "embeddings")
