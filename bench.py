@@ -106,8 +106,10 @@ def run_flagship(cpus: int, sf_dir: str) -> dict:
 
     n_triples, nt_bytes = job()  # full warm-up (JIT, codegen, broadcasts)
     # min-of-k filters shared-host noise spikes (one-sided: noise only
-    # inflates); more reps at the fast level, where they're cheap
-    n_reps = 2 if cpus <= BENCH_N else 4
+    # inflates). 3 reps at the slow level: an inflated T_N would
+    # overstate efficiency, so the numerator deserves as much noise
+    # filtering as the cheap fast-level reps give the denominator.
+    n_reps = 3 if cpus <= BENCH_N else 4
     runs = []
     for _ in range(n_reps):
         t0 = time.perf_counter()
