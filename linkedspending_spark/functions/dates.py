@@ -37,7 +37,15 @@ def normalize_string_date(c: Column | str) -> Column:
 
 
 def parse_string_date(c: Column | str) -> Column:
-    """Normalized string → timestamp; NULL on parse failure (counted upstream)."""
+    """Normalized string → timestamp; NULL on parse failure (counted upstream).
+
+    Deliberate divergence from the reference: Java ``Instant.parse``
+    (ConvertWorker.java:710) throws on the zone-less timestamp that
+    offset-stripping leaves behind (``...T10:00:00.00+02:00`` →
+    ``...T10:00:00.00``), counting it a parse error; ``try_to_timestamp``
+    accepts it, so strictly more values convert and error counters are a
+    lower bound on the reference's.
+    """
     return F.try_to_timestamp(normalize_string_date(c))
 
 
