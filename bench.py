@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "shingle_jaccard",
     "ann_cosine",
     "quality_score",
+    "territory_links",
+    "date_parse_stats",
 ]
 
 

@@ -197,7 +197,10 @@ def connected_components(
     cur = e
     prev_sig = None
     for _ in range(max_iter):
-        cur = small_star(large_star(cur)).localCheckpoint(eager=True)
+        # lazy checkpoint: the signature aggregation below is the single
+        # action that both materializes this round's edge set (truncating
+        # lineage) and tests convergence — one Spark job per round
+        cur = small_star(large_star(cur)).localCheckpoint(eager=False)
         sig = cur.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
