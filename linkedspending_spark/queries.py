@@ -1303,6 +1303,67 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", lang(F.col("text")).alias("lang_guess"))
 
 
+def q_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: English-label share per group (EstimateDataSetLanguages.java:28-56).
+
+    The detected-language UDF output aggregated to a per-source English
+    fraction — the reference's per-NT-file share, rows-only (pandas-UDF
+    classifier feeds the aggregate).
+    """
+    from .operators.mentions import make_language_id
+
+    d = _read(spark, sf_dir, "documents")
+    lang = make_language_id(spark)
+    return d.select("source", lang(F.col("text")).alias("g")).groupBy(
+        "source"
+    ).agg(
+        F.round(F.avg((F.col("g") == "en").cast("int")), 6).alias("en_share"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_property_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: (dataset, field) 2-key mapping lookup with minted-URI fallback.
+
+    The reference loads ``propertymapping.tsv`` into a pair-key map and
+    falls back to the minted ``{ont}{dataset}-{field}`` URI on a miss
+    (ConvertWorker.java:107-122,397-402). Overrides here: conversations
+    whose id ends in ``0`` share one ``role`` property URI — a
+    broadcast 2-key left join + coalesce.
+    """
+    t = transcripts_from_events(spark, sf_dir)
+    pairs = (
+        t.select("conv_id").distinct()
+        .crossJoin(spark.createDataFrame([("role",), ("text",), ("tool",)], "name string"))
+    )
+    overrides = (
+        t.select("conv_id").distinct()
+        .where(F.col("conv_id").endswith("0"))
+        .select("conv_id", F.lit("role").alias("name"), F.lit(ONT + "shared-role").alias("uri"))
+    )
+    return pairs.join(F.broadcast(overrides), ["conv_id", "name"], "left").select(
+        "conv_id",
+        "name",
+        F.coalesce(
+            F.col("uri"),
+            F.concat(F.lit(ONT), F.col("conv_id"), F.lit("-"), F.col("name")),
+        ).alias("prop_uri"),
+    )
+
+
+SQL_PROPERTY_OVERRIDE = f"""
+{_TRANSCRIPTS_CTE},
+convs AS (SELECT DISTINCT conv_id FROM transcripts),
+pairs AS (SELECT conv_id, name FROM convs,
+          (SELECT 'role' AS name UNION ALL SELECT 'text' UNION ALL SELECT 'tool')),
+ovr AS (SELECT conv_id, 'role' AS name, '{ONT}shared-role' AS uri
+        FROM convs WHERE conv_id LIKE '%0')
+SELECT p.conv_id, p.name,
+       COALESCE(o.uri, '{ONT}' || p.conv_id || '-' || p.name) AS prop_uri
+FROM pairs p LEFT JOIN ovr o ON p.conv_id = o.conv_id AND p.name = o.name
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over synthesized binary assets."""
     from .operators.multimodal import extract_features
@@ -1369,6 +1430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "cosine_pairs": q_cosine_pairs,
     "binary_metadata": q_binary_metadata,
+    "property_override": q_property_override,
     # rows-only (iterative / LSH / pandas-UDF — no SQL oracle by design)
     "lsh_join": q_lsh_join,
     "connected_components": q_connected_components,
@@ -1377,6 +1439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ivf_topk": q_ivf_topk,
     "lang_id": q_lang_id,
+    "lang_share": q_lang_share,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1423,4 +1486,5 @@ ORACLES: dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "cosine_pairs": SQL_COSINE_PAIRS,
     "binary_metadata": SQL_BINARY_METADATA,
+    "property_override": SQL_PROPERTY_OVERRIDE,
 }

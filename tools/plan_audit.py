@@ -36,6 +36,7 @@ from linkedspending_spark.session import get_spark  # noqa: E402
 ARROW_UDF_OK = {
     "mention_triples",
     "lang_id",
+    "lang_share",
     "multimodal_features",
     "obs_triples",  # mention scoring shares the convert pipeline
 }
