@@ -59,6 +59,7 @@ def run_transcripts_job(
     n_buckets: int = 64,
     version: int = TRANSFORMATION_VERSION,
     with_mentions: bool = True,
+    mention_mode: str = "native",
     fail_after_write: bool = False,
     metrics_path: str | None = None,
 ) -> JobReport:
@@ -89,7 +90,10 @@ def run_transcripts_job(
         if pending:
             todo = bucketed.where(F.col("bucket").isin(pending))
             triples = convert_transcripts(
-                spark, todo.drop("bucket"), with_mentions=with_mentions
+                spark,
+                todo.drop("bucket"),
+                with_mentions=with_mentions,
+                mention_mode=mention_mode,
             ).withColumn("bucket", bucket_of(F.col("dataset"), n_buckets))
             # count + write in one pass would need observe(); count after
             # write reads back the committed partitions (cheap, columnar)

@@ -312,6 +312,7 @@ def convert_transcripts(
     transcripts: DataFrame,
     with_mentions: bool = True,
     dedup: bool = True,
+    mention_mode: str = "native",
 ) -> DataFrame:
     """Full conversion: observation + mention + dataset triples.
 
@@ -319,12 +320,31 @@ def convert_transcripts(
     (DataModel.java:23-37 → U3 ``dropDuplicates``). The dedup shuffle
     hashes on (s,p,o) which is near-uniform — no skew risk even when
     conversations are skewed.
+
+    ``mention_mode``: ``"native"`` = token explode + broadcast equi-join
+    (exact codes; the fast path); ``"pandas"`` = Arrow pandas-UDF
+    alternation-regex detector (north-rule surface: batched mention
+    detection per turn) which additionally matches multi-word surface
+    forms ("Swiss franc", "United Kingdom") that a token join cannot.
     """
     parts = [observation_triples(transcripts), dataset_triples(transcripts)]
-    if with_mentions:
+    if with_mentions and mention_mode == "native":
         parts.append(
             mention_triples(transcripts, currency_df(spark), country_df(spark))
         )
+    elif with_mentions and mention_mode == "pandas":
+        from ..sources.dictionaries import fuzzy_vocabularies
+        from .mentions import mention_triples_pandas
+
+        cur_vocab, ctry_vocab = fuzzy_vocabularies()
+        parts.append(
+            mention_triples_pandas(spark, transcripts, cur_vocab, M.DBO_CURRENCY)
+        )
+        parts.append(
+            mention_triples_pandas(spark, transcripts, ctry_vocab, M.SDMX_REF_AREA)
+        )
+    elif with_mentions:
+        raise ValueError(f"unknown mention_mode: {mention_mode!r}")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

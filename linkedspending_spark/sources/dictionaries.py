@@ -111,6 +111,21 @@ def country_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(country_pairs(), "code string, uri string")
 
 
+def fuzzy_vocabularies() -> tuple[dict[str, str], dict[str, str]]:
+    """(currency, country) surface-form → URI vocabularies for the
+    pandas-UDF mention detector: ISO codes plus human-readable names
+    derived from the URI tails ("Swiss_franc" → "Swiss franc")."""
+    cur: dict[str, str] = {}
+    for code, uri in currency_pairs():
+        cur[code] = uri
+        cur[uri.rsplit("/", 1)[1].replace("_", " ")] = uri
+    ctry: dict[str, str] = {}
+    for code, uri in country_pairs():
+        ctry[code] = uri
+        ctry[uri.rsplit("/", 1)[1].replace("_", " ")] = uri
+    return cur, ctry
+
+
 def property_mapping_df(
     spark: SparkSession, rows: list[tuple[str, str, str]] | None = None
 ) -> DataFrame:

@@ -35,6 +35,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--no-mentions", action="store_true")
     ap.add_argument(
+        "--mention-mode",
+        choices=["native", "pandas"],
+        default="native",
+        help="mention detection: broadcast token join (native) or the "
+        "Arrow pandas-UDF fuzzy detector (pandas)",
+    )
+    ap.add_argument(
         "--canonicalize",
         action="store_true",
         help="run phase 2: property-URI canonicalization (broadcast dict "
@@ -62,6 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         manifest_path=args.manifests,
         n_buckets=args.buckets,
         with_mentions=not args.no_mentions,
+        mention_mode=args.mention_mode,
         metrics_path=metrics_path,
     )
     out = {
