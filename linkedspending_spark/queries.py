@@ -1294,6 +1294,107 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, centroids, [float(x) for x in q], k=10, n_probe=4)
 
 
+def q_os_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity observation emission: all five component-type
+    dispatches (measure w/ int fallback, attribute, compound, structured
+    date, string date — ConvertWorker.java:646-738) over an
+    OpenSpending-shaped dataset derived from ``orders``."""
+    from .operators.convert_dataset import observation_triples as os_obs_triples
+    from .plans.components import DatasetMeta, compile_plan
+
+    o = _read(spark, sf_dir, "orders")
+    entries = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.floor("o_totalprice").cast("int").cast("string"),
+        )
+        .otherwise(F.col("o_totalprice").cast("decimal(18,2)").cast("string"))
+        .alias("amount"),
+        F.col("o_orderpriority").alias("priority"),
+        F.struct(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+            F.dayofmonth("o_orderdate").alias("day"),
+        ).alias("odate"),
+        F.struct(
+            F.concat(
+                F.lit("http://example.org/cust/"), F.col("o_custkey").cast("string")
+            ).alias("html_url"),
+            F.concat(F.lit("customer "), F.col("o_custkey").cast("string")).alias(
+                "label"
+            ),
+        ).alias("cust"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("entrydate"),
+    )
+    plan = compile_plan(
+        "orders-cube",
+        [
+            {"name": "amount", "type": "measure"},
+            {"name": "priority", "type": "attribute"},
+            {"name": "odate", "type": "date"},
+            {"name": "cust", "type": "compound"},
+            {"name": "entrydate", "type": "attribute", "datatype": "string"},
+        ],
+        DatasetMeta(dataset="orders-cube", currency="USD", default_time="1995"),
+        known_currencies={"USD"},
+    )
+    cur_uri = dict(currency_pairs())["USD"]
+    return os_obs_triples(entries, plan, cur_uri).select(
+        "s", "p", "o", "o_kind", "o_datatype"
+    )
+
+
+def _sql_os_convert() -> str:
+    from . import model as _m
+
+    inst, ont = _m.PREFIX_INSTANCE, _m.PREFIX_ONTOLOGY
+    ds = inst + "orders-cube"
+    cur_uri = dict(currency_pairs())["USD"]
+    return f"""
+WITH e AS (
+  SELECT o_orderkey AS id,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN CAST(CAST(FLOOR(o_totalprice) AS INTEGER) AS STRING)
+              ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) END AS amount,
+         o_orderpriority AS priority,
+         o_orderdate,
+         'http://example.org/cust/' || CAST(o_custkey AS STRING) AS cust_url,
+         'customer ' || CAST(o_custkey AS STRING) AS cust_label
+  FROM orders
+), base AS (
+  SELECT *, '{inst}observation-orders-cube-' || CAST(id AS STRING) AS obs FROM e
+)
+SELECT obs AS s, '{_m.RDF_TYPE}' AS p, '{_m.QB_OBSERVATION}' AS o,
+       'uri' AS o_kind, CAST(NULL AS STRING) AS o_datatype FROM base
+UNION ALL SELECT obs, '{_m.QB_DATASET_PROP}', '{ds}', 'uri', NULL FROM base
+UNION ALL SELECT obs, '{_m.RDFS_LABEL}',
+       'orders-cube observation ' || CAST(id AS STRING), 'literal', NULL FROM base
+UNION ALL SELECT obs, '{_m.DCT_SOURCE}',
+       '{inst}source-orders-cube-' || CAST(id AS STRING), 'uri', NULL FROM base
+UNION ALL SELECT obs, '{_m.DBO_CURRENCY}', '{cur_uri}', 'uri', NULL FROM base
+UNION ALL SELECT obs, '{ont}orders-cube-amount', amount, 'literal',
+       '{_m.XSD_INT}' FROM base WHERE regexp_matches(amount, '^-?[0-9]+$')
+UNION ALL SELECT obs, '{ont}orders-cube-amount', amount, 'literal', NULL
+       FROM base WHERE NOT regexp_matches(amount, '^-?[0-9]+$')
+UNION ALL SELECT obs, '{ont}orders-cube-priority', priority, 'literal', NULL FROM base
+UNION ALL SELECT obs, '{ont}orders-cube-odate',
+       strftime(o_orderdate, '%Y-%m-%d'), 'literal', '{_m.XSD_DATE}' FROM base
+UNION ALL SELECT obs, '{_m.LSO_REF_YEAR}', strftime(o_orderdate, '%Y'),
+       'literal', '{_m.XSD_GYEAR}' FROM base
+UNION ALL SELECT obs, '{ont}orders-cube-cust', cust_url, 'uri', NULL FROM base
+UNION ALL SELECT cust_url, '{_m.RDFS_LABEL}', cust_label, 'literal', NULL FROM base
+UNION ALL SELECT cust_url, '{_m.RDF_TYPE}', '{ont}orders-cube-custClass',
+       'uri', NULL FROM base
+UNION ALL SELECT obs, '{ont}orders-cube-entrydate',
+       strftime(o_orderdate, '%Y-%m-%dT00:00:00Z'), 'literal',
+       '{_m.XSD_DATETIME}' FROM base
+"""
+
+
+SQL_OS_CONVERT = _sql_os_convert()
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow pandas-UDF language-ID heuristic (A9 analog) — rows-only."""
     from .operators.mentions import make_language_id
@@ -1431,6 +1532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_pairs": q_cosine_pairs,
     "binary_metadata": q_binary_metadata,
     "property_override": q_property_override,
+    "os_convert": q_os_convert,
     # rows-only (iterative / LSH / pandas-UDF — no SQL oracle by design)
     "lsh_join": q_lsh_join,
     "connected_components": q_connected_components,
@@ -1487,4 +1589,5 @@ ORACLES: dict[str, str] = {
     "cosine_pairs": SQL_COSINE_PAIRS,
     "binary_metadata": SQL_BINARY_METADATA,
     "property_override": SQL_PROPERTY_OVERRIDE,
+    "os_convert": SQL_OS_CONVERT,
 }
