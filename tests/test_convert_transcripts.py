@@ -55,3 +55,38 @@ def test_skewed_mega_conversation(spark):
     actual = {(r["s"], r["p"], r["o"]) for r in out.collect()}
     expected = golden_triples(pdf, dict(currency_pairs()), dict(country_pairs()))
     assert actual == expected
+
+
+def test_order_invariance_per_turn_text_equality(spark):
+    """North-rule invariant: per-turn text equality under stable turn
+    ordering — a row-order-permuted, re-partitioned input yields the
+    byte-identical triple set, because observation identity comes from
+    (conv_id, turn_idx), never from arrival order."""
+    from pyspark.sql import functions as F
+
+    pdf = synth_transcripts(n_convs=8, base_turns=5, seed=17)
+    df = spark.createDataFrame(pdf)
+    shuffled = (
+        df.orderBy(F.xxhash64("text", "turn_idx"))  # adversarial permutation
+        .repartition(13)  # and a different physical layout
+    )
+    base = {(r["s"], r["p"], r["o"]) for r in convert_transcripts(spark, df).collect()}
+    perm = {
+        (r["s"], r["p"], r["o"])
+        for r in convert_transcripts(spark, shuffled).collect()
+    }
+    assert base == perm
+    # the text attribute per observation URI is exactly the input text
+    prop_texts = {
+        (r["s"], r["o"])
+        for r in convert_transcripts(spark, shuffled).collect()
+        if r["p"].endswith("-text")
+    }
+    from linkedspending_spark.uris import observation_uri_str
+
+    want = {
+        (observation_uri_str(row.conv_id, str(row.turn_idx)), row.text)
+        for row in pdf.itertuples()
+        if row.text is not None
+    }
+    assert prop_texts == want
