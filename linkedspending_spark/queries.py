@@ -1294,6 +1294,97 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, centroids, [float(x) for x in q], k=10, n_probe=4)
 
 
+_MH_P = (1 << 61) - 1
+_MH_N = 8  # signature length
+_MH_BANDS = 4  # r = 2 rows per band
+
+
+def _mh_params(i: int) -> tuple[int, int]:
+    return 2 * i + 1, (0x9E3779B9 * (i + 1)) & 0xFFFFFFFF
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banded candidate pairs, fully SQL-oracled.
+
+    The portable (md5-hash) twin of ``operators/dedup.py::
+    minhash_lsh_pairs`` (which uses xxhash64 — Spark-native, faster,
+    rows-only): 8-permutation signatures over char 3-grams, 4 bands x 2
+    rows, pairs that collide in >=1 band, deduplicated. This is the
+    shuffle-shape that replaces the quadratic similarity join at scale:
+    shuffled bytes = O(docs x bands), join fan-out bounded by bucket
+    size.
+    """
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    grams = char_ngrams("text", 3)
+    base = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    def _perm(a: int, b: int):
+        return lambda h: ((h.cast("decimal(38,0)") * a + b) % _MH_P).cast("long")
+
+    sig_cols = []
+    for i in range(_MH_N):
+        a, b = _mh_params(i)
+        sig_cols.append(
+            F.array_min(F.transform(base, _perm(a, b))).alias(f"s{i}")
+        )
+    sigs = d.select(F.col("doc_id").alias("k"), *sig_cols)
+    banded = sigs.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.col(f"s{2 * band}").alias("r0"),
+                        F.col(f"s{2 * band + 1}").alias("r1"),
+                    )
+                    for band in range(_MH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("k", "b.band", "b.r0", "b.r1")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "r0", "r1"])
+        .where(F.col("a.k") < F.col("b.k"))
+        .select(F.col("a.k").alias("da"), F.col("b.k").alias("db"))
+        .distinct()
+    )
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    sig_exprs = []
+    for i in range(_MH_N):
+        a, b = _mh_params(i)
+        sig_exprs.append(
+            f"CAST(MIN((CAST(h AS HUGEINT) * {a} + {b}) % {_MH_P}) AS BIGINT) AS s{i}"
+        )
+    band_rows = " UNION ALL ".join(
+        f"SELECT k, {band} AS band, s{2 * band} AS r0, s{2 * band + 1} AS r1 FROM sigs"
+        for band in range(_MH_BANDS)
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id AS k, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(lower(text)) - 2, 1)),
+           i -> substr(lower(text), i, 3)))) AS gram
+  FROM documents WHERE doc_id < 400
+), hashed AS (
+  SELECT k, CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h FROM g
+), sigs AS (
+  SELECT k, {", ".join(sig_exprs)} FROM hashed GROUP BY k
+), banded AS ({band_rows})
+SELECT DISTINCT a.k AS da, b.k AS db
+FROM banded a JOIN banded b USING (band, r0, r1)
+WHERE a.k < b.k
+"""
+
+
+SQL_MINHASH_LSH_PAIRS = _sql_minhash_lsh_pairs()
+
+
 def q_os_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity observation emission: all five component-type
     dispatches (measure w/ int fallback, attribute, compound, structured
@@ -1533,6 +1624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binary_metadata": q_binary_metadata,
     "property_override": q_property_override,
     "os_convert": q_os_convert,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
     # rows-only (iterative / LSH / pandas-UDF — no SQL oracle by design)
     "lsh_join": q_lsh_join,
     "connected_components": q_connected_components,
@@ -1590,4 +1682,5 @@ ORACLES: dict[str, str] = {
     "binary_metadata": SQL_BINARY_METADATA,
     "property_override": SQL_PROPERTY_OVERRIDE,
     "os_convert": SQL_OS_CONVERT,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
 }
