@@ -140,7 +140,13 @@ def main() -> None:
     from linkedspending_spark.session import get_spark
 
     spark = get_spark(CPUS, app_name="bench")
-    spark.read.parquet(f"{SF_DIR}/events.parquet").count()  # warm
+    # warm the session: scan + the shared transcripts derivation (window
+    # shuffle, codegen) so the first measured query doesn't absorb
+    # one-time JIT/planner costs
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    from linkedspending_spark.transcripts import transcripts_from_events
+
+    transcripts_from_events(spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
