@@ -627,8 +627,11 @@ def q_date_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_success"),
         F.sum(is_err.cast("int")).cast("long").alias("n_error"),
         F.sum(is_empty.cast("int")).cast("long").alias("n_empty"),
-        F.slice(
-            F.array_sort(F.collect_set(F.when(is_err, F.col("raw")))), 1, 10
+        F.array_join(
+            F.slice(
+                F.array_sort(F.collect_set(F.when(is_err, F.col("raw")))), 1, 10
+            ),
+            ",",
         ).alias("error_samples"),
     )
 
@@ -656,8 +659,9 @@ WITH raws AS (
 SELECT CAST(SUM(CASE WHEN raw <> '' AND p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
        CAST(SUM(CASE WHEN raw <> '' AND p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
        CAST(SUM(CASE WHEN raw = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
-       list_slice(list_sort(list(DISTINCT raw) FILTER (WHERE raw <> '' AND p IS NULL)), 1, 10)
-         AS error_samples
+       array_to_string(
+         list_slice(list_sort(list(DISTINCT raw) FILTER (WHERE raw <> '' AND p IS NULL)), 1, 10),
+         ',') AS error_samples
 FROM parsed
 """
 
