@@ -1,1 +1,27 @@
-"""Structured Streaming surface (incremental ingestion)."""
+"""Structured Streaming surface.
+
+* :mod:`.ingest` — file-arrival transcript streams, stateless per-turn
+  triple emission, windowed watermark aggregates;
+* :mod:`.state` — ``applyInPandasWithState`` per-conversation running
+  completeness state;
+* :mod:`.sink` — ``foreachBatch`` triple landing with per-batch
+  manifest rows (exactly-once via batch-keyed idempotence).
+"""
+
+from .ingest import (
+    read_transcript_stream,
+    run_stream_to_memory,
+    stream_observation_triples,
+    stream_turn_rate,
+)
+from .sink import stream_triples_to_table
+from .state import stream_conversation_progress
+
+__all__ = [
+    "read_transcript_stream",
+    "run_stream_to_memory",
+    "stream_observation_triples",
+    "stream_turn_rate",
+    "stream_triples_to_table",
+    "stream_conversation_progress",
+]
