@@ -153,6 +153,39 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # end-to-end resumable pipeline (convert + manifests + canonicalize)
+    # in the warm session — the deployment-shaped job, not just operators
+    import shutil
+    import tempfile
+
+    from linkedspending_spark.jobs import run_canonicalize_job, run_transcripts_job
+
+    tmp = tempfile.mkdtemp(prefix="bench_pipe_")
+    pipeline: dict = {}
+    try:
+        t0 = time.perf_counter()
+        rep = run_transcripts_job(
+            spark,
+            transcripts_from_events(spark, SF_DIR),
+            out_path=f"{tmp}/triples",
+            manifest_path=f"{tmp}/man",
+            n_buckets=64,
+        )
+        convert_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        canon = run_canonicalize_job(
+            spark, f"{tmp}/triples", f"{tmp}/triples_canonical", f"{tmp}/man"
+        )
+        pipeline = {
+            "convert_sec": round(convert_sec, 3),
+            "canonicalize_sec": round(time.perf_counter() - t0, 3),
+            "triples": rep.converted_triples,
+            "canonical_triples": canon.converted_triples,
+            "state": canon.state,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
 
     # scaling: same flagship job at N and 4N cores, fresh JVM each
@@ -182,6 +215,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_of(SF_DIR),
+                "pipeline": pipeline,
                 "flagship": flagship,
             }
         )
