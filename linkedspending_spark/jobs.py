@@ -178,10 +178,11 @@ def run_canonicalize_job(
         report.pending = [0]
         # plain read (not read_triples): keeps the bucket partition column
         triples = spark.read.parquet(triples_path)
-        edges = property_alias_edges(triples)
+        edges = property_alias_edges(triples).localCheckpoint(eager=False)
         comp = connected_components(edges, "src", "dst")
         anchors = edges.select(F.col("dst").alias("uri"))
         comp = prefer_representatives(comp, anchors)
+        merged = comp.where(F.col("node") != F.col("component"))
         canon = canonicalize_triples(
             triples, comp, rewrite_predicates=True
         ).dropDuplicates(["s", "p", "o"])
@@ -199,7 +200,12 @@ def run_canonicalize_job(
             metrics.record(
                 report.run_id,
                 "canonicalize",
-                {"triples": n, "seconds": time.time() - t0},
+                {
+                    "triples": n,
+                    "alias_edges": edges.count(),
+                    "merged_nodes": merged.count(),
+                    "seconds": time.time() - t0,
+                },
             )
         report.state = "FINISHED"
     except Exception:
