@@ -77,6 +77,23 @@ def run_transcripts_job(
     t0 = time.time()
     report.state = "RUNNING"
     try:
+        # resume correctness guard: bucket ids are only comparable across
+        # runs when n_buckets matches — a silent mismatch would make the
+        # manifest anti-join skip the WRONG buckets. The bucket count is
+        # recorded as a config sentinel on the first run and enforced after.
+        prior = {
+            int(r["n_rows"])
+            for r in store.read()
+            .where(F.col("dataset") == BUCKETS_SENTINEL)
+            .select("n_rows")
+            .collect()
+        }
+        if prior and n_buckets not in prior:
+            raise ValueError(
+                f"manifest store {manifest_path} was written with "
+                f"n_buckets={sorted(prior)}; re-run with the same value or "
+                f"use a fresh manifest path (got n_buckets={n_buckets})"
+            )
         bucketed = transcripts.withColumn("bucket", bucket_of(F.col("conv_id"), n_buckets))
         work = (
             bucketed.select(F.col("bucket").cast("string").alias("dataset"))
@@ -109,11 +126,10 @@ def run_transcripts_job(
                 .collect()
             )
             by_bucket = {r["bucket"]: r["n"] for r in written}
-            store.record_many(
-                [(str(b), None, by_bucket.get(b, 0)) for b in pending],
-                run_id=report.run_id,
-                version=version,
-            )
+            rows = [(str(b), None, by_bucket.get(b, 0)) for b in pending]
+            if not prior:
+                rows.append((BUCKETS_SENTINEL, n_buckets, None))
+            store.record_many(rows, run_id=report.run_id, version=version)
             report.converted_triples = sum(by_bucket.values())
             if metrics:
                 metrics.record(
@@ -136,6 +152,7 @@ def run_transcripts_job(
 
 
 CANON_SENTINEL = "__canonicalize__"
+BUCKETS_SENTINEL = "__n_buckets__"
 
 
 def run_canonicalize_job(

@@ -47,7 +47,8 @@ def test_crash_resume_equals_clean_run(spark, tmp_path):
     r = run_transcripts_job(spark, t, out, man, n_buckets=8)
     assert r.state == "FINISHED"
     assert _triples_set(spark, out) == expected
-    assert store.read().count() == len(r.pending)
+    # one row per converted bucket plus the n_buckets config sentinel
+    assert store.read().where("dataset NOT LIKE '\\_\\_%'").count() == len(r.pending)
 
 
 def test_partial_manifest_resume_skips_done(spark, tmp_path):
@@ -83,3 +84,18 @@ def test_nt_roundtrip(spark, tmp_path):
     a = {tuple(r) for r in triples.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_bucket_count_mismatch_rejected(spark, tmp_path):
+    """Resume guard: the manifest anti-join is only valid when n_buckets
+    matches the original run; a mismatch must fail loudly, not skip the
+    wrong buckets."""
+    t = synth_transcripts_df(spark, n_convs=6, base_turns=3, seed=5)
+    out, man = str(tmp_path / "out"), str(tmp_path / "man")
+    r1 = run_transcripts_job(spark, t, out, man, n_buckets=8)
+    assert r1.state == "FINISHED"
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_transcripts_job(spark, t, out, man, n_buckets=16)
+    # same bucket count still resumes cleanly
+    r3 = run_transcripts_job(spark, t, out, man, n_buckets=8)
+    assert r3.state == "FINISHED" and r3.pending == []
