@@ -187,8 +187,24 @@ def run_canonicalize_job(
     t0 = time.time()
     report.state = "RUNNING"
     try:
-        work = spark.createDataFrame([(CANON_SENTINEL,)], "dataset string")
-        if store.pending(work, version).count() == 0:
+        # freshness-aware skip (P7 upToDate semantics): a prior
+        # canonicalize only counts if no convert manifest row is NEWER
+        # than it — otherwise buckets landed since and the canonical
+        # table would be stale.
+        rows = store.read().where(F.col("version") >= version).collect()
+        canon_ts = max(
+            (r["finished_at"] for r in rows if r["dataset"] == CANON_SENTINEL),
+            default=None,
+        )
+        convert_ts = max(
+            (
+                r["finished_at"]
+                for r in rows
+                if not r["dataset"].startswith("__")
+            ),
+            default=None,
+        )
+        if canon_ts is not None and (convert_ts is None or canon_ts >= convert_ts):
             report.skipped = 1
             report.state = "FINISHED"
             return report

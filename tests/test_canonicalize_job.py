@@ -70,3 +70,27 @@ def test_canonicalize_resume_is_noop(spark, tmp_path):
         (r["s"], r["p"], r["o"]) for r in spark.read.parquet(canon_out).collect()
     }
     assert before == after
+
+
+def test_canonicalize_reruns_after_new_convert(spark, tmp_path):
+    """Freshness: a canonicalize sentinel older than the latest convert
+    manifests must NOT suppress the re-run (stale canonical table)."""
+    t1 = synth_transcripts_df(spark, n_convs=4, base_turns=3, seed=2)
+    out, man = str(tmp_path / "out"), str(tmp_path / "man")
+    canon_out = str(tmp_path / "out_canonical")
+    run_transcripts_job(spark, t1, out, man, n_buckets=4)
+    r1 = run_canonicalize_job(spark, out, canon_out, man)
+    assert r1.state == "FINISHED" and r1.skipped == 0
+    n1 = spark.read.parquet(canon_out).count()
+
+    # new conversations land (fresh manifest path trickery not needed:
+    # different conv ids hash into buckets not yet converted? instead
+    # bump the version to force re-conversion of everything)
+    t2 = synth_transcripts_df(spark, n_convs=9, base_turns=3, seed=2)
+    run_transcripts_job(spark, t2, out, man, n_buckets=4, version=99)
+    r2 = run_canonicalize_job(spark, out, canon_out, man, version=99)
+    assert r2.state == "FINISHED" and r2.skipped == 0
+    assert spark.read.parquet(canon_out).count() > n1
+    # and a canonicalize directly after IS skipped
+    r3 = run_canonicalize_job(spark, out, canon_out, man, version=99)
+    assert r3.skipped == 1
