@@ -92,5 +92,11 @@ def test_parse_string_date_never_throws_on_garbage(raws):
 
     spark = get_spark(8, app_name="ls_tests")
     df = spark.createDataFrame([(r,) for r in raws], "raw string")
-    rows = df.select("raw", parse_string_date("raw").alias("p")).collect()
+    # format to string like every engine surface does — a raw collect of
+    # year-0 timestamps (e.g. parsed "0000-01-01") is outside Python's
+    # datetime range even though the JVM value is fine
+    rows = df.select(
+        "raw",
+        F.date_format(parse_string_date("raw"), "yyyy-MM-dd'T'HH:mm:ss").alias("p"),
+    ).collect()
     assert len(rows) == len(raws)  # completed without raising
