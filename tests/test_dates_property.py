@@ -6,7 +6,7 @@ from __future__ import annotations
 import datetime as dt
 import re
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 TZ_RE = re.compile(r"\+\d\d:\d\d")
@@ -83,6 +83,7 @@ def test_parse_string_date_matches_python_oracle(cases):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(st.lists(_garbage, min_size=1, max_size=16))
+@example(["0000-01-01"])  # parses to year 0: JVM-valid, outside Python datetime
 def test_parse_string_date_never_throws_on_garbage(raws):
     """Parse failures must be NULL, never exceptions (counted upstream)."""
     from pyspark.sql import functions as F
