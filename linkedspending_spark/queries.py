@@ -1389,6 +1389,102 @@ WHERE a.k < b.k
 SQL_MINHASH_LSH_PAIRS = _sql_minhash_lsh_pairs()
 
 
+_HP_PLANES = 8
+_HP_THRESHOLD = 0.9
+
+
+def q_embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs, fully SQL-oracled.
+
+    Portable (md5-derived plane weights) twin of
+    ``operators/dedup.py::embedding_near_dup_pairs`` (xxhash64 weights,
+    rows-only): 8 hyperplane sign bits block the vectors, candidates
+    sharing the full sign bucket are verified with exact cosine ≥ 0.9.
+    Plane weight w(i,p) = ±1 by parity of the first md5 hex digit of
+    "i,p" — identical in both engines.
+    """
+    e = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    v = F.col("embedding")
+    dims = F.size(v)
+
+    def w(i, p):  # ±1.0, i is a 0-based index Column, p a Python int
+        digit = F.conv(
+            F.substring(F.md5(F.format_string("%d," + str(p), i)), 1, 1), 16, 10
+        ).cast("int")
+        return F.when(digit % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    def sign(p):
+        return (
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.sequence(F.lit(0), dims - 1),
+                    lambda x, i: x.cast("double") * w(i, p),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        )
+
+    bucket = F.concat_ws(
+        "", *[sign(p).cast("int").cast("string") for p in range(_HP_PLANES)]
+    )
+    sig = e.select(F.col("vec_id").alias("k"), v.alias("v"), bucket.alias("bucket"))
+    a, b = sig.alias("a"), sig.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, z: u.cast("double") * z.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    va, vb = F.col("a.v"), F.col("b.v")
+    cos = dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb)))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.k").alias("ka"),
+            F.col("b.k").alias("kb"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= _HP_THRESHOLD)
+    )
+
+
+def _sql_embedding_lsh_portable() -> str:
+    signs = []
+    for p in range(_HP_PLANES):
+        signs.append(
+            "CASE WHEN list_sum(list_transform(embedding, (x, i) -> "
+            "CAST(x AS DOUBLE) * (CASE WHEN CAST(('0x' || substr(md5("
+            f"CAST(i - 1 AS STRING) || ',{p}'), 1, 1)) AS INTEGER) % 2 = 0 "
+            "THEN 1.0 ELSE -1.0 END))) > 0 THEN '1' ELSE '0' END"
+        )
+    bucket = " || ".join(signs)
+    return f"""
+WITH sig AS (
+  SELECT vec_id AS k, embedding AS v, {bucket} AS bucket
+  FROM embeddings WHERE vec_id < 300
+), pairs AS (
+  SELECT a.k AS ka, b.k AS kb,
+         ROUND(
+           list_sum(list_transform(a.v, (x, i) -> CAST(x AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine
+  FROM sig a JOIN sig b USING (bucket)
+  WHERE a.k < b.k
+)
+SELECT ka, kb, cosine FROM pairs WHERE cosine >= {_HP_THRESHOLD}
+"""
+
+
+SQL_EMBEDDING_LSH_PORTABLE = _sql_embedding_lsh_portable()
+
+
 def q_os_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity observation emission: all five component-type
     dispatches (measure w/ int fallback, attribute, compound, structured
@@ -1629,6 +1725,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "property_override": q_property_override,
     "os_convert": q_os_convert,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "embedding_lsh_portable": q_embedding_lsh_portable,
     # rows-only (iterative / LSH / pandas-UDF — no SQL oracle by design)
     "lsh_join": q_lsh_join,
     "connected_components": q_connected_components,
@@ -1687,4 +1784,5 @@ ORACLES: dict[str, str] = {
     "property_override": SQL_PROPERTY_OVERRIDE,
     "os_convert": SQL_OS_CONVERT,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "embedding_lsh_portable": SQL_EMBEDDING_LSH_PORTABLE,
 }
