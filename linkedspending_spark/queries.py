@@ -278,6 +278,35 @@ FROM codes JOIN dict USING (code)
 """.replace("{COUNTRY_VALUES}", _values_clause(country_pairs()))
 
 
+def q_clean_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: null-ish string cleaner — null/"null"/blank → NULL
+    (ConvertWorker.java:355-359 cleanString), per distinct tool value."""
+    t = transcripts_from_events(spark, sf_dir)
+    return (
+        t.groupBy(F.coalesce(F.col("tool"), F.lit("<NULL>")).alias("raw_tool"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "cleaned",
+            clean_string(
+                F.when(F.col("raw_tool") == "<NULL>", F.lit(None)).otherwise(
+                    F.col("raw_tool")
+                )
+            ),
+        )
+    )
+
+
+SQL_CLEAN_STRINGS = f"""
+{_TRANSCRIPTS_CTE}
+SELECT COALESCE(tool, '<NULL>') AS raw_tool,
+       COUNT(*) AS n,
+       CASE WHEN tool IS NULL OR trim(tool) IN ('', 'null') THEN NULL
+            ELSE tool END AS cleaned
+FROM transcripts
+GROUP BY 1, 3
+"""
+
+
 def q_distinct_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: distinct refYear set (ConvertWorker.java:817-820)."""
     ev = _read(spark, sf_dir, "events")
@@ -1686,6 +1715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "null_rates": q_null_rates,
     "property_completeness": q_property_completeness,
     "territory_links": q_territory_links,
+    "clean_strings": q_clean_strings,
     "distinct_years": q_distinct_years,
     "count_rows": q_count_rows,
     "events_histogram": q_events_histogram,
@@ -1745,6 +1775,7 @@ ORACLES: dict[str, str] = {
     "null_rates": SQL_NULL_RATES,
     "property_completeness": SQL_PROPERTY_COMPLETENESS,
     "territory_links": SQL_TERRITORY_LINKS,
+    "clean_strings": SQL_CLEAN_STRINGS,
     "distinct_years": SQL_DISTINCT_YEARS,
     "count_rows": SQL_COUNT_ROWS,
     "events_histogram": SQL_EVENTS_HISTOGRAM,
