@@ -50,12 +50,6 @@ class ManifestStore:
         self.path = path
         os.makedirs(path, exist_ok=True)
 
-    def _has_commits(self) -> bool:
-        return any(name.endswith(".parquet") or not name.startswith("_")
-                   for name in os.listdir(self.path)) and any(
-            os.scandir(self.path)
-        )
-
     def read(self) -> DataFrame:
         if not os.listdir(self.path):
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
