@@ -1514,6 +1514,111 @@ SELECT ka, kb, cosine FROM pairs WHERE cosine >= {_HP_THRESHOLD}
 SQL_EMBEDDING_LSH_PORTABLE = _sql_embedding_lsh_portable()
 
 
+_IVF_CELLS = 8
+_IVF_PROBE = 2
+_IVF_K = 5
+
+
+def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe shape with a SQL oracle: fixed deterministic centroids
+    (the first ``_IVF_CELLS`` vectors), L2 cell assignment, probe the
+    ``_IVF_PROBE`` cells nearest the query, exact cosine top-k inside.
+
+    The Lloyd-refined variant (``operators/simsearch.py::build_ivf``)
+    stays rows-only (iterative float means are not portably
+    hash-comparable); this freezes the centroids so every step is
+    deterministic in both engines. Ties broken by vec_id.
+    """
+    e = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    cents = e.where(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c")
+    )
+
+    def dist2(x, y):
+        return F.aggregate(
+            F.zip_with(
+                x, y, lambda a, b: (a.cast("double") - b.cast("double")) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("d2", dist2(F.col("embedding"), F.col("c")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d2", "cell")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("d2", dist2(F.col("c"), F.col("q")))
+        .orderBy("d2", "cell")
+        .limit(_IVF_PROBE)
+        .select("cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").where(F.col("vec_id") != 0)
+    cos = dot(F.col("embedding"), F.col("q")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("q"), F.col("q")))
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select("vec_id", "cell", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(_IVF_K)
+    )
+
+
+SQL_IVF_PROBE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+cents AS (SELECT vec_id AS cell, embedding AS c FROM e WHERE vec_id < {_IVF_CELLS}),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, cents.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(e.embedding, (x, i) ->
+               (CAST(x AS DOUBLE) - CAST(cents.c[i] AS DOUBLE))
+               * (CAST(x AS DOUBLE) - CAST(cents.c[i] AS DOUBLE)))), cents.cell
+           ) AS rk
+    FROM e CROSS JOIN cents
+  ) WHERE rk = 1
+),
+q AS (SELECT embedding AS q FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT cell FROM cents CROSS JOIN q
+  ORDER BY list_sum(list_transform(c, (x, i) ->
+    (CAST(x AS DOUBLE) - CAST(q[i] AS DOUBLE))
+    * (CAST(x AS DOUBLE) - CAST(q[i] AS DOUBLE)))), cell
+  LIMIT {_IVF_PROBE}
+)
+SELECT vec_id, cell,
+       ROUND(
+         list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cosine
+FROM assigned JOIN probes USING (cell) CROSS JOIN q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT {_IVF_K}
+"""
+
+
 def q_os_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity observation emission: all five component-type
     dispatches (measure w/ int fallback, attribute, compound, structured
@@ -1756,6 +1861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "os_convert": q_os_convert,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_lsh_portable": q_embedding_lsh_portable,
+    "ivf_probe": q_ivf_probe,
     # rows-only (iterative / LSH / pandas-UDF — no SQL oracle by design)
     "lsh_join": q_lsh_join,
     "connected_components": q_connected_components,
@@ -1816,4 +1922,5 @@ ORACLES: dict[str, str] = {
     "os_convert": SQL_OS_CONVERT,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "embedding_lsh_portable": SQL_EMBEDDING_LSH_PORTABLE,
+    "ivf_probe": SQL_IVF_PROBE,
 }
