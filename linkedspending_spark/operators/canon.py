@@ -89,14 +89,17 @@ def property_alias_edges(
         + "|".join(fields)
         + ")$"
     )
-    uris = (
-        triples.select(F.col("p").alias("uri"))
-        .union(triples.select(F.col("s").alias("uri")))
+    # ONE scan (p and s exploded from the same row), and the regex
+    # filter runs BEFORE distinct: the distinct shuffle then carries only
+    # property-shaped URIs (O(datasets x fields)), not every observation
+    # URI in the graph — at 10^12 triples that is the difference between
+    # a trivial shuffle and the largest shuffle in the job.
+    anchored = (
+        triples.select(F.explode(F.array("p", "s")).alias("uri"))
+        .select("uri", F.regexp_extract("uri", pat, 2).alias("field"))
+        .where(F.col("field") != "")
         .distinct()
     )
-    anchored = uris.select(
-        "uri", F.regexp_extract("uri", pat, 2).alias("field")
-    ).where(F.col("field") != "")
     return anchored.select(
         F.col("uri").alias("src"),
         F.concat(
