@@ -51,7 +51,13 @@ def write_triples(
     deployment scale.
     """
     if files_per_partition > 1:
+        # explicit partition count: AQE must not coalesce the salted
+        # shuffle back together, or the file split disappears
+        n = int(
+            triples.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
         clustered = triples.repartition(
+            max(n, files_per_partition),
             F.col(partition_col),
             F.pmod(F.xxhash64("s"), F.lit(files_per_partition)),
         )

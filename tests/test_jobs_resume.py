@@ -99,3 +99,29 @@ def test_bucket_count_mismatch_rejected(spark, tmp_path):
     # same bucket count still resumes cleanly
     r3 = run_transcripts_job(spark, t, out, man, n_buckets=8)
     assert r3.state == "FINISHED" and r3.pending == []
+
+
+def test_write_triples_files_per_partition(spark, tmp_path):
+    """The deployment file-splitting knob: >1 file per partition dir,
+    same data either way."""
+    from linkedspending_spark.operators.convert_transcripts import (
+        convert_transcripts,
+    )
+    from linkedspending_spark.sources.io import write_triples
+    import glob
+    from pyspark.sql import functions as F
+
+    t = synth_transcripts_df(spark, n_convs=6, base_turns=4, seed=13)
+    tri = convert_transcripts(spark, t).withColumn(
+        "bucket", F.pmod(F.xxhash64("dataset"), F.lit(2)).cast("int")
+    )
+    p1, p4 = str(tmp_path / "one"), str(tmp_path / "four")
+    write_triples(tri, p1, partition_col="bucket")
+    write_triples(tri, p4, partition_col="bucket", files_per_partition=4)
+    n_files_1 = len(glob.glob(p1 + "/bucket=*/*.parquet"))
+    n_files_4 = len(glob.glob(p4 + "/bucket=*/*.parquet"))
+    assert n_files_1 == 2  # one file per bucket dir
+    assert 2 < n_files_4 <= 8  # split, capped at buckets x salt
+    a = {(r["s"], r["p"], r["o"]) for r in spark.read.parquet(p1).collect()}
+    b = {(r["s"], r["p"], r["o"]) for r in spark.read.parquet(p4).collect()}
+    assert a == b
