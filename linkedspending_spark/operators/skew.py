@@ -30,8 +30,10 @@ SALT_COL = "__salt"
 def salted_repartition(df: DataFrame, key: str, n_salts: int = 16, partitions: int | None = None) -> DataFrame:
     """Repartition on (key, random-ish salt) so a hot key spreads.
 
-    The salt is deterministic (hash of a uniform row identity via
-    ``monotonically_increasing_id``) — reproducible plans, no RNG.
+    The salt hashes ``monotonically_increasing_id`` — no RNG state, but
+    the assignment DOES depend on the physical partition layout; only
+    aggregate results (which are salt-invariant) are reproducible, which
+    is all salting requires.
     """
     salted = df.withColumn(
         SALT_COL, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
