@@ -155,6 +155,65 @@ CANON_SENTINEL = "__canonicalize__"
 BUCKETS_SENTINEL = "__n_buckets__"
 
 
+def run_import_nt_job(
+    spark: SparkSession,
+    nt_path: str,
+    out_path: str,
+    manifest_path: str,
+    n_buckets: int = 64,
+    version: int = TRANSFORMATION_VERSION,
+) -> JobReport:
+    """Import a reference-produced N-Triples dump into the engine's
+    partitioned triple table (the switching-user path: the reference
+    publishes its corpora as NT dumps, README.md:10-15).
+
+    Parse (vectorized regex, sources/io.py), recover the dataset from
+    the reference's subject-URI minting rules, bucket, dedup (Jena set
+    semantics survive the dump round-trip), materialize + manifest.
+    Triples whose subject is not an instance URI (external resources)
+    land under dataset ``__external__``.
+    """
+    from .model import PREFIX_INSTANCE
+    from .sources.io import dataset_of_subject, read_nt
+
+    store = ManifestStore(spark, manifest_path)
+    report = JobReport(run_id=new_run_id(), n_buckets=n_buckets)
+    t0 = time.time()
+    report.state = "RUNNING"
+    try:
+        triples = read_nt(spark, nt_path).withColumn(
+            "dataset",
+            F.coalesce(
+                dataset_of_subject(F.col("s"), PREFIX_INSTANCE),
+                F.lit("__external__"),
+            ),
+        )
+        bucketed = triples.withColumn(
+            "bucket", bucket_of(F.col("dataset"), n_buckets)
+        ).dropDuplicates(["s", "p", "o"])
+        write_triples(bucketed, out_path, partition_col="bucket")
+        written = (
+            spark.read.parquet(out_path)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        store.record_many(
+            [(str(r["bucket"]), None, r["n"]) for r in written],
+            run_id=report.run_id,
+            version=version,
+        )
+        report.pending = sorted(int(r["bucket"]) for r in written)
+        report.converted_triples = sum(r["n"] for r in written)
+        report.state = "FINISHED"
+    except Exception:
+        report.state = "FAILED"
+        raise
+    finally:
+        report.seconds = time.time() - t0
+    return report
+
+
 def run_canonicalize_job(
     spark: SparkSession,
     triples_path: str,

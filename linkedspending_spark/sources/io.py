@@ -96,6 +96,30 @@ def read_nt(spark: SparkSession, path: str) -> DataFrame:
     return _parse_nt_lines(spark.read.text(path))
 
 
+def dataset_of_subject(s, prefix_instance: str):
+    """Recover the dataset name from a reference-minted subject URI.
+
+    URI shapes (SURVEY.md §1.4 / uris.py): ``{inst}{ds}``,
+    ``{inst}{ds}/model``, ``{inst}{ds}/views/{v}``,
+    ``{inst}observation-{ds}-{id}``, ``{inst}source-{ds}-{id}`` (ids
+    are numeric in OpenSpending entries, ConvertWorker.java:609).
+    Non-instance subjects (external URIs rewritten as objects,
+    property URIs) yield NULL.
+    """
+    col = s if not isinstance(s, str) else F.col(s)
+    local = F.when(
+        col.startswith(prefix_instance),
+        col.substr(F.lit(len(prefix_instance) + 1), F.length(col)),
+    )
+    obs = F.regexp_extract(local, r"^(?:observation|source)-(.+)-[0-9]+$", 1)
+    pathless = F.regexp_extract(local, r"^([^/]+)(?:/.*)?$", 1)
+    return (
+        F.when(obs != "", obs)
+        .when(local.isNotNull() & (pathless != ""), pathless)
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def _parse_nt_lines(lines: DataFrame) -> DataFrame:
     """Parse a DataFrame of NT lines (column ``value``) → triple schema."""
     parsed = lines.select(

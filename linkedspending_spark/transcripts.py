@@ -126,3 +126,23 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     df = spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL)
     return df.withColumn("turn_idx", df["turn_idx"].cast("int"))
+
+
+def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Schema-enforced transcript reader for the supported source formats.
+
+    ``parquet`` (primary; Iceberg tables at deployment), ``json``
+    (JSON-lines — the reference's native input shape,
+    ResultsReader.java:26-37), ``csv`` (header row, ISO timestamps).
+    The explicit schema keeps readers streaming (no inference pass) and
+    guarantees the input_hint column types regardless of format.
+    """
+    if fmt == "parquet":
+        df = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+    elif fmt == "json":
+        df = spark.read.schema(TRANSCRIPT_SCHEMA).json(path)
+    elif fmt == "csv":
+        df = spark.read.schema(TRANSCRIPT_SCHEMA).option("header", "true").csv(path)
+    else:
+        raise ValueError(f"unsupported transcript format: {fmt!r}")
+    return df
