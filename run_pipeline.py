@@ -22,7 +22,18 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="parquet of transcripts (conv_id, turn_idx, ...)")
+    ap.add_argument("--input", help="transcripts source (conv_id, turn_idx, ...)")
+    ap.add_argument(
+        "--input-format",
+        choices=["parquet", "json", "csv"],
+        default="parquet",
+        help="format of --input (schema-enforced reader)",
+    )
+    ap.add_argument(
+        "--import-nt",
+        help="import a reference-produced N-Triples dump instead of "
+        "converting transcripts (datasets recovered from subject URIs)",
+    )
     ap.add_argument("--sf-dir", help="testdata dir; derives transcripts from events")
     ap.add_argument("--output", required=True)
     ap.add_argument("--manifests", required=True)
@@ -49,17 +60,44 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
-    from linkedspending_spark.jobs import run_canonicalize_job, run_transcripts_job
+    from linkedspending_spark.jobs import (
+        run_canonicalize_job,
+        run_import_nt_job,
+        run_transcripts_job,
+    )
     from linkedspending_spark.session import get_spark
-    from linkedspending_spark.transcripts import transcripts_from_events
+    from linkedspending_spark.transcripts import (
+        read_transcripts,
+        transcripts_from_events,
+    )
 
     spark = get_spark(args.cpus, app_name="ls_pipeline")
+    if args.import_nt:
+        report = run_import_nt_job(
+            spark,
+            args.import_nt,
+            out_path=args.output,
+            manifest_path=args.manifests,
+            n_buckets=args.buckets,
+        )
+        print(
+            json.dumps(
+                {
+                    "run_id": report.run_id,
+                    "state": report.state,
+                    "imported_triples": report.converted_triples,
+                    "buckets": len(report.pending),
+                    "seconds": round(report.seconds, 2),
+                }
+            )
+        )
+        return 0 if report.state == "FINISHED" else 1
     if args.sf_dir:
         transcripts = transcripts_from_events(spark, args.sf_dir)
     elif args.input:
-        transcripts = spark.read.parquet(args.input)
+        transcripts = read_transcripts(spark, args.input, fmt=args.input_format)
     else:
-        ap.error("one of --input / --sf-dir required")
+        ap.error("one of --input / --sf-dir / --import-nt required")
 
     metrics_path = args.metrics or args.manifests.rstrip("/") + "_metrics"
     report = run_transcripts_job(
