@@ -42,15 +42,32 @@ def _shingle_hashes(text_col, k: int = 3):
     return F.transform(token_shingles(text_col, k), lambda s: F.xxhash64(s))
 
 
-def minhash_signature_fast(shingles_col, n_hashes: int = 32):
+def _portable_hash(col):
+    """Engine-portable 60-bit hash: first 15 hex chars of md5.
+
+    Reproducible in DuckDB as ``CAST(('0x' || substr(md5(x),1,15)) AS
+    BIGINT)`` — the oracle-parity twin of xxhash64 (which only Spark
+    has). Used when ``portable=True``; the xxhash64 path stays the
+    default because it is one JVM intrinsic instead of a full md5.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("decimal(20,0)").cast(
+        "long"
+    )
+
+
+def minhash_signature_fast(shingles_col, n_hashes: int = 32, portable: bool = False):
     """MinHash over a (pre-materialized) shingle-array column.
 
-    One xxhash64 pass over the shingles, then ``n_hashes`` arithmetic
+    One hash pass over the shingles, then ``n_hashes`` arithmetic
     permutations of the longs — NOT n_hashes shingle recomputations.
     Pass an attribute (not the shingle expression) so the shingle build
-    runs once per row.
+    runs once per row. ``portable=True`` swaps xxhash64 for the md5-
+    based engine-portable hash (driver-oracle parity).
     """
-    base = F.transform(shingles_col, lambda s: F.xxhash64(s))
+    if portable:
+        base = F.transform(shingles_col, _portable_hash)
+    else:
+        base = F.transform(shingles_col, lambda s: F.xxhash64(s))
     sigs = []
     for i in range(n_hashes):
         a, b = 2 * i + 1, (0x9E3779B9 * (i + 1)) & 0x7FFFFFFF
@@ -75,12 +92,20 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.7,
     k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b, jaccard ≥ threshold), LSH-blocked.
 
     Shuffles: one on (band, bucket) for candidates, one aggregation for
     the verify counts. Bucket sizes are bounded by similarity structure,
     not corpus size — no quadratic blowup on uniform data.
+
+    ``portable=True`` makes every hash engine-portable (md5 gram hash;
+    band bucket = the raw signature-slice string instead of its
+    xxhash64), so a DuckDB oracle reproduces the output bit-for-bit.
+    The default keeps 8-byte xxhash64 bucket keys — at 100 TB the
+    bucket column is shuffled once per band per doc, and 8 bytes vs a
+    ~40-byte slice string is the difference in shuffle volume.
     """
     rows_per_band = n_hashes // bands
     with_sh = df.select(
@@ -89,28 +114,26 @@ def minhash_lsh_pairs(
         token_shingles(text_col, k).alias("__sh"),
     )
     sig = with_sh.select(
-        "k", "t", minhash_signature_fast(F.col("__sh"), n_hashes).alias("sig")
+        "k", "t", minhash_signature_fast(F.col("__sh"), n_hashes, portable).alias("sig")
     )
+
+    def _bucket(i: int):
+        slice_str = F.concat_ws(
+            ",",
+            *[
+                F.element_at("sig", i * rows_per_band + j + 1).cast("string")
+                for j in range(rows_per_band)
+            ],
+        )
+        return slice_str if portable else F.xxhash64(slice_str)
+
     banded = sig.select(
         "k",
         "t",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", i * rows_per_band + j + 1).cast(
-                                        "string"
-                                    )
-                                    for j in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(i).alias("band"), _bucket(i).alias("bucket"))
                     for i in range(bands)
                 ]
             )
@@ -168,6 +191,27 @@ def simhash(text_col, bits: int = 64):
     return fp
 
 
+def simhash_portable(text_col, bits: int = 16):
+    """Engine-portable SimHash: md5 token hashes, bit-majority.
+
+    The oracle-parity twin of :func:`simhash` (same bit-majority rule,
+    md5-derived token hashes instead of xxhash64, and whitespace
+    tokenization simplified to single-space splitting so the DuckDB
+    twin is a one-line ``string_split_regex``)."""
+    toks = F.array_distinct(F.split(F.trim(F.lower(text_col)), " +"))
+    hashes = F.transform(toks, lambda t: _portable_hash(t))
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        fp = fp + F.when(vote > 0, F.lit(1 << j)).otherwise(0)
+    return fp
+
+
 def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -179,14 +223,21 @@ def simhash_pairs(
     max_hamming: int = 8,
     bits: int = 64,
     prefix_bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded by fingerprint
     chunks (a pair within distance d must agree exactly on ≥1 of
-    ``prefix_bands`` chunks when d < prefix_bands ... pigeonhole)."""
+    ``prefix_bands`` chunks when d < prefix_bands ... pigeonhole).
+
+    ``portable=True`` swaps in :func:`simhash_portable` fingerprints so
+    the whole pair set is DuckDB-oracle-reproducible."""
     chunk = bits // prefix_bands
-    fp = df.select(
-        F.col(key_col).alias("k"), simhash(F.col(text_col), bits).alias("fp")
+    fp_expr = (
+        simhash_portable(F.col(text_col), bits)
+        if portable
+        else simhash(F.col(text_col), bits)
     )
+    fp = df.select(F.col(key_col).alias("k"), fp_expr.alias("fp"))
     banded = fp.select(
         "k",
         "fp",
@@ -254,25 +305,35 @@ def embedding_near_dup_pairs(
     key_col: str = "vec_id",
     threshold: float = 0.95,
     n_planes: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dups, blocked by random-hyperplane signs.
 
-    Plane normals are derived deterministically from xxhash64 so runs
-    are reproducible without Math.random. Candidates share the full
-    sign-bucket; verify computes exact cosine via zip_with/aggregate.
+    Plane normals are derived deterministically from hashes so runs are
+    reproducible without Math.random (``portable=True`` derives the ±1
+    weight from md5-hex parity, reproducible in DuckDB; default uses
+    xxhash64). Candidates share the full sign-bucket; verify computes
+    exact cosine via zip_with/aggregate.
     """
     dims = F.size(F.col(vec_col))
     # deterministic pseudo-random plane: weight(i,p) from hash bits
+    def weight(i, p: int):
+        if portable:
+            digit = F.conv(
+                F.substring(F.md5(F.format_string("%d," + str(p), i)), 1, 1), 16, 10
+            ).cast("int")
+            return F.when(digit % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        return F.when(
+            F.pmod(F.xxhash64(i, F.lit(p)), F.lit(2)) == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
     def plane_sign(p: int):
         # sum_i v[i] * w(i,p), w ∈ {-1,+1}
         return F.aggregate(
             F.zip_with(
                 F.col(vec_col),
                 F.sequence(F.lit(0), dims - 1),
-                lambda v, i: v.cast("double")
-                * F.when(
-                    F.pmod(F.xxhash64(i, F.lit(p)), F.lit(2)) == 0, 1.0
-                ).otherwise(-1.0),
+                lambda v, i: v.cast("double") * weight(i, p),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,

@@ -42,11 +42,18 @@ def trigram_similarity_join(
     right_label: str,
     threshold: float = 0.8,
     n: int = 3,
+    review_threshold: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard join: returns (left_key, right_key, sim ≥ threshold).
 
     Gram explode is narrow; the only shuffles are the equi-join on gram
     and the pair-count aggregation — both on well-distributed keys.
+
+    ``review_threshold`` reproduces the LIMES two-band output
+    (limes/dbpedia_country_source.xml:60-70: acceptance ≥0.8 AND review
+    ≥0.5): when set, pairs down to ``review_threshold`` are kept and a
+    ``tier`` column marks each as ``accept`` (≥ threshold) or
+    ``review`` (≥ review_threshold).
     """
     lsize = left.select(
         F.col(left_key).alias("lk"), F.size(char_ngrams(left_label, n)).alias("lsize")
@@ -65,7 +72,7 @@ def trigram_similarity_join(
         .groupBy("lk", "rk")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
+    scored = (
         inter.join(lsize, "lk")
         .join(rsize, "rk")
         .withColumn(
@@ -73,12 +80,20 @@ def trigram_similarity_join(
             F.col("common")
             / (F.col("lsize") + F.col("rsize") - F.col("common")).cast("double"),
         )
-        .where(F.col("sim") >= threshold)
-        .select(
+    )
+    if review_threshold is not None:
+        return scored.where(F.col("sim") >= review_threshold).select(
             F.col("lk").alias(left_key),
             F.col("rk").alias(right_key),
             F.round("sim", 6).alias("sim"),
+            F.when(F.col("sim") >= threshold, F.lit("accept"))
+            .otherwise(F.lit("review"))
+            .alias("tier"),
         )
+    return scored.where(F.col("sim") >= threshold).select(
+        F.col("lk").alias(left_key),
+        F.col("rk").alias(right_key),
+        F.round("sim", 6).alias("sim"),
     )
 
 
@@ -115,6 +130,7 @@ def minhash_lsh_join(
     n_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    portable_buckets: bool = False,
 ) -> DataFrame:
     """LSH-banded candidate generation + exact Jaccard verification.
 
@@ -122,6 +138,11 @@ def minhash_lsh_join(
     signature slice matches exactly. Candidates are then re-scored with
     the exact trigram Jaccard so the output contract matches
     :func:`trigram_similarity_join` (same columns, same threshold).
+
+    ``portable_buckets=True`` joins on the raw signature-slice string
+    (engine-portable — the DuckDB oracle reproduces the exact pair
+    set); the default compresses each slice to an 8-byte xxhash64 key,
+    which is what you want shuffled at 100 TB.
     """
     rows_per_band = n_hashes // bands
 
@@ -131,20 +152,20 @@ def minhash_lsh_join(
             F.col(label).alias(f"{prefix}label"),
             minhash_signature(label, n_hashes, n).alias("sig"),
         )
+
+        def _bucket(i: int):
+            slice_str = F.concat_ws(
+                ",",
+                *[
+                    F.element_at("sig", i * rows_per_band + j + 1).cast("string")
+                    for j in range(rows_per_band)
+                ],
+            )
+            return slice_str if portable_buckets else F.xxhash64(slice_str)
+
         bands_col = F.array(
             *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.hash(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", i * rows_per_band + j + 1).cast("string")
-                                for j in range(rows_per_band)
-                            ],
-                        )
-                    ).alias("bucket"),
-                )
+                F.struct(F.lit(i).alias("band"), _bucket(i).alias("bucket"))
                 for i in range(bands)
             ]
         )

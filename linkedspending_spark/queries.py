@@ -1266,59 +1266,337 @@ FROM documents
 """
 
 
-# ---- rows-only queries (no SQL oracle: iterative / LSH / UDF-driven) ------
+# ---- formerly rows-only operators, now fully oracled (round-2 VERDICT #2):
+# the operator keeps its scale-path hash (xxhash64) by default; the
+# registry entry runs the SAME code path with ``portable=True`` (md5
+# hashes, raw-slice bucket keys) so a DuckDB oracle reproduces the
+# output bit-for-bit.
+
+_LSHJ_N_HASHES = 16
+_LSHJ_BANDS = 8
+_LSHJ_THRESHOLD = 0.5
+
 
 def q_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH name linking (scale path of trigram_join) — rows-only."""
+    """MinHash-LSH name linking (J5 scale path of trigram_join).
+
+    Links the two halves of the ``part`` name space (names are drawn
+    from a small adjective×noun vocabulary, so cross-half near-identical
+    names exist — a non-trivial link set). Same operator as the 100-TB
+    path (``operators/linking.py::minhash_lsh_join``), portable buckets.
+    """
     from .operators.linking import minhash_lsh_join
 
-    s = _read(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("sk"), F.lower(F.col("s_name")).alias("sname")
+    p = _read(spark, sf_dir, "part")
+    left = p.where(F.col("p_partkey") < 1000).select(
+        F.col("p_partkey").alias("pk"), F.lower(F.col("p_name")).alias("pname")
     )
-    c = _read(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("ck"), F.lower(F.col("c_name")).alias("cname")
+    right = p.where(F.col("p_partkey") >= 1000).select(
+        F.col("p_partkey").alias("qk"), F.lower(F.col("p_name")).alias("qname")
     )
-    return minhash_lsh_join(s, c, "sk", "sname", "ck", "cname", threshold=0.5)
+    return minhash_lsh_join(
+        left,
+        right,
+        "pk",
+        "pname",
+        "qk",
+        "qname",
+        threshold=_LSHJ_THRESHOLD,
+        n_hashes=_LSHJ_N_HASHES,
+        bands=_LSHJ_BANDS,
+        portable_buckets=True,
+    )
+
+
+def _sql_lsh_join() -> str:
+    p = (1 << 61) - 1
+    rows_per_band = _LSHJ_N_HASHES // _LSHJ_BANDS
+    sig_exprs = []
+    for i in range(_LSHJ_N_HASHES):
+        a = 2 * i + 1
+        b = (0x9E3779B9 * (i + 1)) & 0xFFFFFFFF
+        sig_exprs.append(
+            f"CAST(MIN((CAST(h AS HUGEINT) * {a} + {b}) % {p}) AS BIGINT) AS s{i}"
+        )
+    bucket_rows = " UNION ALL ".join(
+        "SELECT k, label, {band} AS band, {slice} AS bucket FROM sigs_{side}".format(
+            band=band,
+            slice=" || ',' || ".join(
+                f"CAST(s{band * rows_per_band + j} AS STRING)"
+                for j in range(rows_per_band)
+            ),
+            side="{side}",
+        )
+        for band in range(_LSHJ_BANDS)
+    )
+    grams = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(length({c}) - 2, 1)), i -> substr({c}, i, 3)))"
+    )
+    return f"""
+WITH lnames AS (
+  SELECT p_partkey AS k, lower(p_name) AS label FROM part WHERE p_partkey < 1000
+), rnames AS (
+  SELECT p_partkey AS k, lower(p_name) AS label FROM part WHERE p_partkey >= 1000
+), lg AS (
+  SELECT k, unnest({grams.format(c="label")}) AS gram FROM lnames
+), rg AS (
+  SELECT k, unnest({grams.format(c="label")}) AS gram FROM rnames
+), lhash AS (
+  SELECT k, CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h FROM lg
+), rhash AS (
+  SELECT k, CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h FROM rg
+), sigs_l AS (
+  SELECT lhash.k, label, {", ".join(sig_exprs)}
+  FROM lhash JOIN lnames ON lnames.k = lhash.k GROUP BY lhash.k, label
+), sigs_r AS (
+  SELECT rhash.k, label, {", ".join(sig_exprs)}
+  FROM rhash JOIN rnames ON rnames.k = rhash.k GROUP BY rhash.k, label
+), banded_l AS ({bucket_rows.format(side="l")}),
+banded_r AS ({bucket_rows.format(side="r")}),
+cands AS (
+  SELECT DISTINCT a.k AS pk, a.label AS llabel, b.k AS qk, b.label AS rlabel
+  FROM banded_l a JOIN banded_r b USING (band, bucket)
+), verified AS (
+  SELECT pk, qk,
+         ROUND(len(list_intersect({grams.format(c="llabel")},
+                                  {grams.format(c="rlabel")}))
+               / CAST(len(list_distinct({grams.format(c="llabel")}
+                                        || {grams.format(c="rlabel")})) AS DOUBLE),
+               6) AS sim
+  FROM cands
+)
+SELECT pk, qk, sim FROM verified WHERE sim >= {_LSHJ_THRESHOLD}
+"""
+
+
+SQL_LSH_JOIN = _sql_lsh_join()
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the part–supplier bipartite graph."""
+    """Connected components over a residue-partitioned part–supplier graph.
+
+    Edges exist only when ``l_partkey % 8 == l_suppkey % 8`` so the
+    graph decomposes into ≥8 non-trivial components — the min-label
+    result is oracled by a DuckDB recursive CTE (propagate every
+    reachable smaller label, take the min)."""
     from .operators.canon import connected_components
 
     li = _read(spark, sf_dir, "lineitem")
-    edges = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).distinct()
+    edges = (
+        li.where(
+            (F.col("l_partkey") < 400)
+            & (F.col("l_partkey") % 8 == F.col("l_suppkey") % 8)
+        )
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
     return connected_components(edges)
 
 
+SQL_CONNECTED_COMPONENTS = """
+WITH RECURSIVE
+raw AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS STRING) AS u,
+                  's' || CAST(l_suppkey AS STRING) AS v
+  FROM lineitem
+  WHERE l_partkey < 400 AND l_partkey % 8 = l_suppkey % 8
+),
+edges AS (SELECT u, v FROM raw UNION SELECT v, u FROM raw),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+cc AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.v AS node, c.lbl FROM cc c JOIN edges e ON c.node = e.u
+  WHERE c.lbl < e.v
+)
+SELECT node, MIN(lbl) AS component FROM cc GROUP BY node
+"""
+
+
+_DLSH_N_HASHES = 8
+_DLSH_BANDS = 4
+_DLSH_THRESHOLD = 0.5
+
+
 def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate near-dup pairs (banded bucket join; rows-only)."""
+    """MinHash-LSH near-dup pairs via the dedup operator (banded bucket
+    join + exact shingle-Jaccard verify), portable-hash path."""
     from .operators.dedup import minhash_lsh_pairs
 
     d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    return minhash_lsh_pairs(d, threshold=0.5)
+    return minhash_lsh_pairs(
+        d,
+        n_hashes=_DLSH_N_HASHES,
+        bands=_DLSH_BANDS,
+        threshold=_DLSH_THRESHOLD,
+        portable=True,
+    )
+
+
+def _sql_dedup_lsh_pairs() -> str:
+    p = (1 << 61) - 1
+    rows_per_band = _DLSH_N_HASHES // _DLSH_BANDS
+    sig_exprs = []
+    for i in range(_DLSH_N_HASHES):
+        a = 2 * i + 1
+        b = (0x9E3779B9 * (i + 1)) & 0x7FFFFFFF
+        sig_exprs.append(
+            f"CAST(MIN((CAST(h AS HUGEINT) * {a} + {b}) % {p}) AS BIGINT) AS s{i}"
+        )
+    band_rows = " UNION ALL ".join(
+        "SELECT k, {band} AS band, {slice} AS bucket FROM sigs".format(
+            band=band,
+            slice=" || ',' || ".join(
+                f"CAST(s{band * rows_per_band + j} AS STRING)"
+                for j in range(rows_per_band)
+            ),
+        )
+        for band in range(_DLSH_BANDS)
+    )
+    shingles = (
+        "list_distinct(list_transform("
+        "generate_series(0, greatest(len({t}) - 3, 0)), "
+        "i -> {t}[i+1] || ' ' || {t}[i+2] || ' ' || {t}[i+3]))"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id AS k, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE doc_id < 300
+), sh AS (
+  SELECT k, {shingles.format(t="toks")} AS shingles FROM d
+), hashed AS (
+  SELECT k, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT k, unnest(shingles) AS s FROM sh)
+), sigs AS (
+  SELECT k, {", ".join(sig_exprs)} FROM hashed GROUP BY k
+), banded AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT x.k AS a, y.k AS b
+  FROM banded x JOIN banded y USING (band, bucket)
+  WHERE x.k < y.k
+), verified AS (
+  SELECT a, b,
+         ROUND(len(list_intersect(sa.shingles, sb.shingles))
+               / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE),
+               6) AS jaccard
+  FROM cands JOIN sh sa ON sa.k = a JOIN sh sb ON sb.k = b
+)
+SELECT a, b, jaccard FROM verified WHERE jaccard >= {_DLSH_THRESHOLD}
+"""
+
+
+SQL_DEDUP_LSH_PAIRS = _sql_dedup_lsh_pairs()
+
+
+_SHP_BITS = 16
+_SHP_BANDS = 4
+_SHP_MAX_HAMMING = 3
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs by Hamming distance on 64-bit fingerprints (rows-only)."""
+    """SimHash near-dup pairs by Hamming distance, pigeonhole-banded
+    (portable md5 fingerprints; max_hamming < bands ⇒ complete)."""
     from .operators.dedup import simhash_pairs
 
     d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    return simhash_pairs(d, max_hamming=10)
+    return simhash_pairs(
+        d,
+        max_hamming=_SHP_MAX_HAMMING,
+        bits=_SHP_BITS,
+        prefix_bands=_SHP_BANDS,
+        portable=True,
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    chunk = _SHP_BITS // _SHP_BANDS
+    bits = []
+    for j in range(_SHP_BITS):
+        bits.append(
+            f"CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    band_rows = " UNION ALL ".join(
+        f"SELECT k, fp, {i} AS band, (fp >> {i * chunk}) & {(1 << chunk) - 1} AS bucket "
+        "FROM fps"
+        for i in range(_SHP_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS k, unnest(list_distinct(string_split_regex(trim(lower(text)), ' +'))) AS t
+  FROM documents WHERE doc_id < 300
+), hashed AS (
+  SELECT k, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM toks
+), fps AS (
+  SELECT k, CAST({" + ".join(bits)} AS BIGINT) AS fp FROM hashed GROUP BY k
+), banded AS ({band_rows})
+SELECT DISTINCT x.k AS a, y.k AS b,
+       CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
+FROM banded x JOIN banded y USING (band, bucket)
+WHERE x.k < y.k AND bit_count(xor(x.fp, y.fp)) <= {_SHP_MAX_HAMMING}
+"""
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
+
+
+_ELSH_PLANES = 8
+_ELSH_THRESHOLD = 0.3
 
 
 def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH candidate pairs over embeddings (rows-only)."""
+    """Random-hyperplane LSH pairs over the full embeddings table via the
+    dedup operator (portable md5 plane weights, cosine-verified)."""
     from .operators.dedup import embedding_near_dup_pairs
 
     e = _read(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.9)
+    return embedding_near_dup_pairs(
+        e, threshold=_ELSH_THRESHOLD, n_planes=_ELSH_PLANES, portable=True
+    )
+
+
+def _sql_embedding_lsh_pairs() -> str:
+    signs = []
+    for p in range(_ELSH_PLANES):
+        signs.append(
+            "CASE WHEN list_sum(list_transform(embedding, (x, i) -> "
+            "CAST(x AS DOUBLE) * (CASE WHEN CAST(('0x' || substr(md5("
+            f"CAST(i - 1 AS STRING) || ',{p}'), 1, 1)) AS INTEGER) % 2 = 0 "
+            "THEN 1.0 ELSE -1.0 END))) > 0 THEN '1' ELSE '0' END"
+        )
+    bucket = " || ".join(signs)
+    return f"""
+WITH sig AS (
+  SELECT vec_id AS k, embedding AS v, {bucket} AS bucket FROM embeddings
+), pairs AS (
+  SELECT a.k AS a, b.k AS b,
+         ROUND(
+           list_sum(list_transform(a.v, (x, i) -> CAST(x AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine
+  FROM sig a JOIN sig b USING (bucket)
+  WHERE a.k < b.k
+)
+SELECT a, b, cosine FROM pairs WHERE cosine >= {_ELSH_THRESHOLD}
+"""
+
+
+SQL_EMBEDDING_LSH_PAIRS = _sql_embedding_lsh_pairs()
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: Lloyd centroids, probe nearest cells (rows-only)."""
+    """IVF approximate top-k: Lloyd centroids, probe nearest cells.
+
+    Rows-only BY DESIGN: Lloyd iterations average floats, and float
+    summation order differs between engines (Spark partial aggregation
+    vs DuckDB single-stream), so centroids are not bit-comparable. The
+    frozen-centroid probe shape IS oracled (``ivf_probe``), and pytest
+    checks this variant's recall against brute force."""
     from .operators.simsearch import build_ivf, ivf_topk
 
     e = _read(spark, sf_dir, "embeddings")
@@ -1721,7 +1999,12 @@ SQL_OS_CONVERT = _sql_os_convert()
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow pandas-UDF language-ID heuristic (A9 analog) — rows-only."""
+    """Arrow pandas-UDF language-ID heuristic (A9 analog).
+
+    The UDF is a pure deterministic function of the text (distinct-token
+    stopword overlap, first-max-wins tie-break), so a DuckDB CASE-chain
+    oracle reproduces it exactly — the pandas-UDF path itself is under
+    the driver's value-hash gate."""
     from .operators.mentions import make_language_id
 
     d = _read(spark, sf_dir, "documents")
@@ -1729,12 +2012,46 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", lang(F.col("text")).alias("lang_guess"))
 
 
+def _sql_lang_counts() -> str:
+    """Shared CTE: per-doc distinct-token overlap counts per language."""
+    from .operators.mentions import _LANG_STOPWORDS
+
+    counts = ", ".join(
+        "len(list_intersect(toks, [{words}])) AS n_{lang}".format(
+            words=", ".join(f"'{w}'" for w in sorted(ws)), lang=lang
+        )
+        for lang, ws in _LANG_STOPWORDS.items()
+    )
+    return f"""
+t AS (
+  SELECT doc_id, source,
+         list_distinct(string_split_regex(lower(text), '[^a-zäöüéèêáíóúñ]+')) AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, source, {counts} FROM t
+), classified AS (
+  SELECT doc_id, source, CASE
+    WHEN n_en > 0 AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+    WHEN n_de > 0 AND n_de >= n_fr AND n_de >= n_es THEN 'de'
+    WHEN n_fr > 0 AND n_fr >= n_es THEN 'fr'
+    WHEN n_es > 0 THEN 'es'
+    ELSE 'und' END AS lang_guess
+  FROM c
+)"""
+
+
+SQL_LANG_ID = f"""
+WITH {_sql_lang_counts()}
+SELECT doc_id, lang_guess FROM classified
+"""
+
+
 def q_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: English-label share per group (EstimateDataSetLanguages.java:28-56).
 
     The detected-language UDF output aggregated to a per-source English
-    fraction — the reference's per-NT-file share, rows-only (pandas-UDF
-    classifier feeds the aggregate).
+    fraction — the reference's per-NT-file share (pandas-UDF classifier
+    feeds the aggregate; oracle replays the classifier in SQL).
     """
     from .operators.mentions import make_language_id
 
@@ -1746,6 +2063,15 @@ def q_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg((F.col("g") == "en").cast("int")), 6).alias("en_share"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+SQL_LANG_SHARE = f"""
+WITH {_sql_lang_counts()}
+SELECT source,
+       ROUND(AVG(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END), 6) AS en_share,
+       COUNT(*) AS n_docs
+FROM classified GROUP BY source
+"""
 
 
 def q_property_override(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1791,7 +2117,11 @@ FROM pairs p LEFT JOIN ovr o ON p.conv_id = o.conv_id AND p.name = o.name
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over synthesized binary assets."""
+    """mapInPandas feature extraction over synthesized binary assets.
+
+    The deterministic stand-in decode (sha256 digest → 8 little-endian
+    int32s → float32s) is replayed hex-digit-by-hex-digit in the DuckDB
+    oracle, so the whole Arrow batch path is value-hash-gated."""
     from .operators.multimodal import extract_features
 
     d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
@@ -1807,6 +2137,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("duration_ms"),
     )
     return extract_features(assets)
+
+
+def _sql_multimodal_features() -> str:
+    # feature[i] = int32.from_bytes(sha256(content)[4i:4i+4], "little") / 2^31,
+    # reconstructed from the hex digest (byte j = hex chars 2j+1..2j+2)
+    comps = []
+    for i in range(8):
+        b = [f"substr(h, {2 * (4 * i + j) + 1}, 2)" for j in range(4)]
+        le = f"({b[3]} || {b[2]} || {b[1]} || {b[0]})"
+        v = f"CAST(('0x' || {le}) AS BIGINT)"
+        signed = f"(CASE WHEN {v} >= 2147483648 THEN {v} - 4294967296 ELSE {v} END)"
+        comps.append(f"CAST({signed} / 2147483648.0 AS FLOAT)")
+    return f"""
+WITH a AS (
+  SELECT 'doc-' || CAST(doc_id AS STRING) AS asset_id, 'image' AS media_type,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         sha256(text) AS h
+  FROM documents WHERE doc_id < 200
+)
+SELECT asset_id, media_type, n_bytes, h AS sha256,
+       [{", ".join(comps)}] AS feature,
+       'stubbed' AS decode_status
+FROM a
+"""
+
+
+SQL_MULTIMODAL_FEATURES = _sql_multimodal_features()
 
 
 # --------------------------------------------------------------------------
@@ -1862,16 +2219,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "embedding_lsh_portable": q_embedding_lsh_portable,
     "ivf_probe": q_ivf_probe,
-    # rows-only (iterative / LSH / pandas-UDF — no SQL oracle by design)
     "lsh_join": q_lsh_join,
     "connected_components": q_connected_components,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
-    "ivf_topk": q_ivf_topk,
     "lang_id": q_lang_id,
     "lang_share": q_lang_share,
     "multimodal_features": q_multimodal_features,
+    # rows-only (iterative float means — no SQL oracle by design, see
+    # q_ivf_topk docstring; the frozen-centroid twin ivf_probe is oracled)
+    "ivf_topk": q_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1923,4 +2281,12 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "embedding_lsh_portable": SQL_EMBEDDING_LSH_PORTABLE,
     "ivf_probe": SQL_IVF_PROBE,
+    "lsh_join": SQL_LSH_JOIN,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
+    "dedup_lsh_pairs": SQL_DEDUP_LSH_PAIRS,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
+    "lang_id": SQL_LANG_ID,
+    "lang_share": SQL_LANG_SHARE,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
