@@ -2166,6 +2166,122 @@ FROM a
 SQL_MULTIMODAL_FEATURES = _sql_multimodal_features()
 
 
+def q_link_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMES two-band linking (J5): accept ≥0.8, review ≥0.5.
+
+    The reference's LIMES config emits BOTH an acceptance file (trigram
+    sim ≥0.8) and a review file (≥0.5) per run
+    (limes/dbpedia_country_source.xml:60-70); this is the operator path
+    with the ``tier`` column over the part-name link task."""
+    from .operators.linking import trigram_similarity_join
+
+    p = _read(spark, sf_dir, "part")
+    left = p.where(F.col("p_partkey") < 1000).select(
+        F.col("p_partkey").alias("pk"), F.lower(F.col("p_name")).alias("pname")
+    )
+    right = p.where(F.col("p_partkey") >= 1000).select(
+        F.col("p_partkey").alias("qk"), F.lower(F.col("p_name")).alias("qname")
+    )
+    return trigram_similarity_join(
+        left, right, "pk", "pname", "qk", "qname",
+        threshold=0.8, review_threshold=0.5,
+    )
+
+
+SQL_LINK_TIERS = """
+WITH l AS (SELECT p_partkey AS pk, lower(p_name) AS nm FROM part WHERE p_partkey < 1000),
+r AS (SELECT p_partkey AS qk, lower(p_name) AS nm FROM part WHERE p_partkey >= 1000),
+lg AS (SELECT pk, unnest(list_distinct(list_transform(
+         generate_series(1, greatest(length(nm) - 2, 1)),
+         i -> substr(nm, i, 3)))) AS gram FROM l),
+rg AS (SELECT qk, unnest(list_distinct(list_transform(
+         generate_series(1, greatest(length(nm) - 2, 1)),
+         i -> substr(nm, i, 3)))) AS gram FROM r),
+lsz AS (SELECT pk, len(list_distinct(list_transform(
+         generate_series(1, greatest(length(nm) - 2, 1)),
+         i -> substr(nm, i, 3)))) AS lsz FROM l),
+rsz AS (SELECT qk, len(list_distinct(list_transform(
+         generate_series(1, greatest(length(nm) - 2, 1)),
+         i -> substr(nm, i, 3)))) AS rsz FROM r),
+inter AS (SELECT pk, qk, COUNT(*) AS common FROM lg JOIN rg USING (gram) GROUP BY pk, qk),
+scored AS (
+  SELECT pk, qk, common / CAST(lsz + rsz - common AS DOUBLE) AS sim_raw
+  FROM inter JOIN lsz USING (pk) JOIN rsz USING (qk)
+)
+SELECT pk, qk, ROUND(sim_raw, 6) AS sim,
+       CASE WHEN sim_raw >= 0.8 THEN 'accept' ELSE 'review' END AS tier
+FROM scored WHERE sim_raw >= 0.5
+"""
+
+
+def q_triple_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-pattern query surface (Sparql.java:26-53 analog): bind p
+    and dataset, wildcard s/o — filters pushed to the scan, and on a
+    bucket-partitioned table the dataset binding also prunes partitions
+    (see serve.py; pruning gated by tests/test_serve.py)."""
+    from .serve import match
+
+    t = transcripts_from_events(spark, sf_dir)
+    triples = observation_triples(t)
+    return match(triples, p=M.LSO_REF_DATE, dataset="conv-7").select("s", "p", "o")
+
+
+SQL_TRIPLE_MATCH = f"""
+{_TRANSCRIPTS_CTE}
+SELECT '{INST}observation-' || conv_id || '-' || CAST(turn_idx AS STRING) AS s,
+       '{M.LSO_REF_DATE}' AS p,
+       strftime(ts, '{ISO_DUCK}') AS o
+FROM transcripts
+WHERE conv_id = 'conv-7' AND ts IS NOT NULL
+"""
+
+
+def q_full_dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 at full dictionary size: broadcast lookup against the packaged
+    ISO-4217 table (the reference ships 216 codetocurrency.tsv rows,
+    ConvertWorker.java:90-105; full table loaded via the TSVReader-analog
+    path). Every code in the dictionary is exercised by a modular pick
+    over orders keys."""
+    from .sources.dictionaries import full_currency_df, full_currency_pairs
+
+    codes = [c for c, _ in full_currency_pairs()]
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    picked = o.select(
+        "o_orderkey",
+        F.element_at(
+            F.array(*[F.lit(c) for c in codes]),
+            (F.col("o_orderkey") % len(codes) + 1).cast("int"),
+        ).alias("code"),
+    )
+    return picked.join(F.broadcast(full_currency_df(spark)), "code").select(
+        "o_orderkey", "code", F.col("uri").alias("currency_uri")
+    )
+
+
+def _sql_full_dict_lookup() -> str:
+    from .sources.dictionaries import full_currency_pairs
+
+    pairs = full_currency_pairs()
+
+    def q(s: str) -> str:  # SQL string-literal escape (O'Brien-style names)
+        return s.replace("'", "''")
+
+    codes_arr = ", ".join(f"'{q(c)}'" for c, _ in pairs)
+    values = ", ".join(f"('{q(c)}', '{q(u)}')" for c, u in pairs)
+    return f"""
+WITH dict(code, uri) AS (VALUES {values}),
+picked AS (
+  SELECT o_orderkey, [{codes_arr}][CAST(o_orderkey % {len(pairs)} AS INT) + 1] AS code
+  FROM orders WHERE o_orderkey < 5000
+)
+SELECT o_orderkey, code, uri AS currency_uri
+FROM picked JOIN dict USING (code)
+"""
+
+
+SQL_FULL_DICT_LOOKUP = _sql_full_dict_lookup()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2227,6 +2343,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "lang_share": q_lang_share,
     "multimodal_features": q_multimodal_features,
+    "link_tiers": q_link_tiers,
+    "triple_match": q_triple_match,
+    "full_dict_lookup": q_full_dict_lookup,
     # rows-only (iterative float means — no SQL oracle by design, see
     # q_ivf_topk docstring; the frozen-centroid twin ivf_probe is oracled)
     "ivf_topk": q_ivf_topk,
@@ -2289,4 +2408,7 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "lang_share": SQL_LANG_SHARE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "link_tiers": SQL_LINK_TIERS,
+    "triple_match": SQL_TRIPLE_MATCH,
+    "full_dict_lookup": SQL_FULL_DICT_LOOKUP,
 }

@@ -1,0 +1,107 @@
+"""Query-serving surface: triple-pattern match (Sparql.java:26-53 analog),
+partition pruning on the bucketed table, full-size dictionaries, and the
+LIMES accept/review link tiers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedspending_spark import model as M
+from linkedspending_spark.jobs import bucket_of
+from linkedspending_spark.operators.convert_transcripts import convert_transcripts
+from linkedspending_spark.serve import match, read_triple_table
+from linkedspending_spark.sources.io import write_triples
+from linkedspending_spark.transcripts import synth_transcripts_df
+from tools.plan_audit import plan_of
+
+
+@pytest.fixture(scope="module")
+def triple_table(spark, tmp_path_factory):
+    """Bucket-partitioned triple table, written the way jobs.py lands it."""
+    out = str(tmp_path_factory.mktemp("serve") / "triples")
+    t = synth_transcripts_df(spark, n_convs=8, base_turns=5)
+    triples = convert_transcripts(spark, t).withColumn(
+        "bucket", bucket_of(F.col("dataset"), 8)
+    )
+    write_triples(triples, out, partition_col="bucket")
+    return out
+
+
+def test_match_binds_each_term(spark, triple_table):
+    triples = read_triple_table(spark, triple_table)
+    # p bound: only rdf:type rows
+    typed = match(triples, p=M.RDF_TYPE)
+    assert typed.select("p").distinct().collect() == [(M.RDF_TYPE,)]
+    # (p, o) bound: observation typing only
+    obs = match(triples, p=M.RDF_TYPE, o=M.QB_OBSERVATION)
+    assert obs.count() > 0
+    assert obs.where(F.col("o") != M.QB_OBSERVATION).count() == 0
+    # s bound to one subject: every predicate of that subject
+    any_s = triples.select("s").first()["s"]
+    per_s = match(triples, s=any_s)
+    assert per_s.count() == triples.where(F.col("s") == any_s).count()
+    # list binding -> IN
+    two_p = match(triples, p=[M.RDF_TYPE, M.RDFS_LABEL])
+    assert set(r["p"] for r in two_p.select("p").distinct().collect()) == {
+        M.RDF_TYPE,
+        M.RDFS_LABEL,
+    }
+
+
+def test_match_dataset_prunes_partitions(spark, triple_table):
+    triples = read_triple_table(spark, triple_table)
+    q = match(triples, dataset="conv-0003", n_buckets=8)
+    # correctness: identical to the unpruned dataset filter
+    expected = triples.where(F.col("dataset") == "conv-0003").count()
+    assert q.count() == expected > 0
+    # plan: the bucket predicate must reach PartitionFilters (only
+    # 1/n_buckets of the table is scanned)
+    plan = plan_of(q)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and any("bucket" in l for l in part_lines), plan[:3000]
+
+
+def test_full_dictionaries_load_and_link(spark):
+    from linkedspending_spark.sources.dictionaries import (
+        full_country_df,
+        full_country_pairs,
+        full_currency_df,
+        full_currency_pairs,
+    )
+
+    cur, ctry = full_currency_pairs(), full_country_pairs()
+    # reference ships 216 currency rows / ~212 countries; ours are
+    # regenerated from public ISO lists at comparable size
+    assert len(cur) >= 160 and len(ctry) >= 200
+    # CodeToCurrencyTest.java:11-28 analog: JPY resolves to the yen URI
+    jpy = (
+        full_currency_df(spark).where(F.col("code") == "JPY").collect()
+    )
+    assert jpy and jpy[0]["uri"].endswith("/Japanese_yen")
+    gb = full_country_df(spark).where(F.col("code") == "gb").collect()
+    assert gb and gb[0]["uri"].endswith("/United_Kingdom")
+    # reject-on-miss (ConvertWorker.java:205-223): unknown code drops out
+    probe = spark.createDataFrame([("JPY",), ("XXX",), ("ZZZ",)], "code string")
+    hits = probe.join(F.broadcast(full_currency_df(spark)), "code").collect()
+    assert [r["code"] for r in hits] == ["JPY"]
+
+
+def test_link_tiers_accept_and_review(spark):
+    from linkedspending_spark.operators.linking import trigram_similarity_join
+
+    left = spark.createDataFrame(
+        [(1, "switzerland"), (2, "france"), (3, "qqqq")], "lk int, lname string"
+    )
+    right = spark.createDataFrame(
+        [(10, "switzerland"), (11, "francia"), (12, "brazil")],
+        "rk int, rname string",
+    )
+    out = trigram_similarity_join(
+        left, right, "lk", "lname", "rk", "rname",
+        threshold=0.8, review_threshold=0.3,
+    ).collect()
+    tiers = {(r["lk"], r["rk"]): r["tier"] for r in out}
+    assert tiers[(1, 10)] == "accept"  # exact name: sim 1.0
+    assert tiers[(2, 11)] == "review"  # france~francia: sim 0.5 mid band
+    assert (3, 12) not in tiers  # dissimilar: below review threshold

@@ -47,6 +47,7 @@ MUST_BROADCAST = {
     "broadcast_lookup",
     "territory_links",
     "anti_join",
+    "full_dict_lookup",
 }
 
 # queries whose parquet scan must carry pushed filters (they filter
