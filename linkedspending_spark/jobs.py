@@ -27,7 +27,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .model import TRANSFORMATION_VERSION
@@ -112,26 +112,31 @@ def run_transcripts_job(
                 with_mentions=with_mentions,
                 mention_mode=mention_mode,
             ).withColumn("bucket", bucket_of(F.col("dataset"), n_buckets))
-            # count + write in one pass would need observe(); count after
-            # write reads back the committed partitions (cheap, columnar)
-            write_triples(triples, out_path, partition_col="bucket")
+            # per-bucket counts ride the write pass itself as Observation
+            # metrics (one conditional sum per pending bucket) — no
+            # post-write recount scan of the committed partitions
+            obs = Observation()
+            observed = triples.observe(
+                obs,
+                *[
+                    F.sum((F.col("bucket") == b).cast("long")).alias(f"b{b}")
+                    for b in pending
+                ],
+            )
+            write_triples(observed, out_path, partition_col="bucket")
             if fail_after_write:
                 report.state = "FAILED"
                 raise RuntimeError("simulated crash before manifest record")
-            written = (
-                spark.read.parquet(out_path)
-                .where(F.col("bucket").isin(pending))
-                .groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-            by_bucket = {r["bucket"]: r["n"] for r in written}
+            vals = obs.get
+            by_bucket = {b: int(vals[f"b{b}"] or 0) for b in pending}
             rows = [(str(b), None, by_bucket.get(b, 0)) for b in pending]
             if not prior:
                 rows.append((BUCKETS_SENTINEL, n_buckets, None))
             store.record_many(rows, run_id=report.run_id, version=version)
             report.converted_triples = sum(by_bucket.values())
             if metrics:
+                from .sources.metrics import jvm_memory_metrics
+
                 metrics.record(
                     report.run_id,
                     "convert",
@@ -139,6 +144,7 @@ def run_transcripts_job(
                         "buckets_converted": len(pending),
                         "triples": report.converted_triples,
                         "seconds": time.time() - t0,
+                        **jvm_memory_metrics(spark),  # A7 high-water analog
                     },
                 )
         report.state = "FINISHED"
@@ -181,6 +187,23 @@ def run_import_nt_job(
     t0 = time.time()
     report.state = "RUNNING"
     try:
+        # same n_buckets guard + sentinel as run_transcripts_job: a later
+        # transcripts run against this manifest must see the bucket count
+        # this import used, or its resume anti-join would skip the wrong
+        # buckets
+        prior = {
+            int(r["n_rows"])
+            for r in store.read()
+            .where(F.col("dataset") == BUCKETS_SENTINEL)
+            .select("n_rows")
+            .collect()
+        }
+        if prior and n_buckets not in prior:
+            raise ValueError(
+                f"manifest store {manifest_path} was written with "
+                f"n_buckets={sorted(prior)}; re-run with the same value or "
+                f"use a fresh manifest path (got n_buckets={n_buckets})"
+            )
         triples = read_nt(spark, nt_path).withColumn(
             "dataset",
             F.coalesce(
@@ -191,20 +214,28 @@ def run_import_nt_job(
         bucketed = triples.withColumn(
             "bucket", bucket_of(F.col("dataset"), n_buckets)
         ).dropDuplicates(["s", "p", "o"])
-        write_triples(bucketed, out_path, partition_col="bucket")
-        written = (
-            spark.read.parquet(out_path)
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+        # per-bucket counts from Observation metrics on the write pass
+        obs = Observation()
+        observed = bucketed.observe(
+            obs,
+            *[
+                F.sum((F.col("bucket") == b).cast("long")).alias(f"b{b}")
+                for b in range(n_buckets)
+            ],
         )
-        store.record_many(
-            [(str(r["bucket"]), None, r["n"]) for r in written],
-            run_id=report.run_id,
-            version=version,
-        )
-        report.pending = sorted(int(r["bucket"]) for r in written)
-        report.converted_triples = sum(r["n"] for r in written)
+        write_triples(observed, out_path, partition_col="bucket")
+        vals = obs.get
+        by_bucket = {
+            b: int(vals[f"b{b}"] or 0)
+            for b in range(n_buckets)
+            if int(vals[f"b{b}"] or 0)
+        }
+        rows = [(str(b), None, n) for b, n in sorted(by_bucket.items())]
+        if not prior:
+            rows.append((BUCKETS_SENTINEL, n_buckets, None))
+        store.record_many(rows, run_id=report.run_id, version=version)
+        report.pending = sorted(by_bucket)
+        report.converted_triples = sum(by_bucket.values())
         report.state = "FINISHED"
     except Exception:
         report.state = "FAILED"
@@ -235,6 +266,7 @@ def run_canonicalize_job(
     from .operators.canon import (
         canonicalize_triples,
         connected_components,
+        lineage_checkpoint,
         prefer_representatives,
         property_alias_edges,
     )
@@ -247,30 +279,30 @@ def run_canonicalize_job(
     report.state = "RUNNING"
     try:
         # freshness-aware skip (P7 upToDate semantics): a prior
-        # canonicalize only counts if no convert manifest row is NEWER
-        # than it — otherwise buckets landed since and the canonical
-        # table would be stale.
+        # canonicalize only counts if no convert manifest row landed
+        # since it ran. Ordering key is the CONVERT-ROW COUNT the
+        # sentinel recorded (manifests are append-only, so the count is
+        # monotonic) — not wall-clock timestamps, which tie when convert
+        # and canonicalize land in the same clock tick or drift across
+        # drivers sharing the manifest path.
         rows = store.read().where(F.col("version") >= version).collect()
-        canon_ts = max(
-            (r["finished_at"] for r in rows if r["dataset"] == CANON_SENTINEL),
-            default=None,
-        )
-        convert_ts = max(
+        n_convert = sum(1 for r in rows if not r["dataset"].startswith("__"))
+        covered = max(
             (
-                r["finished_at"]
+                int(r["n_rows"])
                 for r in rows
-                if not r["dataset"].startswith("__")
+                if r["dataset"] == CANON_SENTINEL and r["n_rows"] is not None
             ),
             default=None,
         )
-        if canon_ts is not None and (convert_ts is None or canon_ts >= convert_ts):
+        if covered is not None and covered >= n_convert:
             report.skipped = 1
             report.state = "FINISHED"
             return report
         report.pending = [0]
         # plain read (not read_triples): keeps the bucket partition column
         triples = spark.read.parquet(triples_path)
-        edges = property_alias_edges(triples).localCheckpoint(eager=False)
+        edges = lineage_checkpoint(property_alias_edges(triples))
         comp = connected_components(edges, "src", "dst")
         anchors = edges.select(F.col("dst").alias("uri"))
         comp = prefer_representatives(comp, anchors)
@@ -278,17 +310,22 @@ def run_canonicalize_job(
         canon = canonicalize_triples(
             triples, comp, rewrite_predicates=True
         ).dropDuplicates(["s", "p", "o"])
-        write_triples(canon, out_path, partition_col="bucket")
-        n = spark.read.parquet(out_path).count()
+        # output count rides the write pass (no post-write recount scan)
+        obs = Observation()
+        observed = canon.observe(obs, F.count(F.lit(1)).alias("n"))
+        write_triples(observed, out_path, partition_col="bucket")
+        n = int(obs.get["n"])
         store.record(
             dataset=CANON_SENTINEL,
-            n_rows=None,
+            n_rows=n_convert,  # convert-row watermark this canon covers
             n_triples=n,
             run_id=report.run_id,
             version=version,
         )
         report.converted_triples = n
         if metrics:
+            from .sources.metrics import jvm_memory_metrics
+
             metrics.record(
                 report.run_id,
                 "canonicalize",
@@ -297,6 +334,7 @@ def run_canonicalize_job(
                     "alias_edges": edges.count(),
                     "merged_nodes": merged.count(),
                     "seconds": time.time() - t0,
+                    **jvm_memory_metrics(spark),  # A7 high-water analog
                 },
             )
         report.state = "FINISHED"

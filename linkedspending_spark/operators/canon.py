@@ -24,6 +24,22 @@ from pyspark.sql import functions as F
 from .. import model as M
 
 
+def lineage_checkpoint(df: DataFrame) -> DataFrame:
+    """Truncate lineage for an iterative loop, executor-loss-safely.
+
+    When a checkpoint directory is configured
+    (``spark.sparkContext.setCheckpointDir``) this uses a *reliable*
+    checkpoint: blocks go to the (HDFS-compatible) checkpoint dir, so
+    losing an executor on a real cluster cannot strand the truncated
+    lineage. Without one it falls back to ``localCheckpoint`` — fine in
+    local mode / sandbox, where executor loss means process death
+    anyway. Lazy either way: the caller's next action materializes it.
+    """
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def exact_dictionary_links(
     labels: DataFrame, dictionary: DataFrame, label_col: str = "label"
 ) -> DataFrame:
@@ -202,8 +218,10 @@ def connected_components(
     for _ in range(max_iter):
         # lazy checkpoint: the signature aggregation below is the single
         # action that both materializes this round's edge set (truncating
-        # lineage) and tests convergence — one Spark job per round
-        cur = small_star(large_star(cur)).localCheckpoint(eager=False)
+        # lineage) and tests convergence — one Spark job per round.
+        # Reliable (dir-backed) when a checkpoint dir is set; see
+        # lineage_checkpoint for the executor-loss rationale.
+        cur = lineage_checkpoint(small_star(large_star(cur)))
         sig = cur.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),

@@ -311,15 +311,34 @@ def convert_transcripts(
     spark: SparkSession,
     transcripts: DataFrame,
     with_mentions: bool = True,
-    dedup: bool = True,
+    dedup: bool | str = "auto",
     mention_mode: str = "native",
 ) -> DataFrame:
     """Full conversion: observation + mention + dataset triples.
 
     ``dedup`` reproduces Jena's statement-set semantics
-    (DataModel.java:23-37 → U3 ``dropDuplicates``). The dedup shuffle
-    hashes on (s,p,o) which is near-uniform — no skew risk even when
-    conversations are skewed.
+    (DataModel.java:23-37 → U3 ``dropDuplicates``). The default
+    ``"auto"`` SKIPS the dedup shuffle on the native-mention path,
+    where the output is provably duplicate-free already:
+
+    * every emitted subject embeds ``conv_id`` (observation/dataset/
+      dsd/property/spec/slice URIs all mint from it), so no two
+      conversations can collide;
+    * within a conversation, each branch is set-valued by construction
+      — observation triples are one per (turn, field) with per-field
+      predicates, dataset triples enumerate distinct components /
+      distinct years from ONE aggregation row, mention triples join
+      ``array_distinct`` tokens against a key-unique dictionary;
+    * the three branches are pairwise disjoint (observation vs dataset
+      subjects differ; mention predicates ``dbo:currency`` /
+      ``sdmx:refArea`` appear in no other branch).
+
+    At 10^12 turns this removes the single largest shuffle of the
+    conversion job (measured 2.2 GB at sf0.1×8 — row-level (s,p,o)
+    hashing of every triple). The pandas mention mode keeps the dedup:
+    a fuzzy detector may map distinct surface forms to one URI, which
+    DOES create duplicates. Pass ``dedup=True``/``False`` to override
+    (equivalence property-tested in tests/test_convert_transcripts.py).
 
     ``mention_mode``: ``"native"`` = token explode + broadcast equi-join
     (exact codes; the fast path); ``"pandas"`` = Arrow pandas-UDF
@@ -327,6 +346,8 @@ def convert_transcripts(
     detection per turn) which additionally matches multi-word surface
     forms ("Swiss franc", "United Kingdom") that a token join cannot.
     """
+    if dedup == "auto":
+        dedup = bool(with_mentions and mention_mode == "pandas")
     parts = [observation_triples(transcripts), dataset_triples(transcripts)]
     if with_mentions and mention_mode == "native":
         parts.append(

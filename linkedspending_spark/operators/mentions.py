@@ -17,6 +17,7 @@ row-at-a-time ``F.udf``. Dictionaries ride along as broadcast variables.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -27,23 +28,34 @@ from .. import model as M
 from .. import uris as U
 
 
+@lru_cache(maxsize=32)
+def _compiled(pattern_str: str) -> re.Pattern:
+    """Per-executor compile cache: the alternation pattern is built ONCE
+    on the driver and broadcast as a string; executors compile it once
+    (lru_cache) instead of rebuilding it per Arrow batch."""
+    return re.compile(pattern_str)
+
+
 def make_mention_detector(spark: SparkSession, vocabulary: dict[str, str]):
     """Build a pandas UDF: text → array<string> of canonical URIs.
 
-    One alternation regex over the whole vocabulary, compiled once per
-    executor (broadcast), applied per Arrow batch with
-    ``Series.str.findall`` — vectorized mention detection.
+    One alternation regex over the whole vocabulary — the pattern
+    string is constructed once driver-side and broadcast; each executor
+    compiles it once (module-level cache) and applies it per Arrow
+    batch with ``Series.str.findall`` — vectorized mention detection
+    with no per-batch pattern rebuild.
     """
-    bc = spark.sparkContext.broadcast(vocabulary)
+    pattern_str = (
+        r"(?<![A-Za-z])("
+        + "|".join(re.escape(k) for k in sorted(vocabulary, key=len, reverse=True))
+        + r")(?![A-Za-z])"
+    )
+    bc = spark.sparkContext.broadcast((pattern_str, vocabulary))
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def detect(texts: pd.Series) -> pd.Series:
-        vocab = bc.value
-        pattern = re.compile(
-            r"(?<![A-Za-z])("
-            + "|".join(re.escape(k) for k in sorted(vocab, key=len, reverse=True))
-            + r")(?![A-Za-z])"
-        )
+        pat, vocab = bc.value
+        pattern = _compiled(pat)
         found = texts.fillna("").str.findall(pattern)
         return found.map(lambda toks: sorted({vocab[t] for t in toks}))
 
@@ -55,6 +67,49 @@ def _trigrams(s: str) -> set[str]:
     return {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
 
 
+def fuzzy_link_best(
+    labels: DataFrame,
+    candidates: DataFrame,
+    label_key: str = "label_key",
+    label_col: str = "label",
+    cand_key: str = "uri",
+    cand_label: str = "clabel",
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Scale path for fuzzy entity-link scoring: LSH-blocked, native.
+
+    Replaces the O(labels × candidates) loop of :func:`make_link_scorer`
+    for large candidate sets: label/candidate pairs are blocked through
+    ``minhash_lsh_join`` (banded bucket equi-join — only colliding pairs
+    are ever compared), exact-trigram-Jaccard verified, and reduced to
+    the best candidate per label (row_number over sim desc, key asc).
+    Everything is native expressions; no Python runs per pair.
+    """
+    from pyspark.sql import Window
+
+    from .linking import minhash_lsh_join
+
+    pairs = minhash_lsh_join(
+        labels,
+        candidates,
+        label_key,
+        label_col,
+        cand_key,
+        cand_label,
+        threshold=threshold,
+        n_hashes=n_hashes,
+        bands=bands,
+    )
+    w = Window.partitionBy(label_key).orderBy(F.col("sim").desc(), F.col(cand_key))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def make_link_scorer(
     spark: SparkSession, candidates: dict[str, str], threshold: float = 0.8
 ):
@@ -63,6 +118,12 @@ def make_link_scorer(
     The LIMES metric (``trigrams(x.label, y.label)``, accept 0.8) against
     a broadcast candidate dictionary {label → uri}; returns NULL below
     threshold. Candidate trigram sets are precomputed once per executor.
+
+    SCALE NOTE: this scorer scans every candidate per label inside the
+    UDF — right for a dictionary-sized candidate set (~10² rows, the
+    reference's LIMES country list), wrong for a real entity catalog.
+    Past ~10³ candidates use :func:`fuzzy_link_best`, which LSH-blocks
+    the pair space first and scores only bucket collisions.
     """
     bc = spark.sparkContext.broadcast(
         [(lbl, uri, _trigrams(lbl)) for lbl, uri in candidates.items()]

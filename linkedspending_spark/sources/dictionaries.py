@@ -101,14 +101,34 @@ def country_pairs() -> list[tuple[str, str]]:
     return [(code, _LGD + name) for code, name in sorted(_COUNTRY_NAMES.items())]
 
 
+def _local_pairs_df(
+    spark: SparkSession, pairs: list[tuple[str, str]], c0: str = "code", c1: str = "uri"
+) -> DataFrame:
+    """Dimension table as a VALUES literal → LocalTableScan.
+
+    PySpark's ``createDataFrame`` routes even a 50-row dict through a
+    parallelized RDD, so every broadcast-join build runs a full Spark
+    job over ~32 micro-tasks (measured 0.4–0.9 s PER QUERY — a constant
+    driver-side tax that caps strong scaling of every dictionary join).
+    A VALUES literal plans as ``LocalTableScan``: materialization is
+    ~10 ms and the broadcast build needs no job at all.
+    """
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows = ", ".join(f"('{q(a)}', '{q(b)}')" for a, b in pairs)
+    return spark.sql(f"SELECT col1 AS {c0}, col2 AS {c1} FROM (VALUES {rows})")
+
+
 def currency_df(spark: SparkSession) -> DataFrame:
     """code → URI dimension table (broadcast side of J1)."""
-    return spark.createDataFrame(currency_pairs(), "code string, uri string")
+    return _local_pairs_df(spark, currency_pairs())
 
 
 def country_df(spark: SparkSession) -> DataFrame:
     """ISO code → URI dimension table (broadcast side of J2)."""
-    return spark.createDataFrame(country_pairs(), "code string, uri string")
+    return _local_pairs_df(spark, country_pairs())
 
 
 def fuzzy_vocabularies() -> tuple[dict[str, str], dict[str, str]]:

@@ -47,3 +47,19 @@ class MetricsStore:
         if not os.listdir(self.path):
             return self.spark.createDataFrame([], METRICS_SCHEMA)
         return self.spark.read.schema(METRICS_SCHEMA).parquet(self.path)
+
+
+def jvm_memory_metrics(spark: SparkSession) -> dict[str, float]:
+    """JVM memory snapshot (A7, MemoryBenchmark.java:60-73 analog).
+
+    The reference samples ``Runtime.totalMemory - freeMemory`` around
+    each benchmark step; this reads the same counters from the driver
+    JVM (which in local mode IS the executor) via py4j. On a cluster,
+    per-executor peaks additionally surface through the Spark metrics
+    system; this row records the driver-observable high-water mark next
+    to the lineage metrics.
+    """
+    rt = spark._jvm.java.lang.Runtime.getRuntime()  # noqa: SLF001
+    total = float(rt.totalMemory())
+    used = total - float(rt.freeMemory())
+    return {"jvm_mem_used_bytes": used, "jvm_mem_total_bytes": total}

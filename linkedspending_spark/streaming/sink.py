@@ -1,18 +1,28 @@
 """Streaming triple sink with per-batch manifests (exactly-once).
 
-``foreachBatch`` materialization of the per-turn triple stream into the
-same partitioned layout as the batch pipeline, plus one manifest row
-per micro-batch. Exactly-once despite parquet append: the manifest is
-keyed by ``batch-{id}`` and a replayed micro-batch (restart from the
-streaming checkpoint) is skipped when its manifest row already exists —
-the foreachBatch idempotence pattern, and the streaming twin of the
-batch job's write-then-record ordering (UploadWorker.java:32-59
-semantics; sources/manifest.py).
+``foreachBatch`` materialization of the per-turn triple stream into a
+partitioned layout keyed by ``(batch, bucket)``, plus one manifest row
+per micro-batch. Exactly-once, by construction:
+
+* the write is **idempotent**: batch id is a partition column and the
+  write uses dynamic partition overwrite, so a replayed micro-batch
+  (restart from the streaming checkpoint, or a crash between the data
+  commit and the manifest record) *overwrites its own partitions*
+  instead of appending duplicates — the streaming twin of the batch
+  job's idempotent bucket overwrite (UploadWorker.java:32-59 semantics);
+* the manifest is keyed ``batch-{id}`` and recorded AFTER the data
+  commit; a batch whose key is already present is skipped entirely.
+
+Per-micro-batch cost is one Spark job: the seen-batch set is loaded
+from the manifest ONCE at stream start (driver-side set — no
+O(batches²) manifest rescans), and row/triple counts come from
+``Observation`` metrics piggybacked on the write pass itself (no
+post-write recount jobs).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..jobs import bucket_of
@@ -35,36 +45,45 @@ def stream_triples_to_table(
 
     Returns {"batches": n, "skipped": n}. Synchronous (tests/backfill);
     a deployment would `.start()` without processAllAvailable and let it
-    run. Batch data is appended bucket-partitioned; a replayed batch id
-    is detected via its manifest row and skipped entirely.
+    run.
     """
     store = ManifestStore(spark, manifest_path)
     run_id = new_run_id()
+    # ONE manifest scan per stream start; land() never rescans it
+    seen = {
+        r["dataset"] for r in store.read().select("dataset").distinct().collect()
+    }
     stats = {"batches": 0, "skipped": 0}
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         key = f"batch-{batch_id}"
-        already = store.read().where(F.col("dataset") == key).count()
-        if already:
+        if key in seen:
             stats["skipped"] += 1
             return
-        triples = observation_triples(batch_df).withColumn(
-            "bucket", bucket_of(F.col("dataset"), n_buckets)
+        rows_obs = Observation()
+        trip_obs = Observation()
+        src = batch_df.observe(rows_obs, F.count(F.lit(1)).alias("n_rows"))
+        triples = (
+            observation_triples(src)
+            .withColumn("bucket", bucket_of(F.col("dataset"), n_buckets))
+            .withColumn("batch", F.lit(int(batch_id)))
+            .observe(trip_obs, F.count(F.lit(1)).alias("n_triples"))
         )
         (
             triples.repartition(F.col("bucket"))
-            .write.mode("append")
-            .partitionBy("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "bucket")
             .parquet(out_path)
         )
-        n = triples.count()
         store.record(
             dataset=key,
-            n_rows=batch_df.count(),
-            n_triples=n,
+            n_rows=rows_obs.get["n_rows"],
+            n_triples=trip_obs.get["n_triples"],
             run_id=run_id,
             version=TRANSFORMATION_VERSION,
         )
+        seen.add(key)
         stats["batches"] += 1
 
     stream = (

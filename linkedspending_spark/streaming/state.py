@@ -9,7 +9,7 @@ per-row Python) and emits the running snapshot, so downstream sinks
 always hold the newest per-conversation completeness without ever
 rescanning landed data.
 
-State is tiny (4 longs per conversation) and keyed by ``conv_id`` — at
+State is tiny (3 longs per conversation) and keyed by ``conv_id`` — at
 10^9 conversations this is a few tens of GB spread across executors'
 state stores, which Structured Streaming checkpoints (RocksDB-backed on
 a real cluster) — the streaming analog of the batch manifest resume.

@@ -90,3 +90,37 @@ def test_order_invariance_per_turn_text_equality(spark):
         if row.text is not None
     }
     assert prop_texts == want
+
+
+def test_dedup_auto_is_equivalent_to_forced_dedup(spark, sf_dir):
+    """dedup="auto" skips the dropDuplicates shuffle on the native path
+    because the output is provably set-valued — verify the proof holds:
+    forced statement-set dedup changes nothing, and no (s,p,o) appears
+    twice, on both synthetic and events-derived inputs."""
+    from pyspark.sql import functions as F
+
+    from linkedspending_spark.transcripts import transcripts_from_events
+
+    inputs = [
+        synth_transcripts_df(spark, n_convs=10, base_turns=6, seed=3),
+        synth_transcripts_df(spark, n_convs=5, base_turns=4, seed=11,
+                             mega_conv_turns=200),
+        transcripts_from_events(spark, sf_dir),
+    ]
+    for t in inputs:
+        auto = convert_transcripts(spark, t)  # auto → no dedup shuffle
+        forced = convert_transcripts(spark, t, dedup=True)
+        n_auto, n_forced = auto.count(), forced.count()
+        assert n_auto == n_forced
+        dup = (
+            auto.groupBy("s", "p", "o").count().where(F.col("count") > 1).count()
+        )
+        assert dup == 0
+    # the pandas mention mode keeps dedup under "auto" (fuzzy detectors
+    # can map distinct surface forms to one URI)
+    t = synth_transcripts_df(spark, n_convs=4, base_turns=4, seed=5)
+    pd_auto = convert_transcripts(spark, t, mention_mode="pandas")
+    assert (
+        pd_auto.groupBy("s", "p", "o").count().where(F.col("count") > 1).count()
+        == 0
+    )

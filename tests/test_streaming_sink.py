@@ -44,6 +44,63 @@ def test_stream_sink_lands_all_triples_with_manifests(spark, tmp_path):
     assert sum(r["n_triples"] for r in rows) == len(want)
 
 
+def test_stream_sink_scans_manifest_once(spark, tmp_path, monkeypatch):
+    """The seen-batch set is loaded once at stream start; per-batch work
+    must not rescan the manifest table (was O(batches²))."""
+    in_path = _write_batches(spark, tmp_path)
+    calls = {"n": 0}
+    orig = ManifestStore.read
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(ManifestStore, "read", counting)
+    stats = stream_triples_to_table(
+        spark,
+        in_path,
+        str(tmp_path / "triples"),
+        str(tmp_path / "man"),
+        str(tmp_path / "ckpt"),
+    )
+    assert stats["batches"] >= 2
+    assert calls["n"] == 1  # independent of batch count
+
+
+def test_stream_sink_crash_between_write_and_record_is_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE fix: data committed but manifest record lost (crash window)
+    must NOT duplicate triples on replay — the (batch, bucket) dynamic
+    partition overwrite replaces the orphaned partitions."""
+    import pyspark.errors
+
+    in_path = _write_batches(spark, tmp_path)
+    out = str(tmp_path / "triples")
+    man = str(tmp_path / "man")
+
+    orig = ManifestStore.record
+
+    def crashing(self, *a, **k):
+        raise RuntimeError("simulated crash after data commit")
+
+    monkeypatch.setattr(ManifestStore, "record", crashing)
+    import pytest as _pytest
+
+    with _pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        stream_triples_to_table(spark, in_path, out, man, str(tmp_path / "c1"))
+    orphaned = spark.read.parquet(out).count()
+    assert orphaned > 0  # batch-0 data landed without a manifest row
+
+    monkeypatch.setattr(ManifestStore, "record", orig)
+    stats = stream_triples_to_table(spark, in_path, out, man, str(tmp_path / "c2"))
+    assert stats["batches"] >= 2 and stats["skipped"] == 0
+
+    batch = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(in_path)
+    want = observation_triples(batch).count()
+    assert spark.read.parquet(out).count() == want  # no duplicates
+
+
 def test_stream_sink_replay_is_skipped(spark, tmp_path):
     """Restarting from a FRESH checkpoint replays every file; manifest
     keys must suppress the duplicate appends (exactly-once)."""
