@@ -114,6 +114,175 @@ def assign_cells(df: DataFrame, centroids: list[list[float]], vec_col: str = "em
     )
 
 
+IVF_SCALE = 1 << 20  # fixed-point scale for the exact Lloyd variant
+
+
+def _scaled_col(vec_col):
+    """array<long> fixed-point copy of the embedding (round half away
+    from zero at scale 2^20 — bit-identical in Spark and DuckDB)."""
+    return F.transform(
+        _col_of(vec_col), lambda v: F.round(v.cast("double") * IVF_SCALE).cast("long")
+    )
+
+
+def _col_of(c):
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _exact_dist_expr(x_col, xx_col, s: list[int], n: int):
+    """Exact rational L2 distance² of integer vector x to centroid s/n,
+    as a deterministic double: numerator n²·(x·x) − 2n·(x·s) + (s·s)
+    is computed EXACTLY in decimal(38,0) (same integer DuckDB gets in
+    HUGEINT), then one double conversion + one double division — both
+    IEEE round-to-nearest in both engines, so the resulting doubles are
+    bit-identical and the argmin/tie-break (cell asc) agrees."""
+    s_lit = F.array(*[F.lit(int(v)) for v in s])
+    xs = F.aggregate(
+        F.zip_with(x_col, s_lit, lambda a, b: a * b), F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    ss = sum(int(v) * int(v) for v in s)
+    dec = "decimal(38,0)"
+    num = (
+        F.lit(int(n * n)).cast(dec) * xx_col.cast(dec)
+        - F.lit(int(2 * n)).cast(dec) * xs.cast(dec)
+        + F.lit(int(ss)).cast(dec)
+    )
+    return num.cast("double") / float(n * n)
+
+
+def build_ivf_exact(
+    spark: SparkSession,
+    df: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> tuple[DataFrame, list[tuple[list[int], int]]]:
+    """Deterministic Lloyd IVF: fixed-point vectors, exact integer sums.
+
+    The float :func:`build_ivf` averages doubles, whose summation order
+    differs between engines (Spark partial aggregation vs DuckDB single
+    stream) — centroids are not bit-comparable. This variant keeps every
+    centroid as the exact rational (per-dim integer sum, count): integer
+    sums are order-independent, so Spark and a SQL oracle converge to
+    IDENTICAL assignments round by round (distance comparison is exact —
+    see ``_exact_dist_expr``). Assignment is L2 (as in ``ivf_probe``).
+
+    Returns (assigned_df with ``cell``, centroids as [(sum_vec, n)]).
+    Driver traffic per round is O(cells × dims) integers — same shape as
+    the float path.
+    """
+    scaled = df.select(
+        F.col(key_col), F.col(vec_col), _scaled_col(vec_col).alias("__x")
+    ).withColumn(
+        "__xx",
+        F.aggregate(
+            F.col("__x"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ),
+    )
+    seeds = scaled.orderBy(key_col).limit(n_cells).select("__x").collect()
+    cents: list[tuple[list[int], int]] = [
+        ([int(v) for v in r["__x"]], 1) for r in seeds
+    ]
+
+    def assign(cents_now):
+        dists = F.array(
+            *[
+                F.struct(
+                    _exact_dist_expr(F.col("__x"), F.col("__xx"), s, n).alias("d"),
+                    F.lit(c).alias("cell"),
+                )
+                for c, (s, n) in enumerate(cents_now)
+            ]
+        )
+        # array_min of struct<d,cell> = argmin with cell-asc tie-break
+        return scaled.withColumn("cell", F.array_min(dists)["cell"])
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        sums = (
+            assigned.select("cell", F.posexplode("__x").alias("i", "v"))
+            .groupBy("cell", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        n_of: dict[int, int] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["i"]] = int(r["s"])
+            n_of[r["cell"]] = int(r["n"])
+        dims = len(cents[0][0])
+        cents = [
+            (
+                [by_cell[c][i] for i in range(dims)],
+                n_of[c],
+            )
+            if c in by_cell
+            else cents[c]  # empty cell keeps its previous centroid
+            for c in range(n_cells)
+        ]
+    return assign(cents).drop("__x", "__xx"), cents
+
+
+def ivf_topk_exact(
+    spark: SparkSession,
+    assigned: DataFrame,
+    cents: list[tuple[list[int], int]],
+    q_key,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k over the exact-Lloyd index, fully oracle-comparable.
+
+    Probe cells = the ``n_probe`` cells nearest the query (same exact
+    rational distance, tie by cell); final scoring = double cosine on
+    the ORIGINAL float vectors (identical expression both engines),
+    rounded to 6, tie by key.
+    """
+    import math
+
+    def half_away(x: float) -> int:
+        # Python round() is half-to-even; Spark/DuckDB round half AWAY
+        # from zero — and exact .5 fractions DO occur for float32·2^20
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    q_row = assigned.where(F.col(key_col) == q_key).select(vec_col).collect()[0]
+    qvec = [float(x) for x in q_row[vec_col]]
+    qx = [half_away(x * IVF_SCALE) for x in qvec]
+    qxx = sum(v * v for v in qx)
+
+    def dist_to(s, n):
+        xs = sum(a * b for a, b in zip(qx, s))
+        ss = sum(v * v for v in s)
+        return float(n * n * qxx - 2 * n * xs + ss) / float(n * n)
+
+    probe = sorted(
+        range(len(cents)), key=lambda c: (dist_to(*cents[c]), c)
+    )[:n_probe]
+
+    q_lit = F.array(*[F.lit(x) for x in qvec])
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda u, w: u.cast("double") * w.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    v = F.col(vec_col)
+    cos = dot(v, q_lit) / (F.sqrt(dot(v, v)) * F.sqrt(dot(q_lit, q_lit)))
+    return (
+        assigned.where(F.col("cell").isin(probe))
+        .where(F.col(key_col) != q_key)
+        .select(F.col(key_col), F.col("cell"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],

@@ -1589,20 +1589,115 @@ SELECT a, b, cosine FROM pairs WHERE cosine >= {_ELSH_THRESHOLD}
 SQL_EMBEDDING_LSH_PAIRS = _sql_embedding_lsh_pairs()
 
 
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: Lloyd centroids, probe nearest cells.
+_IVFE_CELLS = 8
+_IVFE_ITERS = 2
+_IVFE_PROBE = 2
+_IVFE_K = 5
+_IVFE_DIMS = 64  # driver testdata embedding width
+_IVFE_SCALE = 1 << 20
 
-    Rows-only BY DESIGN: Lloyd iterations average floats, and float
-    summation order differs between engines (Spark partial aggregation
-    vs DuckDB single-stream), so centroids are not bit-comparable. The
-    frozen-centroid probe shape IS oracled (``ivf_probe``), and pytest
-    checks this variant's recall against brute force."""
-    from .operators.simsearch import build_ivf, ivf_topk
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k with FULLY DETERMINISTIC Lloyd training.
+
+    The float Lloyd variant is not oracle-comparable (float summation
+    order differs between engines); ``build_ivf_exact`` keeps centroids
+    as exact integer rationals (fixed-point vectors, per-dim integer
+    sums), so every assignment round — and therefore the probed cells
+    and the final top-k — is bit-identical in Spark and the DuckDB
+    oracle, which unrolls the same ``iters`` Lloyd rounds in SQL. The
+    float operator (``build_ivf``/``ivf_topk``) stays pytest-covered
+    (recall vs brute force in tests/test_dedup_simsearch.py)."""
+    from .operators.simsearch import build_ivf_exact, ivf_topk_exact
 
     e = _read(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == 0).select("embedding").collect()[0]["embedding"]
-    assigned, centroids = build_ivf(spark, e, n_cells=8, iters=2)
-    return ivf_topk(assigned, centroids, [float(x) for x in q], k=10, n_probe=4)
+    assigned, cents = build_ivf_exact(
+        spark, e, n_cells=_IVFE_CELLS, iters=_IVFE_ITERS
+    )
+    return ivf_topk_exact(
+        spark, assigned, cents, q_key=0, k=_IVFE_K, n_probe=_IVFE_PROBE
+    )
+
+
+def _sql_ivf_topk() -> str:
+    dist = (
+        "CAST(CAST(c.n AS HUGEINT) * c.n * {v}.xx"
+        " - 2 * c.n * list_sum(list_transform({v}.x,"
+        " (xi, i) -> CAST(xi AS HUGEINT) * c.s[i]))"
+        " + c.ss AS DOUBLE) / (CAST(c.n AS DOUBLE) * c.n)"
+    )
+    parts = [
+        f"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+s0 AS (SELECT vec_id, embedding,
+  list_transform(embedding, v ->
+    CAST(round(CAST(v AS DOUBLE) * {_IVFE_SCALE}) AS BIGINT)) AS x FROM e),
+scaled AS (SELECT vec_id, embedding, x,
+  list_sum(list_transform(x, v -> CAST(v AS HUGEINT) * v)) AS xx FROM s0),
+cent0 AS (SELECT vec_id AS cell, x AS s, 1 AS n,
+  list_sum(list_transform(x, v -> CAST(v AS HUGEINT) * v)) AS ss
+  FROM s0 WHERE vec_id < {_IVFE_CELLS})"""
+    ]
+    prev = "cent0"
+    for r in range(1, _IVFE_ITERS + 1):
+        a, cent = f"a{r}", f"cent{r}"
+        parts.append(
+            f"""{a} AS (
+  SELECT vec_id, embedding, x, xx, cell FROM (
+    SELECT v.vec_id, v.embedding, v.x, v.xx, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist.format(v='v')}, c.cell) AS rk
+    FROM scaled v CROSS JOIN {prev} c) WHERE rk = 1)"""
+        )
+        parts.append(
+            f"""{cent}_sums AS (
+  SELECT cell, i, SUM(x[i]) AS sm, COUNT(*) AS n
+  FROM {a} CROSS JOIN (SELECT unnest(generate_series(1, {_IVFE_DIMS})) AS i)
+  GROUP BY cell, i),
+{cent}_agg AS (
+  SELECT cell, list(sm ORDER BY i) AS s, MAX(n) AS n
+  FROM {cent}_sums GROUP BY cell),
+{cent} AS (
+  SELECT p.cell, COALESCE(g.s, p.s) AS s, COALESCE(g.n, p.n) AS n,
+         list_sum(list_transform(COALESCE(g.s, p.s),
+                                 si -> CAST(si AS HUGEINT) * si)) AS ss
+  FROM {prev} p LEFT JOIN {cent}_agg g USING (cell))"""
+        )
+        prev = cent
+    af = f"a{_IVFE_ITERS + 1}"
+    parts.append(
+        f"""{af} AS (
+  SELECT vec_id, embedding, x, xx, cell FROM (
+    SELECT v.vec_id, v.embedding, v.x, v.xx, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist.format(v='v')}, c.cell) AS rk
+    FROM scaled v CROSS JOIN {prev} c) WHERE rk = 1)"""
+    )
+    parts.append(
+        f"""q AS (SELECT x AS qx, xx AS qxx, embedding AS qv FROM scaled WHERE vec_id = 0),
+probes AS (
+  SELECT c.cell FROM {prev} c CROSS JOIN q
+  ORDER BY CAST(CAST(c.n AS HUGEINT) * c.n * q.qxx
+                - 2 * c.n * list_sum(list_transform(q.qx,
+                    (xi, i) -> CAST(xi AS HUGEINT) * c.s[i]))
+                + c.ss AS DOUBLE) / (CAST(c.n AS DOUBLE) * c.n), c.cell
+  LIMIT {_IVFE_PROBE})"""
+    )
+    cos = (
+        "list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(qv[i] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT vec_id, cell, ROUND({cos}, 6) AS cosine
+FROM {af} JOIN probes USING (cell) CROSS JOIN q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT {_IVFE_K}
+"""
+
+
+SQL_IVF_TOPK = _sql_ivf_topk()
 
 
 _MH_P = (1 << 61) - 1
@@ -2346,8 +2441,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_tiers": q_link_tiers,
     "triple_match": q_triple_match,
     "full_dict_lookup": q_full_dict_lookup,
-    # rows-only (iterative float means — no SQL oracle by design, see
-    # q_ivf_topk docstring; the frozen-centroid twin ivf_probe is oracled)
     "ivf_topk": q_ivf_topk,
 }
 
@@ -2411,4 +2504,5 @@ ORACLES: dict[str, str] = {
     "link_tiers": SQL_LINK_TIERS,
     "triple_match": SQL_TRIPLE_MATCH,
     "full_dict_lookup": SQL_FULL_DICT_LOOKUP,
+    "ivf_topk": SQL_IVF_TOPK,
 }
