@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "quality_score",
     "territory_links",
     "date_parse_stats",
+    # round-2 heavy operators: banded-LSH linking, iterative CC, exact-Lloyd IVF
+    "lsh_join",
+    "connected_components",
+    "ivf_topk",
 ]
 
 

@@ -313,8 +313,18 @@ def convert_transcripts(
     with_mentions: bool = True,
     dedup: bool | str = "auto",
     mention_mode: str = "native",
+    currencies: DataFrame | None = None,
+    countries: DataFrame | None = None,
 ) -> DataFrame:
     """Full conversion: observation + mention + dataset triples.
+
+    ``currencies``/``countries`` override the built-in compact
+    dictionaries with user-supplied (code, uri) tables — e.g. the
+    packaged full ISO lists (``sources.dictionaries.full_currency_df``)
+    or a ``read_tsv_dictionary`` load of your own TSV (the reference's
+    codetocurrency.tsv workflow, ConvertWorker.java:90-105). The
+    dictionary side is always broadcast; code sets must stay disjoint
+    between the two tables (uppercase ISO-4217 vs lowercase alpha-2).
 
     ``dedup`` reproduces Jena's statement-set semantics
     (DataModel.java:23-37 → U3 ``dropDuplicates``). The default
@@ -347,12 +357,21 @@ def convert_transcripts(
     forms ("Swiss franc", "United Kingdom") that a token join cannot.
     """
     if dedup == "auto":
-        dedup = bool(with_mentions and mention_mode == "pandas")
+        # the dedup-free proof needs code→uri to be injective; built-in
+        # dicts are, but user tables may alias codes (ISO-4217 has
+        # BYN/BYR → Belarusian_ruble, MRO/MRU, STD/STN, VEF/VES), which
+        # makes one turn emit the same mention triple twice — keep the
+        # statement-set dedup whenever custom dictionaries are supplied
+        dedup = bool(
+            (with_mentions and mention_mode == "pandas")
+            or currencies is not None
+            or countries is not None
+        )
     parts = [observation_triples(transcripts), dataset_triples(transcripts)]
     if with_mentions and mention_mode == "native":
-        parts.append(
-            mention_triples(transcripts, currency_df(spark), country_df(spark))
-        )
+        cur = currencies if currencies is not None else currency_df(spark)
+        ctry = countries if countries is not None else country_df(spark)
+        parts.append(mention_triples(transcripts, cur, ctry))
     elif with_mentions and mention_mode == "pandas":
         from ..sources.dictionaries import fuzzy_vocabularies
         from .mentions import mention_triples_pandas

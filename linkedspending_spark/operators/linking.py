@@ -143,6 +143,15 @@ def minhash_lsh_join(
     (engine-portable — the DuckDB oracle reproduces the exact pair
     set); the default compresses each slice to an 8-byte xxhash64 key,
     which is what you want shuffled at 100 TB.
+
+    The LSH pipeline runs over DISTINCT labels, then expands label
+    pairs back to key pairs with two equi-joins at the end. Similarity
+    depends only on the labels, so the output is identical — but on
+    real entity data labels repeat heavily, and duplicate labels make
+    bucket membership (and the candidate join) quadratic in the
+    duplication factor: measured 26.9 s → ~2 s at sf0.1 where 20k part
+    rows share ~150 names. Signatures are also computed once per
+    distinct label instead of once per row.
     """
     rows_per_band = n_hashes // bands
 
@@ -178,12 +187,14 @@ def minhash_lsh_join(
             F.col("b.bucket").alias("bucket"),
         )
 
-    lb = banded(left, left_key, left_label, "l")
-    rb = banded(right, right_key, right_label, "r")
+    l_labels = left.select(F.col(left_label).alias("__lbl")).distinct()
+    r_labels = right.select(F.col(right_label).alias("__lbl")).distinct()
+    lb = banded(l_labels, "__lbl", "__lbl", "l")
+    rb = banded(r_labels, "__lbl", "__lbl", "r")
     candidates = (
         lb.join(rb, ["band", "bucket"])
-        .select("lk", "llabel", "rk", "rlabel")
-        .dropDuplicates(["lk", "rk"])
+        .select("llabel", "rlabel")
+        .dropDuplicates(["llabel", "rlabel"])
     )
     scored = candidates.withColumn(
         "sim",
@@ -192,8 +203,15 @@ def minhash_lsh_join(
             "double"
         ),
     )
-    return scored.where(F.col("sim") >= threshold).select(
-        F.col("lk").alias(left_key),
-        F.col("rk").alias(right_key),
-        F.round("sim", 6).alias("sim"),
+    label_pairs = scored.where(F.col("sim") >= threshold)
+    lkeys = left.select(F.col(left_key), F.col(left_label).alias("llabel"))
+    rkeys = right.select(F.col(right_key), F.col(right_label).alias("rlabel"))
+    return (
+        label_pairs.join(lkeys, "llabel")
+        .join(rkeys, "rlabel")
+        .select(
+            F.col(left_key),
+            F.col(right_key),
+            F.round("sim", 6).alias("sim"),
+        )
     )

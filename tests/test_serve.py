@@ -105,3 +105,52 @@ def test_link_tiers_accept_and_review(spark):
     assert tiers[(1, 10)] == "accept"  # exact name: sim 1.0
     assert tiers[(2, 11)] == "review"  # france~francia: sim 0.5 mid band
     assert (3, 12) not in tiers  # dissimilar: below review threshold
+
+
+def test_convert_with_full_dictionaries_recall(spark):
+    """convert_transcripts(currencies=..., countries=...) runs the
+    pipeline against the full ISO tables; every planted mention is
+    recovered (recall 1.0 for dictionary-covered codes) and code
+    aliasing (BYN/BYR → one URI) cannot duplicate triples."""
+    from linkedspending_spark.operators.convert_transcripts import (
+        convert_transcripts,
+    )
+    from linkedspending_spark.sources.dictionaries import (
+        full_country_df,
+        full_currency_df,
+    )
+    from linkedspending_spark.transcripts import synth_transcripts_df
+    from linkedspending_spark.uris import observation_uri_str
+
+    t = synth_transcripts_df(spark, n_convs=8, base_turns=5, seed=17)
+    out = convert_transcripts(
+        spark,
+        t,
+        currencies=full_currency_df(spark),
+        countries=full_country_df(spark),
+    )
+    got = {
+        (r["s"], r["o"]) for r in out.collect() if r["p"] == M.DBO_CURRENCY
+    }
+    # planted: every turn text carries "paid <amt> <CUR> in <ctry>"
+    import re
+
+    cur_dict = {
+        r["code"]: r["uri"] for r in full_currency_df(spark).collect()
+    }
+    want = set()
+    for row in t.collect():
+        m = re.search(r"paid \d+ ([A-Z]{3}) in", row["text"])
+        if m and m.group(1) in cur_dict:
+            want.add(
+                (
+                    observation_uri_str(row["conv_id"], str(row["turn_idx"])),
+                    cur_dict[m.group(1)],
+                )
+            )
+    assert want and want <= got  # recall 1.0 on planted currency mentions
+    # alias safety: no (s,p,o) multiplicity even with aliased codes
+    from pyspark.sql import functions as FF
+
+    dup = out.groupBy("s", "p", "o").count().where(FF.col("count") > 1).count()
+    assert dup == 0
