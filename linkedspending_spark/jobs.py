@@ -264,7 +264,7 @@ def run_canonicalize_job(
     anti-join it away and become no-ops.
     """
     from .operators.canon import (
-        canonicalize_triples,
+        canonicalize_triples_minimal_dedup,
         connected_components,
         lineage_checkpoint,
         prefer_representatives,
@@ -307,9 +307,11 @@ def run_canonicalize_job(
         anchors = edges.select(F.col("dst").alias("uri"))
         comp = prefer_representatives(comp, anchors)
         merged = comp.where(F.col("node") != F.col("component"))
-        canon = canonicalize_triples(
+        # statement-set semantics at O(merge-affected) dedup cost — only
+        # changed / representative-touching triples re-shuffle
+        canon = canonicalize_triples_minimal_dedup(
             triples, comp, rewrite_predicates=True
-        ).dropDuplicates(["s", "p", "o"])
+        )
         # output count rides the write pass (no post-write recount scan)
         obs = Observation()
         observed = canon.observe(obs, F.count(F.lit(1)).alias("n"))

@@ -245,6 +245,89 @@ def connected_components(
     )
 
 
+def canonicalize_triples_minimal_dedup(
+    triples: DataFrame, components: DataFrame, rewrite_predicates: bool = False
+) -> DataFrame:
+    """Canonical rewrite with statement-set semantics at O(affected) cost.
+
+    ``canonicalize_triples(...).dropDuplicates(["s","p","o"])`` re-shuffles
+    the ENTIRE triple table even when only a handful of entities merged.
+    But a duplicate pair can only arise when a rewrite makes two triples
+    equal — and a rewritten term always becomes a component
+    REPRESENTATIVE. So every triple participating in any duplicate pair
+    either (a) was itself rewritten, or (b) already contained a
+    representative term. Everything else ("safe") passes through with no
+    shuffle; only the affected subset is deduplicated, then the safe
+    side is anti-deduplicated against nothing (it cannot collide with
+    risky rows post-dedup: a safe row equal to a risky row would itself
+    contain a representative term — contradiction). At 10^12 triples
+    with incremental merges the dedup shuffle drops from 1× corpus to
+    O(merge-affected rows).
+
+    ``components`` may be the full (node, component) map; self-maps are
+    dropped internally (they rewrite nothing). Assumes the INPUT already
+    has statement-set semantics (true for every table this engine
+    materializes — convert and import both dedup); pre-existing input
+    duplicates among safe rows would pass through, where the full
+    ``dropDuplicates`` variant would also scrub them.
+    """
+    merged = components.where(F.col("node") != F.col("component"))
+    reps = merged.select(F.col("component").alias("__rep")).distinct()
+
+    s_map = merged.select(F.col("node").alias("s"), F.col("component").alias("__s_canon"))
+    o_map = merged.select(F.col("node").alias("o"), F.col("component").alias("__o_canon"))
+    out = triples.join(F.broadcast(s_map), "s", "left").join(
+        F.broadcast(o_map), "o", "left"
+    )
+    p_col = F.col("p")
+    changed = F.col("__s_canon").isNotNull() | (
+        (F.col("o_kind") == M.KIND_URI) & F.col("__o_canon").isNotNull()
+    )
+    if rewrite_predicates:
+        p_map = merged.select(
+            F.col("node").alias("p"), F.col("component").alias("__p_canon")
+        )
+        out = out.join(F.broadcast(p_map), "p", "left")
+        p_col = F.coalesce("__p_canon", "p")
+        changed = changed | F.col("__p_canon").isNotNull()
+    # representative-term membership (broadcast left joins, no shuffle)
+    out = (
+        out.join(F.broadcast(reps), out["s"] == reps["__rep"], "left")
+        .withColumn("__s_is_rep", F.col("__rep").isNotNull())
+        .drop("__rep")
+    )
+    out = (
+        out.join(F.broadcast(reps), out["o"] == reps["__rep"], "left")
+        .withColumn("__o_is_rep", F.col("__rep").isNotNull())
+        .drop("__rep")
+    )
+    out = (
+        out.join(F.broadcast(reps), out["p"] == reps["__rep"], "left")
+        .withColumn("__p_is_rep", F.col("__rep").isNotNull())
+        .drop("__rep")
+    )
+    risky_flag = (
+        changed | F.col("__s_is_rep") | F.col("__o_is_rep") | F.col("__p_is_rep")
+    )
+    cols = [c for c in triples.columns if c not in ("s", "o", "p")]
+    rewritten = out.select(
+        F.coalesce("__s_canon", "s").alias("s"),
+        p_col.alias("p"),
+        F.when(
+            F.col("o_kind") == M.KIND_URI, F.coalesce("__o_canon", "o")
+        ).otherwise(F.col("o")).alias("o"),
+        *cols,
+        risky_flag.alias("__risky"),
+    )
+    safe = rewritten.where(~F.col("__risky")).drop("__risky")
+    risky = (
+        rewritten.where(F.col("__risky"))
+        .drop("__risky")
+        .dropDuplicates(["s", "p", "o"])
+    )
+    return safe.unionByName(risky).select(*triples.columns)
+
+
 def canonicalize_triples(
     triples: DataFrame, components: DataFrame, rewrite_predicates: bool = False
 ) -> DataFrame:

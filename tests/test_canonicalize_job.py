@@ -94,3 +94,58 @@ def test_canonicalize_reruns_after_new_convert(spark, tmp_path):
     # and a canonicalize directly after IS skipped
     r3 = run_canonicalize_job(spark, out, canon_out, man, version=99)
     assert r3.skipped == 1
+
+
+def test_minimal_dedup_equals_full_dedup(spark):
+    """canonicalize_triples_minimal_dedup must equal the full-shuffle
+    rewrite+dropDuplicates on set-valued input, including when merges
+    create real collisions (A→B where (B,p,o) already exists)."""
+    from pyspark.sql import functions as F
+
+    from linkedspending_spark.operators.canon import (
+        canonicalize_triples,
+        canonicalize_triples_minimal_dedup,
+    )
+    from linkedspending_spark.operators.convert_transcripts import (
+        convert_transcripts,
+    )
+    from linkedspending_spark.transcripts import synth_transcripts_df
+
+    t = synth_transcripts_df(spark, n_convs=6, base_turns=4, seed=23)
+    triples = convert_transcripts(spark, t)
+    # components: merge every conv's role-property URI into conv-0000's,
+    # plus a self-map row (must be a no-op) — guarantees collisions
+    from linkedspending_spark import model as M
+
+    props = (
+        triples.where(F.col("p").endswith("-role"))
+        .select(F.col("p").alias("node"))
+        .distinct()
+        .withColumn("component", F.lit(M.PREFIX_ONTOLOGY + "conv-0000-role"))
+    )
+    comp = props.unionByName(
+        spark.createDataFrame(
+            [("http://x/self", "http://x/self")], "node string, component string"
+        )
+    )
+    full = {
+        tuple(r)
+        for r in canonicalize_triples(triples, comp, rewrite_predicates=True)
+        .dropDuplicates(["s", "p", "o"])
+        .select("s", "p", "o")
+        .collect()
+    }
+    minimal = {
+        tuple(r)
+        for r in canonicalize_triples_minimal_dedup(
+            triples, comp, rewrite_predicates=True
+        )
+        .select("s", "p", "o")
+        .collect()
+    }
+    assert minimal == full
+    # and the minimal variant's output row count has no (s,p,o) dup
+    out = canonicalize_triples_minimal_dedup(triples, comp, rewrite_predicates=True)
+    assert (
+        out.groupBy("s", "p", "o").count().where(F.col("count") > 1).count() == 0
+    )
