@@ -1011,6 +1011,60 @@ FROM documents
 """
 
 
+_WINNOW_K = 5  # grams per hash
+_WINNOW_W = 4  # window of consecutive gram hashes; guarantee: any match
+#               of >= K + W - 1 chars shares a fingerprint (MOSS bound)
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS rolling-hash selection): hash every K-char gram, slide a
+    W-hash window, keep the min hash per window, emit the distinct
+    selected hashes. Robust to reordering/insertion — the local-min
+    selection guarantees any shared substring of length ≥ K+W−1
+    produces a shared fingerprint. All native expressions: the window
+    scan is ``transform(sequence) → array_min(slice(...))``, one pass,
+    no shuffle before the final explode-distinct."""
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    s = F.lower(F.col("text"))
+    n_grams = F.greatest(F.length(s) - F.lit(_WINNOW_K - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(s.substr(i, F.lit(_WINNOW_K))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    n_windows = F.greatest(F.size(hashes) - F.lit(_WINNOW_W - 1), F.lit(1))
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hashes, i, _WINNOW_W)),
+        )
+    )
+    return d.select("doc_id", F.explode(selected).alias("fp")).distinct()
+
+
+SQL_WINNOW_FINGERPRINT = f"""
+WITH d AS (SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id < 200),
+h AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(length(s) - {_WINNOW_K - 1}, 1)),
+           i -> CAST(('0x' || substr(md5(substr(s, i, {_WINNOW_K})), 1, 15)) AS BIGINT)
+         ) AS hashes
+  FROM d
+), w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(hashes) - {_WINNOW_W - 1}, 1)),
+           i -> list_min(hashes[i:i+{_WINNOW_W - 1}])
+         )) AS sel
+  FROM h
+)
+SELECT DISTINCT doc_id, unnest(sel) AS fp FROM w
+"""
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine similarity to query vector vec_id=0 (sim ≥ 0.3)."""
     e = _read(spark, sf_dir, "embeddings")
@@ -2416,6 +2470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "stopword_score": q_stopword_score,
     "fingerprint": q_fingerprint,
+    "winnow_fingerprint": q_winnow_fingerprint,
     "ann_cosine": q_ann_cosine,
     "embedding_centroids": q_embedding_centroids,
     "slice_triples": q_slice_triples,
@@ -2479,6 +2534,7 @@ ORACLES: dict[str, str] = {
     "quality_score": SQL_QUALITY_SCORE,
     "stopword_score": SQL_STOPWORD_SCORE,
     "fingerprint": SQL_FINGERPRINT,
+    "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "ann_cosine": SQL_ANN_COSINE,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "slice_triples": SQL_SLICE_TRIPLES,

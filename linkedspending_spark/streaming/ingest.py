@@ -54,6 +54,24 @@ def stream_turn_rate(transcripts: DataFrame, window: str = "10 minutes",
     )
 
 
+def stream_dedup_turns(
+    transcripts: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Exactly-once turn stream under at-least-once delivery.
+
+    Upstream transports (file re-drops, Kafka replays) deliver the same
+    turn twice; ``dropDuplicatesWithinWatermark`` keys state on
+    (conv_id, turn_idx) and expires it with the event-time watermark —
+    bounded state (the batch U3 statement-set semantic, streaming
+    edition). A duplicate arriving within the watermark horizon is
+    suppressed; state for conversations older than the horizon is
+    dropped, so state size tracks the ACTIVE window, not history.
+    """
+    return transcripts.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, in_path: str, query_name: str = "triples_stream"
 ) -> int:

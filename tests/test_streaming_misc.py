@@ -115,3 +115,40 @@ def test_nt_escape_roundtrip_property(texts):
     back_df = spark.createDataFrame(line_rows, "value string")
     got = sorted(r["o"] for r in _parse_nt_lines(back_df).collect())
     assert got == sorted(texts)
+
+
+def test_stream_dedup_turns_suppresses_replays(spark, tmp_path):
+    """At-least-once delivery (same turns dropped twice) → exactly-once
+    output via dropDuplicatesWithinWatermark keyed (conv_id, turn_idx)."""
+    from linkedspending_spark.streaming.ingest import (
+        read_transcript_stream,
+        stream_dedup_turns,
+    )
+
+    t = synth_transcripts_df(spark, n_convs=4, base_turns=4, seed=31)
+    in_path = str(tmp_path / "in_dup")
+    t.write.mode("overwrite").parquet(in_path)
+    t.write.mode("append").parquet(in_path)  # the replayed delivery
+    stream = read_transcript_stream(spark, in_path, max_files=1)
+    # synth conversations span ~115 days of event time; the watermark
+    # must cover that span or cross-batch rows are dropped as LATE
+    # rather than deduplicated (the correct production behavior, but
+    # not what this test exercises)
+    deduped = stream_dedup_turns(stream, watermark="3650 days")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_t1")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT conv_id, turn_idx, count(*) AS n FROM dedup_stream_t1 "
+        "GROUP BY conv_id, turn_idx"
+    ).collect()
+    assert rows and all(r["n"] == 1 for r in rows)  # no duplicate survived
+    assert len(rows) == t.count()  # and every distinct turn came through
