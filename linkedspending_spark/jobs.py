@@ -62,12 +62,16 @@ def run_transcripts_job(
     mention_mode: str = "native",
     fail_after_write: bool = False,
     metrics_path: str | None = None,
+    currencies: DataFrame | None = None,
+    countries: DataFrame | None = None,
 ) -> JobReport:
     """Convert all not-yet-done buckets of ``transcripts`` and materialize.
 
     ``fail_after_write`` simulates a crash between the data commit and
     the manifest record (for resume tests). ``metrics_path`` appends
     per-stage lineage rows (A5 analog) next to the manifests.
+    ``currencies``/``countries`` override the built-in mention
+    dictionaries (e.g. the packaged full ISO tables or a user TSV).
     """
     from .sources.metrics import MetricsStore
 
@@ -111,6 +115,8 @@ def run_transcripts_job(
                 todo.drop("bucket"),
                 with_mentions=with_mentions,
                 mention_mode=mention_mode,
+                currencies=currencies,
+                countries=countries,
             ).withColumn("bucket", bucket_of(F.col("dataset"), n_buckets))
             # per-bucket counts ride the write pass itself as Observation
             # metrics (one conditional sum per pending bucket) — no

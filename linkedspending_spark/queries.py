@@ -803,6 +803,36 @@ WHERE token <> '' GROUP BY token
 """
 
 
+# GPT-2-style pretokenizer, restricted to the Java-regex ∩ RE2 subset
+# (no lookarounds): contraction suffixes, space-prefixed letter runs,
+# space-prefixed digit runs, space-prefixed punctuation runs, space runs.
+# Both engines use leftmost-first alternation, so matches agree.
+_BPE_PATTERN = "'(?:s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ']+| +"
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: the LLM-pipeline pretokenizer shape
+    (space-prefixed word/number/punct pieces, contraction suffixes) —
+    ``regexp_extract_all`` keeps everything JVM-side, one agg shuffle."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.explode(
+        F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))
+    ).alias("token")
+    return (
+        d.select(toks)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_BPE_TOKEN_COUNTS = f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}')) AS token
+      FROM documents)
+GROUP BY token
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data ops: dedup / text analysis / fingerprint / ANN
 # --------------------------------------------------------------------------
@@ -2464,6 +2494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_get": q_json_get,
     "nt_escape": q_nt_escape,
     "token_counts": q_token_counts,
+    "bpe_token_counts": q_bpe_token_counts,
     "dedup_exact": q_dedup_exact,
     "shingle_jaccard": q_shingle_jaccard,
     "minhash_sig": q_minhash_sig,
@@ -2528,6 +2559,7 @@ ORACLES: dict[str, str] = {
     "json_get": SQL_JSON_GET,
     "nt_escape": SQL_NT_ESCAPE,
     "token_counts": SQL_TOKEN_COUNTS,
+    "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "shingle_jaccard": SQL_SHINGLE_JACCARD,
     "minhash_sig": SQL_MINHASH_SIG,

@@ -58,6 +58,25 @@ def main(argv: list[str] | None = None) -> int:
         help="run phase 2: property-URI canonicalization (broadcast dict "
         "+ connected components) into <output>_canonical",
     )
+    ap.add_argument(
+        "--full-dictionaries",
+        action="store_true",
+        help="link mentions against the packaged full ISO-4217/3166 "
+        "tables instead of the compact built-ins",
+    )
+    ap.add_argument(
+        "--currency-tsv",
+        help="user currency dictionary TSV (code<TAB>uri), overrides built-ins",
+    )
+    ap.add_argument(
+        "--country-tsv",
+        help="user country dictionary TSV (code<TAB>uri), overrides built-ins",
+    )
+    ap.add_argument(
+        "--checkpoint-dir",
+        help="reliable checkpoint dir (HDFS-compatible) for the "
+        "connected-components loop; executor-loss-safe on clusters",
+    )
     args = ap.parse_args(argv)
 
     from linkedspending_spark.jobs import (
@@ -72,6 +91,29 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     spark = get_spark(args.cpus, app_name="ls_pipeline")
+    if args.checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
+
+    currencies = countries = None
+    if args.full_dictionaries:
+        from linkedspending_spark.sources.dictionaries import (
+            full_country_df,
+            full_currency_df,
+        )
+
+        currencies, countries = full_currency_df(spark), full_country_df(spark)
+    if args.currency_tsv or args.country_tsv:
+        from linkedspending_spark.sources.dictionaries import read_tsv_dictionary
+
+        if args.currency_tsv:
+            currencies = read_tsv_dictionary(
+                spark, args.currency_tsv, "code string, uri string"
+            )
+        if args.country_tsv:
+            countries = read_tsv_dictionary(
+                spark, args.country_tsv, "code string, uri string"
+            )
+
     if args.import_nt:
         report = run_import_nt_job(
             spark,
@@ -109,6 +151,8 @@ def main(argv: list[str] | None = None) -> int:
         with_mentions=not args.no_mentions,
         mention_mode=args.mention_mode,
         metrics_path=metrics_path,
+        currencies=currencies,
+        countries=countries,
     )
     out = {
         "run_id": report.run_id,
