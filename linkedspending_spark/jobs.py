@@ -120,21 +120,39 @@ def run_transcripts_job(
             ).withColumn("bucket", bucket_of(F.col("dataset"), n_buckets))
             # per-bucket counts ride the write pass itself as Observation
             # metrics (one conditional sum per pending bucket) — no
-            # post-write recount scan of the committed partitions
-            obs = Observation()
-            observed = triples.observe(
-                obs,
-                *[
-                    F.sum((F.col("bucket") == b).cast("long")).alias(f"b{b}")
-                    for b in pending
-                ],
-            )
+            # post-write recount scan of the committed partitions. Past
+            # ~1k pending buckets the expression list bloats codegen, so
+            # fall back to one columnar read-back of the written
+            # partitions (count(*) on parquet footers is metadata-cheap).
+            use_observe = len(pending) <= 1024
+            if use_observe:
+                obs = Observation()
+                observed = triples.observe(
+                    obs,
+                    *[
+                        F.sum((F.col("bucket") == b).cast("long")).alias(f"b{b}")
+                        for b in pending
+                    ],
+                )
+            else:
+                observed = triples
             write_triples(observed, out_path, partition_col="bucket")
             if fail_after_write:
                 report.state = "FAILED"
                 raise RuntimeError("simulated crash before manifest record")
-            vals = obs.get
-            by_bucket = {b: int(vals[f"b{b}"] or 0) for b in pending}
+            if use_observe:
+                vals = obs.get
+                by_bucket = {b: int(vals[f"b{b}"] or 0) for b in pending}
+            else:
+                written = (
+                    spark.read.parquet(out_path)
+                    .where(F.col("bucket").isin(pending))
+                    .groupBy("bucket")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                by_bucket = {b: 0 for b in pending}
+                by_bucket.update({r["bucket"]: r["n"] for r in written})
             rows = [(str(b), None, by_bucket.get(b, 0)) for b in pending]
             if not prior:
                 rows.append((BUCKETS_SENTINEL, n_buckets, None))
@@ -221,21 +239,35 @@ def run_import_nt_job(
             "bucket", bucket_of(F.col("dataset"), n_buckets)
         ).dropDuplicates(["s", "p", "o"])
         # per-bucket counts from Observation metrics on the write pass
-        obs = Observation()
-        observed = bucketed.observe(
-            obs,
-            *[
-                F.sum((F.col("bucket") == b).cast("long")).alias(f"b{b}")
-                for b in range(n_buckets)
-            ],
-        )
+        # (same >1k-bucket codegen fallback as run_transcripts_job)
+        use_observe = n_buckets <= 1024
+        if use_observe:
+            obs = Observation()
+            observed = bucketed.observe(
+                obs,
+                *[
+                    F.sum((F.col("bucket") == b).cast("long")).alias(f"b{b}")
+                    for b in range(n_buckets)
+                ],
+            )
+        else:
+            observed = bucketed
         write_triples(observed, out_path, partition_col="bucket")
-        vals = obs.get
-        by_bucket = {
-            b: int(vals[f"b{b}"] or 0)
-            for b in range(n_buckets)
-            if int(vals[f"b{b}"] or 0)
-        }
+        if use_observe:
+            vals = obs.get
+            by_bucket = {
+                b: int(vals[f"b{b}"] or 0)
+                for b in range(n_buckets)
+                if int(vals[f"b{b}"] or 0)
+            }
+        else:
+            by_bucket = {
+                r["bucket"]: r["n"]
+                for r in spark.read.parquet(out_path)
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         rows = [(str(b), None, n) for b, n in sorted(by_bucket.items())]
         if not prior:
             rows.append((BUCKETS_SENTINEL, n_buckets, None))
