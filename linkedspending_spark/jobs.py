@@ -121,10 +121,10 @@ def run_transcripts_job(
             # per-bucket counts ride the write pass itself as Observation
             # metrics (one conditional sum per pending bucket) — no
             # post-write recount scan of the committed partitions. Past
-            # ~1k pending buckets the expression list bloats codegen, so
+            # OBSERVE_MAX_BUCKETS the expression list bloats codegen, so
             # fall back to one columnar read-back of the written
             # partitions (count(*) on parquet footers is metadata-cheap).
-            use_observe = len(pending) <= 1024
+            use_observe = len(pending) <= OBSERVE_MAX_BUCKETS
             if use_observe:
                 obs = Observation()
                 observed = triples.observe(
@@ -180,6 +180,10 @@ def run_transcripts_job(
         report.seconds = time.time() - t0
     return report
 
+
+# past this many per-bucket Observation expressions, codegen bloat beats
+# the saved read-back scan — fall back to counting the written partitions
+OBSERVE_MAX_BUCKETS = 1024
 
 CANON_SENTINEL = "__canonicalize__"
 BUCKETS_SENTINEL = "__n_buckets__"
@@ -240,7 +244,7 @@ def run_import_nt_job(
         ).dropDuplicates(["s", "p", "o"])
         # per-bucket counts from Observation metrics on the write pass
         # (same >1k-bucket codegen fallback as run_transcripts_job)
-        use_observe = n_buckets <= 1024
+        use_observe = n_buckets <= OBSERVE_MAX_BUCKETS
         if use_observe:
             obs = Observation()
             observed = bucketed.observe(

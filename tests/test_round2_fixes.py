@@ -144,3 +144,31 @@ def test_canonicalize_freshness_survives_clock_ties(spark, tmp_path, monkeypatch
     assert rep.pending  # new buckets actually converted
     c3 = run_canonicalize_job(spark, out, canon_out, man)
     assert c3.skipped == 0 and c3.converted_triples > 0
+
+
+def test_bucket_count_fallback_past_observe_cap(spark, tmp_path, monkeypatch):
+    """Past OBSERVE_MAX_BUCKETS pending buckets, per-bucket counts come
+    from the columnar read-back instead of Observation expressions —
+    manifests must be identical either way."""
+    import linkedspending_spark.jobs as jobs_mod
+
+    t = synth_transcripts_df(spark, n_convs=6, base_turns=3, seed=41)
+    # observe path
+    r1 = run_transcripts_job(
+        spark, t, str(tmp_path / "o1"), str(tmp_path / "m1"), n_buckets=8
+    )
+    # forced fallback path
+    monkeypatch.setattr(jobs_mod, "OBSERVE_MAX_BUCKETS", 0)
+    r2 = run_transcripts_job(
+        spark, t, str(tmp_path / "o2"), str(tmp_path / "m2"), n_buckets=8
+    )
+    assert r1.converted_triples == r2.converted_triples > 0
+    m1 = {
+        (r["dataset"], r["n_triples"])
+        for r in ManifestStore(spark, str(tmp_path / "m1")).read().collect()
+    }
+    m2 = {
+        (r["dataset"], r["n_triples"])
+        for r in ManifestStore(spark, str(tmp_path / "m2")).read().collect()
+    }
+    assert m1 == m2
