@@ -4,8 +4,8 @@
 sf0.001. ``queries()``/``oracle_sql()`` expose the SURVEY.md §2 **[Q]**
 operator registry with DuckDB oracles (see
 ``linkedspending_spark/queries.py``; validated side-by-side by
-``tools/compare_oracle.py`` — 62/62 SQL-oracled at sf0.001, sf0.01 and sf0.1 —
-EVERY entry, incl. exact-Lloyd IVF; plans gated by ``tools/plan_audit.py`` — 62/62).
+``tools/compare_oracle.py`` — 64/64 SQL-oracled at sf0.001 and sf0.01 —
+EVERY entry, incl. exact-Lloyd IVF; plans gated by ``tools/plan_audit.py`` — 64/64).
 """
 
 from __future__ import annotations

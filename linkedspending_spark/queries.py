@@ -2345,6 +2345,99 @@ FROM a
 SQL_MULTIMODAL_FEATURES = _sql_multimodal_features()
 
 
+_HS_FRAC_NUM = 3  # keep ~3/10 of documents
+_HS_FRAC_DEN = 10
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based corpus sampling (training-data op).
+
+    ``rand(seed)`` differs across engines AND across re-partitioning;
+    hash sampling (keep rows whose content-hash bucket < k) is fully
+    reproducible, re-runnable and join-stable — the correct way to cut
+    a training corpus to a fraction. Bucket = md5-derived 60-bit hash
+    of the DOC TEXT (content-keyed: a re-ingested identical doc samples
+    identically regardless of id assignment), mod DEN, keep < NUM."""
+    d = _read(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"),
+        F.lit(_HS_FRAC_DEN),
+    )
+    return d.where(bucket < _HS_FRAC_NUM).select("doc_id", "source")
+
+
+SQL_HASH_SAMPLE = f"""
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % {_HS_FRAC_DEN}
+      < {_HS_FRAC_NUM}
+"""
+
+
+_CUR_MIN_TOKENS = 20
+_CUR_MAX_NON_ALPHA = 0.3
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation pipeline: quality gate (length +
+    punctuation ratio) ∧ language gate (English by the stopword
+    classifier) ∧ exact near-dup removal (min doc_id per normalized
+    text wins). The showcase chain a 100-TB corpus pass runs — all
+    native expressions, one window shuffle for the dedup."""
+    from .operators.dedup import exact_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " +")
+    non_alpha = F.length(F.regexp_replace("text", "[a-z ]", ""))
+    ltoks = F.array_distinct(
+        F.split(F.lower("text"), "[^a-zäöüéèêáíóúñ]+")
+    )
+    n_en = F.size(
+        F.filter(ltoks, lambda t: t.isin(*sorted(_LANG_EN_STOPS)))
+    )
+    gated = d.where(
+        (F.size(toks) >= _CUR_MIN_TOKENS)
+        & (non_alpha / F.length("text") <= _CUR_MAX_NON_ALPHA)
+        & (n_en > 0)
+    )
+    # exact dedup on normalized text: min doc_id representative
+    deduped = exact_dedup(
+        gated.withColumn(
+            "__norm", F.lower(F.regexp_replace("text", "[^a-zA-Z]+", ""))
+        ),
+        text_col="__norm",
+        key_col="doc_id",
+    )
+    return deduped.select("doc_id", "source")
+
+
+_LANG_EN_STOPS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+
+def _sql_curate_corpus() -> str:
+    stops = ", ".join(f"'{w}'" for w in sorted(_LANG_EN_STOPS))
+    return f"""
+WITH gated AS (
+  SELECT doc_id, source,
+         lower(regexp_replace(text, '[^a-zA-Z]+', '', 'g')) AS norm
+  FROM documents
+  WHERE len(string_split_regex(trim(text), ' +')) >= {_CUR_MIN_TOKENS}
+    AND length(regexp_replace(text, '[a-z ]', '', 'g'))
+        / CAST(length(text) AS DOUBLE) <= {_CUR_MAX_NON_ALPHA}
+    AND len(list_intersect(
+          list_distinct(string_split_regex(lower(text), '[^a-zäöüéèêáíóúñ]+')),
+          [{stops}])) > 0
+), ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+  FROM gated
+)
+SELECT doc_id, source FROM ranked WHERE rn = 1
+"""
+
+
+SQL_CURATE_CORPUS = _sql_curate_corpus()
+
+
 def q_link_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIMES two-band linking (J5): accept ≥0.8, review ≥0.5.
 
@@ -2528,6 +2621,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triple_match": q_triple_match,
     "full_dict_lookup": q_full_dict_lookup,
     "ivf_topk": q_ivf_topk,
+    "hash_sample": q_hash_sample,
+    "curate_corpus": q_curate_corpus,
 }
 
 ORACLES: dict[str, str] = {
@@ -2593,4 +2688,6 @@ ORACLES: dict[str, str] = {
     "triple_match": SQL_TRIPLE_MATCH,
     "full_dict_lookup": SQL_FULL_DICT_LOOKUP,
     "ivf_topk": SQL_IVF_TOPK,
+    "hash_sample": SQL_HASH_SAMPLE,
+    "curate_corpus": SQL_CURATE_CORPUS,
 }
