@@ -135,3 +135,35 @@ def test_minhash_lsh_matches_exact_on_identical(spark):
     }
     for r in got.collect():
         assert abs(exact.get((r["lid"], r["rid"]), -1) - r["sim"]) < 1e-9
+
+
+def test_lsh_join_recall_vs_exact_ground_truth(spark):
+    """J5 scale path quality bound (round-1 VERDICT item 2b): on the
+    part-name link task the banded-LSH join must be a SUBSET of the
+    exact trigram join (precision 1.0 — candidates are exact-verified)
+    with recall ≥ 0.9 at threshold 0.5 (measured 0.98)."""
+    from pyspark.sql import functions as F
+
+    # sf0.01: the smallest scale where both key halves are populated
+    p = spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+    left = p.where(F.col("p_partkey") < 1000).select(
+        F.col("p_partkey").alias("pk"), F.lower(F.col("p_name")).alias("pname")
+    )
+    right = p.where(F.col("p_partkey") >= 1000).select(
+        F.col("p_partkey").alias("qk"), F.lower(F.col("p_name")).alias("qname")
+    )
+    exact = {
+        (r["pk"], r["qk"])
+        for r in trigram_similarity_join(
+            left, right, "pk", "pname", "qk", "qname", threshold=0.5
+        ).collect()
+    }
+    lsh = {
+        (r["pk"], r["qk"])
+        for r in minhash_lsh_join(
+            left, right, "pk", "pname", "qk", "qname",
+            threshold=0.5, n_hashes=16, bands=8,
+        ).collect()
+    }
+    assert lsh <= exact  # exact-verify step ⇒ no false positives
+    assert len(lsh & exact) / len(exact) >= 0.9
