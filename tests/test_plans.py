@@ -19,10 +19,10 @@ SUBSET = [
     "mention_triples",  # broadcast dict join + Arrow UDF
     "broadcast_lookup",  # J1 broadcast
     "territory_links",  # J2 explode + broadcast
-    "anti_join",  # pushdown + broadcast
-    "minhash_sig",  # pushdown
-    "count_rows",  # pruning cap (count needs no data columns)
-    "token_counts",  # pruning cap
+    "set_ops",  # pushdown + broadcast (subsumes anti_join)
+    "sig_profile",  # pushdown (subsumes minhash_sig)
+    "corpus_stats",  # pruning cap (count needs no data columns)
+    "token_stats",  # pruning cap
     "group_agg",  # codegen agg
     "window_order",  # codegen window
 ]

@@ -35,7 +35,7 @@ from linkedspending_spark.session import get_spark  # noqa: E402
 # queries with a declared (Arrow) UDF stage — the only place Python may run
 ARROW_UDF_OK = {
     "mention_triples",
-    "lang_id",
+    "doc_profile",  # language-ID pandas UDF (subsumes lang_id)
     "lang_share",
     "multimodal_features",
     "obs_triples",  # mention scoring shares the convert pipeline
@@ -46,26 +46,26 @@ MUST_BROADCAST = {
     "mention_triples",
     "broadcast_lookup",
     "territory_links",
-    "anti_join",
+    "set_ops",  # the anti-join side (subsumes anti_join)
     "full_dict_lookup",
 }
 
 # queries whose parquet scan must carry pushed filters (they filter
 # parquet-native columns, so the predicate must reach the reader)
 MUST_PUSH_FILTERS = {
-    "anti_join",
+    "set_ops",
     "shingle_jaccard",
     "cosine_pairs",
-    "minhash_sig",
+    "sig_profile",
 }
 
 # query → max column count allowed in any parquet ReadSchema (pruning)
 READ_SCHEMA_CAP = {
-    "count_rows": 1,  # COUNT(*) needs zero data columns
-    "distinct_years": 1,
-    "year_substring": 2,
-    "token_counts": 2,
-    "quality_score": 2,
+    "corpus_stats": 1,  # COUNT(*) needs zero data columns; years need ts only
+    "order_fields": 2,
+    "token_stats": 1,  # text only
+    "doc_profile": 3,  # doc_id + text (+ source for the lang CTE parity)
+    "sig_profile": 2,
     "dedup_exact": 2,
 }
 
