@@ -21,20 +21,27 @@ speed matters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import token_shingles
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
-    """Keep one row per distinct text (min key wins — deterministic)."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(key_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    """Keep one row per distinct text (min key wins — deterministic).
+
+    Algebraic ``min(struct(key, ...))`` per text-hash group instead of a
+    ``row_number`` window: a window sorts every hash partition, while
+    ``min`` gets a map-side partial aggregate (one combine per executor
+    before the shuffle) and no sort — the cheaper plan at 100 TB.
+    Struct ordering compares field-by-field, key first, so the minimum
+    key's whole row wins, identical to the window semantics.
+    """
+    others = [c for c in df.columns if c != key_col]
+    packed = df.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
+        F.min(F.struct(F.col(key_col), *[F.col(c) for c in others])).alias("__r")
     )
+    return packed.select(*[F.col(f"__r.{c}").alias(c) for c in df.columns])
 
 
 def _shingle_hashes(text_col, k: int = 3):
@@ -216,40 +223,55 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    key_col: str = "doc_id",
-    max_hamming: int = 8,
+def hamming_pairs_from_fingerprints(
+    fp: DataFrame,
+    max_hamming: int,
     bits: int = 64,
-    prefix_bands: int = 4,
-    portable: bool = False,
+    prefix_bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, banded by fingerprint
-    chunks (a pair within distance d must agree exactly on ≥1 of
-    ``prefix_bands`` chunks when d < prefix_bands ... pigeonhole).
+    """All pairs (a < b, hamming ≤ max_hamming) from a (k, fp) DataFrame,
+    banded by fingerprint chunks.
 
-    ``portable=True`` swaps in :func:`simhash_portable` fingerprints so
-    the whole pair set is DuckDB-oracle-reproducible."""
-    chunk = bits // prefix_bands
-    fp_expr = (
-        simhash_portable(F.col(text_col), bits)
-        if portable
-        else simhash(F.col(text_col), bits)
-    )
-    fp = df.select(F.col(key_col).alias("k"), fp_expr.alias("fp"))
+    Completeness rests on the pigeonhole principle: the ``prefix_bands``
+    chunks PARTITION all ``bits`` bits (uneven widths when they don't
+    divide evenly — no bit left uncovered), so a pair with fewer than
+    ``prefix_bands`` differing bits must agree exactly on at least one
+    chunk and collide in that band's bucket. That requires
+    ``max_hamming < prefix_bands``; ``prefix_bands=None`` (the default)
+    derives ``max_hamming + 1`` so the guarantee always holds, and an
+    explicit value that violates it raises instead of silently losing
+    pairs.
+    """
+    if prefix_bands is None:
+        prefix_bands = max_hamming + 1
+    if max_hamming >= prefix_bands:
+        raise ValueError(
+            f"pigeonhole completeness needs max_hamming < prefix_bands "
+            f"(got max_hamming={max_hamming}, prefix_bands={prefix_bands}): "
+            f"a pair differing in every chunk would never share a bucket"
+        )
+    if prefix_bands > bits:
+        raise ValueError(f"prefix_bands={prefix_bands} > bits={bits}")
+    # chunk widths tile all `bits` bits: base width, first `rem` get +1
+    base, rem = divmod(bits, prefix_bands)
+    widths = [base + 1 if i < rem else base for i in range(prefix_bands)]
+    offsets = [sum(widths[:i]) for i in range(prefix_bands)]
+
+    def _chunk(i: int):
+        shifted = F.shiftright(F.col("fp"), offsets[i])
+        if offsets[i] + widths[i] >= bits and bits == 64:
+            # top chunk of a 64-bit fp: the shift already dropped the
+            # low bits and (1<<64)-1 would overflow a long literal
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << widths[i]) - 1))
+
     banded = fp.select(
         "k",
         "fp",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("fp"), i * chunk)
-                        .bitwiseAND(F.lit((1 << chunk) - 1))
-                        .alias("bucket"),
-                    )
+                    F.struct(F.lit(i).alias("band"), _chunk(i).alias("bucket"))
                     for i in range(prefix_bands)
                 ]
             )
@@ -267,6 +289,32 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a", "b"])
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_hamming: int = 8,
+    bits: int = 64,
+    prefix_bands: int | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded by fingerprint
+    chunks (pigeonhole-complete: see
+    :func:`hamming_pairs_from_fingerprints`, which enforces
+    ``max_hamming < prefix_bands`` and derives a safe band count by
+    default).
+
+    ``portable=True`` swaps in :func:`simhash_portable` fingerprints so
+    the whole pair set is DuckDB-oracle-reproducible."""
+    fp_expr = (
+        simhash_portable(F.col(text_col), bits)
+        if portable
+        else simhash(F.col(text_col), bits)
+    )
+    fp = df.select(F.col(key_col).alias("k"), fp_expr.alias("fp"))
+    return hamming_pairs_from_fingerprints(fp, max_hamming, bits, prefix_bands)
 
 
 def ngram_jaccard_pairs(

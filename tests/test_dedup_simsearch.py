@@ -7,9 +7,12 @@ import random
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from linkedspending_spark.operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
+    hamming_pairs_from_fingerprints,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -70,6 +73,38 @@ def test_simhash_pairs_find_near_dups(spark):
     # exact dups must be found at hamming 0
     assert pairs.get((0, 60)) == 0
     assert pairs.get((1, 61)) == 0
+
+
+def test_hamming_banding_pigeonhole_complete(spark):
+    """The round-2 footgun: defaults (max_hamming=8, 4 chunks) silently
+    lost pairs differing in every chunk. Derived bands must find a pair
+    at hamming 4 that differs in all four old 16-bit chunks, under the
+    DEFAULT parameters."""
+    base = 0x0123456789ABCDEF
+    # one flipped bit inside each of the old four 16-bit chunks
+    flipped = base ^ ((1 << 0) | (1 << 17) | (1 << 34) | (1 << 51))
+    # negative fingerprints (bit 63 set) exercise the unmasked top chunk
+    fp = spark.createDataFrame(
+        [(1, base), (2, flipped), (3, -1), (4, -2)], "k long, fp long"
+    )
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in hamming_pairs_from_fingerprints(fp, max_hamming=8).collect()
+    }
+    assert got[(1, 2)] == 4
+    assert got[(3, 4)] == 1
+
+
+def test_hamming_banding_rejects_unsafe_params(spark):
+    fp = spark.createDataFrame([(1, 0)], "k long, fp long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_pairs_from_fingerprints(fp, max_hamming=8, prefix_bands=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(
+            spark.createDataFrame([(1, "a")], "doc_id long, text string"),
+            max_hamming=4,
+            prefix_bands=4,
+        )
 
 
 def _mk_vecs(n=80, d=16, seed=6):
