@@ -388,3 +388,48 @@ def run_canonicalize_job(
     finally:
         report.seconds = time.time() - t0
     return report
+
+
+def list_runs_df(manifest: DataFrame, metrics: DataFrame | None = None) -> DataFrame:
+    """Per-run job summary from a manifest table (job listing surface).
+
+    The reference exposes job inspection over HTTP — Rest.java:40-91
+    lists jobs, Job.java:142-199 serializes per-job phase/state/counts.
+    The engine's equivalent record is the manifest store: one row per
+    completed partition per run. This rolls it up to one row per run
+    (config sentinels excluded): partition count, row/triple totals,
+    version, and the commit-time span. With ``metrics`` (a MetricsStore
+    read), per-stage wall-clock seconds are joined in.
+
+    Pure aggregation — callable on a driver, a notebook, or behind any
+    HTTP wrapper; the engine deliberately ships the DataFrame, not the
+    server (SURVEY.md §6).
+    """
+    data = manifest.where(~F.col("dataset").isin(BUCKETS_SENTINEL, CANON_SENTINEL))
+    runs = data.groupBy("run_id").agg(
+        F.min("version").alias("version"),
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_triples").cast("long").alias("n_triples"),
+        F.round(F.min("finished_at"), 3).alias("first_finished"),
+        F.round(F.max("finished_at"), 3).alias("last_finished"),
+    )
+    if metrics is not None:
+        secs = (
+            metrics.where(F.col("key") == "seconds")
+            .groupBy("run_id")
+            .agg(F.round(F.sum("value"), 3).alias("seconds"))
+        )
+        runs = runs.join(secs, "run_id", "left")
+    return runs.orderBy("run_id")
+
+
+def list_runs(
+    spark: SparkSession, manifest_path: str, metrics_path: str | None = None
+) -> DataFrame:
+    """Job listing over on-disk manifest (+ optional metrics) stores."""
+    from .sources.metrics import MetricsStore
+
+    manifest = ManifestStore(spark, manifest_path).read()
+    metrics = MetricsStore(spark, metrics_path).read() if metrics_path else None
+    return list_runs_df(manifest, metrics)

@@ -251,7 +251,10 @@ def connected_components(
 
 
 def canonicalize_triples_minimal_dedup(
-    triples: DataFrame, components: DataFrame, rewrite_predicates: bool = False
+    triples: DataFrame,
+    components: DataFrame,
+    rewrite_predicates: bool = False,
+    broadcast_threshold: int = 8_000_000,
 ) -> DataFrame:
     """Canonical rewrite with statement-set semantics at O(affected) cost.
 
@@ -277,12 +280,20 @@ def canonicalize_triples_minimal_dedup(
     ``dropDuplicates`` variant would also scrub them.
     """
     merged = components.where(F.col("node") != F.col("component"))
+    # the merge map is usually tiny vs the corpus (incremental waves),
+    # but a FIRST full canonicalization can merge millions of nodes — an
+    # unconditional broadcast would OOM the driver. One count() of the
+    # (already small-side) map decides: under the threshold force the
+    # broadcast-hash join, above it drop the hint and let AQE pick the
+    # strategy. The safe/risky split is join-strategy-independent.
+    n_merged = merged.count()
+    hint = F.broadcast if n_merged <= broadcast_threshold else (lambda d: d)
     reps = merged.select(F.col("component").alias("__rep")).distinct()
 
     s_map = merged.select(F.col("node").alias("s"), F.col("component").alias("__s_canon"))
     o_map = merged.select(F.col("node").alias("o"), F.col("component").alias("__o_canon"))
-    out = triples.join(F.broadcast(s_map), "s", "left").join(
-        F.broadcast(o_map), "o", "left"
+    out = triples.join(hint(s_map), "s", "left").join(
+        hint(o_map), "o", "left"
     )
     p_col = F.col("p")
     changed = F.col("__s_canon").isNotNull() | (
@@ -292,22 +303,22 @@ def canonicalize_triples_minimal_dedup(
         p_map = merged.select(
             F.col("node").alias("p"), F.col("component").alias("__p_canon")
         )
-        out = out.join(F.broadcast(p_map), "p", "left")
+        out = out.join(hint(p_map), "p", "left")
         p_col = F.coalesce("__p_canon", "p")
         changed = changed | F.col("__p_canon").isNotNull()
     # representative-term membership (broadcast left joins, no shuffle)
     out = (
-        out.join(F.broadcast(reps), out["s"] == reps["__rep"], "left")
+        out.join(hint(reps), out["s"] == reps["__rep"], "left")
         .withColumn("__s_is_rep", F.col("__rep").isNotNull())
         .drop("__rep")
     )
     out = (
-        out.join(F.broadcast(reps), out["o"] == reps["__rep"], "left")
+        out.join(hint(reps), out["o"] == reps["__rep"], "left")
         .withColumn("__o_is_rep", F.col("__rep").isNotNull())
         .drop("__rep")
     )
     out = (
-        out.join(F.broadcast(reps), out["p"] == reps["__rep"], "left")
+        out.join(hint(reps), out["p"] == reps["__rep"], "left")
         .withColumn("__p_is_rep", F.col("__rep").isNotNull())
         .drop("__rep")
     )

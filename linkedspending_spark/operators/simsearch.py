@@ -137,8 +137,16 @@ def _exact_dist_expr(x_col, xx_col, s: list[int], n: int):
     IEEE round-to-nearest in both engines, so the resulting doubles are
     bit-identical and the argmin/tie-break (cell asc) agrees."""
     s_lit = F.array(*[F.lit(int(v)) for v in s])
+    # products in decimal(38,0), not long: x_i ≤ 2^21 and s_i ≤ n·2^21,
+    # so a long x·s overflows (ANSI error) long before the oracle's
+    # HUGEINT does — wide exact arithmetic on BOTH engines
     xs = F.aggregate(
-        F.zip_with(x_col, s_lit, lambda a, b: a * b), F.lit(0).cast("long"),
+        F.zip_with(
+            x_col,
+            s_lit,
+            lambda a, b: a.cast("decimal(19,0)") * b.cast("decimal(19,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
         lambda acc, z: acc + z,
     )
     ss = sum(int(v) * int(v) for v in s)

@@ -2554,6 +2554,65 @@ FROM picked JOIN dict USING (code)
 SQL_FULL_DICT_LOOKUP = _sql_full_dict_lookup()
 
 
+def q_job_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job listing/inspection surface (Rest.java:40-91 lists jobs,
+    Job.java:142-199 serializes per-job state/counts): roll a manifest
+    store up to one summary row per run via jobs.list_runs_df.
+
+    The manifest here is synthesized deterministically from ``orders``
+    (run id, partition id, row/triple counts, commit stamps all derived
+    from o_orderkey) plus config-sentinel rows that the listing must
+    exclude — so the aggregation, sentinel filter, and column contract
+    are all under the value hash."""
+    from .jobs import BUCKETS_SENTINEL, list_runs_df
+
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    manifest = o.select(
+        (F.col("o_orderkey") % 16).cast("string").alias("dataset"),
+        F.lit(3).alias("version"),
+        F.col("o_custkey").alias("n_rows"),
+        (F.col("o_orderkey") * 2).alias("n_triples"),
+        (F.lit(1.7e9) + (F.col("o_orderkey") % 997).cast("double")).alias(
+            "finished_at"
+        ),
+        F.concat(F.lit("run-"), (F.col("o_orderkey") % 3).cast("string")).alias(
+            "run_id"
+        ),
+    )
+    sentinels = spark.sql(
+        f"SELECT * FROM VALUES ('{BUCKETS_SENTINEL}', 3, CAST(16 AS BIGINT), "
+        f"CAST(NULL AS BIGINT), CAST(1.7e9 AS DOUBLE), 'run-0') "
+        f"AS t(dataset, version, n_rows, n_triples, finished_at, run_id)"
+    )
+    return list_runs_df(manifest.unionByName(sentinels))
+
+
+SQL_JOB_RUNS = """
+WITH manifest AS (
+  SELECT CAST(o_orderkey % 16 AS VARCHAR) AS dataset,
+         3 AS version,
+         o_custkey AS n_rows,
+         o_orderkey * 2 AS n_triples,
+         1.7e9 + CAST(o_orderkey % 997 AS DOUBLE) AS finished_at,
+         'run-' || CAST(o_orderkey % 3 AS VARCHAR) AS run_id
+  FROM orders WHERE o_orderkey < 5000
+  UNION ALL
+  SELECT '__n_buckets__', 3, 16, NULL, 1.7e9, 'run-0'
+)
+SELECT run_id,
+       MIN(version) AS version,
+       COUNT(*) AS n_partitions,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(n_triples) AS BIGINT) AS n_triples,
+       ROUND(MIN(finished_at), 3) AS first_finished,
+       ROUND(MAX(finished_at), 3) AS last_finished
+FROM manifest
+WHERE dataset NOT IN ('__n_buckets__', '__canonicalize__')
+GROUP BY run_id
+ORDER BY run_id
+"""
+
+
 # --------------------------------------------------------------------------
 # consolidated registry entries
 #
@@ -3065,6 +3124,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "full_dict_lookup": q_full_dict_lookup,
     "territory_links": q_territory_links,
     "property_override": q_property_override,
+    "job_runs": q_job_runs,
     # analytics / aggregations / windows
     "conv_stats": q_conv_stats,
     "property_profile": q_property_profile,
@@ -3115,6 +3175,7 @@ ORACLES: dict[str, str] = {
     "full_dict_lookup": SQL_FULL_DICT_LOOKUP,
     "territory_links": SQL_TERRITORY_LINKS,
     "property_override": SQL_PROPERTY_OVERRIDE,
+    "job_runs": SQL_JOB_RUNS,
     "conv_stats": SQL_CONV_STATS,
     "property_profile": SQL_PROPERTY_PROFILE,
     "corpus_stats": SQL_CORPUS_STATS,

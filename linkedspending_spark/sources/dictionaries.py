@@ -167,9 +167,10 @@ def read_tsv_dictionary(spark: SparkSession, path: str, schema: str) -> DataFram
 # canonical DBpedia page name usually coincides (public facts), but ours
 # diverges where the reference picked non-canonical pages (their
 # GBP→Banknotes_of_the_pound_sterling vs our Pound_sterling), uses no
-# %-encoding (their Icelandic_kr%C3%B3na), active-codes coverage instead
-# of their historical set (no GGK/BOP/...), and name-based country URIs
-# instead of their LinkedGeoData node ids.
+# %-encoding (their Icelandic_kr%C3%B3na), an independently-chosen
+# historical-code supplement (ISO-4217 withdrawn codes DEM/FRF/ITL/...,
+# not their GGK/BOP/... set), and name-based country URIs instead of
+# their LinkedGeoData node ids.
 
 import os as _os
 

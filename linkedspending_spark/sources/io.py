@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import nt_statement
 from ..model import KIND_LITERAL, KIND_URI, TRIPLE_SCHEMA_PARTITIONED
@@ -72,7 +73,29 @@ def write_triples(
 
 
 def read_triples(spark: SparkSession, path: str) -> DataFrame:
+    """Read a BATCH-layout triple table (partitioned by ``bucket`` only).
+
+    The streaming sink lands a different layout — partitioned by
+    ``(batch, bucket)`` — so its tables carry an extra ``batch``
+    partition column this fixed schema would drop; read those with
+    :func:`read_streamed_triples` instead.
+    """
     return spark.read.schema(TRIPLE_SCHEMA_PARTITIONED).parquet(path)
+
+
+def read_streamed_triples(spark: SparkSession, path: str) -> DataFrame:
+    """Read a STREAMED triple table (streaming/sink.py layout).
+
+    The sink partitions by ``(batch, bucket)`` so each micro-batch is an
+    idempotent dynamic-partition overwrite; this reader keeps both
+    partition columns. Project the ``batch`` column away for batch-side
+    consumers that expect the :func:`read_triples` shape.
+    """
+    schema = T.StructType(
+        TRIPLE_SCHEMA_PARTITIONED.fields
+        + [T.StructField("batch", T.IntegerType(), True)]
+    )
+    return spark.read.schema(schema).parquet(path)
 
 
 def nt_lines(triples: DataFrame, dedup: bool = False) -> DataFrame:

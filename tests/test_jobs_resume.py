@@ -125,3 +125,23 @@ def test_write_triples_files_per_partition(spark, tmp_path):
     a = {(r["s"], r["p"], r["o"]) for r in spark.read.parquet(p1).collect()}
     b = {(r["s"], r["p"], r["o"]) for r in spark.read.parquet(p4).collect()}
     assert a == b
+
+
+def test_list_runs_summarizes_real_jobs(spark, tmp_path):
+    """Job listing surface (Rest.java:40-91 analog): one summary row per
+    run over the on-disk manifest + metrics stores, sentinels excluded,
+    per-stage seconds joined in."""
+    from linkedspending_spark.jobs import list_runs
+
+    t = synth_transcripts_df(spark, n_convs=10, base_turns=4, seed=3)
+    out, man, met = str(tmp_path / "out"), str(tmp_path / "man"), str(tmp_path / "met")
+    r1 = run_transcripts_job(spark, t, out, man, n_buckets=8, metrics_path=met)
+    rows = list_runs(spark, man, met).collect()
+    assert [r["run_id"] for r in rows] == [r1.run_id]
+    row = rows[0]
+    assert row["n_partitions"] == len(r1.pending)
+    assert row["n_triples"] == r1.converted_triples > 0
+    assert row["seconds"] is not None and row["seconds"] > 0
+    # no-op resume run records no partition rows -> still one run listed
+    run_transcripts_job(spark, t, out, man, n_buckets=8, metrics_path=met)
+    assert list_runs(spark, man).count() == 1

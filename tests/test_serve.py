@@ -62,6 +62,33 @@ def test_match_dataset_prunes_partitions(spark, triple_table):
     assert part_lines and any("bucket" in l for l in part_lines), plan[:3000]
 
 
+def test_match_reads_n_buckets_from_manifest(spark, triple_table, tmp_path):
+    """The writer's bucket count is authoritative: a manifest-aware call
+    prunes with the recorded modulus, and a caller-supplied value that
+    disagrees raises instead of silently pruning the wrong partition."""
+    from linkedspending_spark.jobs import BUCKETS_SENTINEL
+    from linkedspending_spark.serve import manifest_n_buckets
+    from linkedspending_spark.sources.manifest import ManifestStore
+
+    mpath = str(tmp_path / "manifests")
+    store = ManifestStore(spark, mpath)
+    store.record(BUCKETS_SENTINEL, 8, None, run_id="t")
+    assert manifest_n_buckets(spark, mpath) == 8
+
+    triples = read_triple_table(spark, triple_table)
+    expected = triples.where(F.col("dataset") == "conv-0003").count()
+    # no n_buckets passed: resolved from the manifest, still prunes
+    q = match(triples, dataset="conv-0003", manifest_path=mpath)
+    assert q.count() == expected > 0
+    plan = plan_of(q)
+    assert any(
+        "bucket" in l for l in plan.splitlines() if "PartitionFilters" in l
+    ), plan[:3000]
+    # wrong caller value vs manifest: loud failure, not empty results
+    with pytest.raises(ValueError, match="written with"):
+        match(triples, dataset="conv-0003", n_buckets=16, manifest_path=mpath)
+
+
 def test_full_dictionaries_load_and_link(spark):
     from linkedspending_spark.sources.dictionaries import (
         full_country_df,
@@ -72,13 +99,17 @@ def test_full_dictionaries_load_and_link(spark):
 
     cur, ctry = full_currency_pairs(), full_country_pairs()
     # reference ships 216 currency rows / ~212 countries; ours are
-    # regenerated from public ISO lists at comparable size
-    assert len(cur) >= 160 and len(ctry) >= 200
+    # regenerated from public ISO lists at comparable size (active +
+    # withdrawn historical codes)
+    assert len(cur) >= 215 and len(ctry) >= 200
     # CodeToCurrencyTest.java:11-28 analog: JPY resolves to the yen URI
     jpy = (
         full_currency_df(spark).where(F.col("code") == "JPY").collect()
     )
     assert jpy and jpy[0]["uri"].endswith("/Japanese_yen")
+    # deprecated-code analog: historical DEM resolves (old data links)
+    dem = full_currency_df(spark).where(F.col("code") == "DEM").collect()
+    assert dem and dem[0]["uri"].endswith("/Deutsche_Mark")
     gb = full_country_df(spark).where(F.col("code") == "gb").collect()
     assert gb and gb[0]["uri"].endswith("/United_Kingdom")
     # reject-on-miss (ConvertWorker.java:205-223): unknown code drops out

@@ -42,6 +42,14 @@ def test_stream_sink_lands_all_triples_with_manifests(spark, tmp_path):
     rows = ManifestStore(spark, man).read().collect()
     assert len(rows) == stats["batches"]
     assert sum(r["n_triples"] for r in rows) == len(want)
+    # the streamed (batch, bucket) layout has its own reader that keeps
+    # the batch partition column (read_triples would drop it)
+    from linkedspending_spark.sources.io import read_streamed_triples
+
+    streamed = read_streamed_triples(spark, out)
+    assert "batch" in streamed.columns
+    assert streamed.select("batch").distinct().count() == stats["batches"]
+    assert {(r["s"], r["p"], r["o"]) for r in streamed.collect()} == want
 
 
 def test_stream_sink_scans_manifest_once(spark, tmp_path, monkeypatch):
