@@ -62,6 +62,127 @@ def make_mention_detector(spark: SparkSession, vocabulary: dict[str, str]):
     return detect
 
 
+def _token_ngrams(text_col, max_n: int):
+    """array<string> of all token n-grams (n ≤ max_n) of a text column.
+
+    Tokens are maximal ``[A-Za-z0-9]`` runs joined by single spaces
+    (alphanumeric, not letters-only, so digit-bearing surface forms
+    like ISO codes or model names survive tokenization intact). Pure
+    native expressions (split/sequence/slice/concat_ws): no shuffle,
+    no Python.
+    """
+    toks = F.filter(
+        F.split(F.coalesce(text_col, F.lit("")), r"[^A-Za-z0-9]+"),
+        lambda t: t != "",
+    )
+    per_n = [
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        for n in range(1, max_n + 1)
+    ]
+    return F.flatten(F.array(*per_n))
+
+
+def mention_triples_join(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    vocabulary: dict[str, str] | DataFrame,
+    predicate: str,
+    max_phrase_tokens: int | None = None,
+    broadcast_vocab: bool | None = None,
+) -> DataFrame:
+    """Token-equi-join mention detection — the LARGE-vocabulary path.
+
+    The alternation-regex detector (:func:`make_mention_detector`) tries
+    every alternative at every text position, so batch cost grows with
+    vocabulary size; past ~10³–10⁴ surface forms the regex path
+    degrades (documented crossover — below that it wins on constant
+    factors, above it this join path wins and keeps winning). Here the
+    TEXT side does vocabulary-size-independent work: each turn expands
+    to its token n-grams (n ≤ the longest surface form), which
+    equi-join against the vocabulary table — broadcast-hash when the
+    vocabulary fits (default ≤ 5M entries), shuffle hash join at real
+    entity-catalog scale (10⁷+). Native expressions end-to-end; no
+    Python per row or per pair.
+
+    Matching contract: tokens are maximal ``[A-Za-z0-9]`` runs.
+    Multi-token surface forms match their token SEQUENCE — separator
+    variants inside a phrase are normalized ("US-dollar" matches
+    vocabulary key "US dollar") where the regex path demands the
+    literal substring. Two documented divergences from the regex path
+    (whose boundary class is letters-only): a surface form butted
+    directly against digits ("USD123") regex-matches but does not
+    join-match (the digits join the token), and punctuation inside a
+    phrase is normalized away. Plain single-token forms behave
+    identically on both paths.
+
+    ``vocabulary`` is a {surface → uri} dict or a (surface, uri)
+    DataFrame (pass ``max_phrase_tokens`` with a DataFrame). Output
+    schema matches :func:`mention_triples_pandas`; one row per distinct
+    (observation, uri).
+    """
+    if isinstance(vocabulary, DataFrame):
+        if max_phrase_tokens is None:
+            raise ValueError("max_phrase_tokens is required with a DataFrame vocabulary")
+        vocab_df = vocabulary.select(
+            F.col(vocabulary.columns[0]).alias("surface"),
+            F.col(vocabulary.columns[1]).alias("__uri"),
+        )
+        if broadcast_vocab is None:
+            broadcast_vocab = False
+    else:
+        if max_phrase_tokens is None:
+            max_phrase_tokens = max(
+                (len([t for t in re.split(r"[^A-Za-z0-9]+", k) if t]) for k in vocabulary),
+                default=1,
+            )
+        vocab_df = spark.createDataFrame(
+            list(vocabulary.items()), "surface string, __uri string"
+        )
+        if broadcast_vocab is None:
+            broadcast_vocab = len(vocabulary) <= 5_000_000
+    # normalize vocab surfaces through the SAME tokenizer as the text;
+    # two surfaces that normalize identically resolve to the MIN uri
+    # (deterministic, unlike dropDuplicates' arbitrary survivor)
+    vocab_norm = (
+        vocab_df.select(
+            F.concat_ws(
+                " ", F.filter(F.split("surface", r"[^A-Za-z0-9]+"), lambda t: t != "")
+            ).alias("__gram"),
+            "__uri",
+        )
+        .groupBy("__gram")
+        .agg(F.min("__uri").alias("__uri"))
+    )
+    if broadcast_vocab:
+        vocab_norm = F.broadcast(vocab_norm)
+
+    obs = U.observation_uri(F.col("conv_id"), F.col("turn_idx").cast("string"))
+    grams = transcripts.select(
+        obs.alias("s"),
+        F.col("conv_id").alias("dataset"),
+        F.explode(_token_ngrams(F.col("text"), max_phrase_tokens)).alias("__gram"),
+    )
+    return (
+        grams.join(vocab_norm, "__gram")
+        .select(
+            "s",
+            F.lit(predicate).alias("p"),
+            F.col("__uri").alias("o"),
+            F.lit(M.KIND_URI).alias("o_kind"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+            "dataset",
+        )
+        .dropDuplicates(["s", "o"])
+    )
+
+
 def _trigrams(s: str) -> set[str]:
     s = s.lower()
     return {s[i : i + 3] for i in range(max(len(s) - 2, 1))}

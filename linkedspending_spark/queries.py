@@ -112,6 +112,57 @@ SELECT s, '{M.SDMX_REF_AREA}' AS p, uri AS o FROM toks JOIN ctry USING (code)
 )
 
 
+def _mention_join_vocabs() -> tuple[dict[str, str], dict[str, str]]:
+    """(currency single-token, country two-token-phrase) vocabularies for
+    the join-path mention query: "in <cc>" phrases exercise multi-token
+    sequence matching against the synthetic '... CHF in gb' turns."""
+    cur = dict(currency_pairs())
+    ctry = {f"in {c}": u for c, u in country_pairs()}
+    return cur, ctry
+
+
+def q_mention_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-vocabulary mention path: token-n-gram equi-join (vocabulary-
+    size-independent text work; operators/mentions.py::mention_triples_join)
+    instead of the alternation regex — single-token currency codes plus
+    two-token country phrases under one value hash."""
+    from .operators.mentions import mention_triples_join
+
+    t = transcripts_from_events(spark, sf_dir)
+    cur, ctry = _mention_join_vocabs()
+    a = mention_triples_join(spark, t, cur, M.DBO_CURRENCY)
+    b = mention_triples_join(spark, t, ctry, M.SDMX_REF_AREA)
+    return a.unionByName(b).select("s", "p", "o")
+
+
+def _sql_mention_join() -> str:
+    cur, ctry = _mention_join_vocabs()
+    return f"""
+{_TRANSCRIPTS_CTE},
+cur(gram, uri) AS (VALUES {_values_clause(sorted(cur.items()))}),
+ctry(gram, uri) AS (VALUES {_values_clause(sorted(ctry.items()))}),
+toks AS (
+  SELECT '{INST}observation-' || conv_id || '-' || CAST(turn_idx AS STRING) AS s,
+         list_filter(string_split_regex(coalesce(text, ''), '[^A-Za-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM transcripts
+),
+grams AS (
+  SELECT s, unnest(t) AS gram FROM toks
+  UNION ALL
+  SELECT s, unnest(list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks
+)
+SELECT DISTINCT s, '{M.DBO_CURRENCY}' AS p, uri AS o FROM grams JOIN cur USING (gram)
+UNION ALL
+SELECT DISTINCT s, '{M.SDMX_REF_AREA}' AS p, uri AS o FROM grams JOIN ctry USING (gram)
+"""
+
+
+SQL_MENTION_JOIN = _sql_mention_join()
+
+
 # --------------------------------------------------------------------------
 # aggregations (A1,A2,A3,A8) and predicates (P1,P5)
 # --------------------------------------------------------------------------
@@ -3111,6 +3162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # flagship conversion + KG serving
     "obs_triples": q_obs_triples,
     "mention_triples": q_mention_triples,
+    "mention_join": q_mention_join,
     "slice_triples": q_slice_triples,
     "os_convert": q_os_convert,
     "triple_match": q_triple_match,
@@ -3163,6 +3215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "obs_triples": SQL_OBS_TRIPLES,
     "mention_triples": SQL_MENTION_TRIPLES,
+    "mention_join": SQL_MENTION_JOIN,
     "slice_triples": SQL_SLICE_TRIPLES,
     "os_convert": SQL_OS_CONVERT,
     "triple_match": SQL_TRIPLE_MATCH,

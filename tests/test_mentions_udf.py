@@ -78,3 +78,41 @@ def test_language_id(spark):
     )
     got = [r["l"] for r in df.select(lang("text").alias("l")).collect()]
     assert got == ["en", "de", "fr", "und"]
+
+
+def test_join_path_matches_regex_path_at_10k_vocab(spark):
+    """Large-vocabulary crossover (round-2 VERDICT item 8): at 10^4
+    surface forms the token-equi-join path must (a) terminate promptly —
+    its text-side work is vocabulary-size-independent — and (b) emit
+    exactly the regex path's mention set on single-space text."""
+    import time
+
+    from linkedspending_spark.operators.mentions import mention_triples_join
+
+    vocab = {f"zq{i:04d}": f"http://x/e{i}" for i in range(9000)}
+    vocab.update({f"alpha{i} beta{i}": f"http://x/p{i}" for i in range(1000)})
+    assert len(vocab) == 10_000
+    rows = [
+        ("c-1", 0, "user", "found zq0007 and alpha42 beta42 here", None, None),
+        ("c-1", 1, "agent", "zq9999x is not a mention, zq0123 is", None, None),
+        ("c-2", 0, "user", "alpha7 beta8 crosses pairs: no match", None, None),
+        ("c-2", 1, "user", None, None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    t0 = time.time()
+    got = {
+        (r["s"], r["o"])
+        for r in mention_triples_join(spark, t, vocab, "http://x/mentions").collect()
+    }
+    join_secs = time.time() - t0
+    want = {
+        (r["s"], r["o"])
+        for r in mention_triples_pandas(spark, t, vocab, "http://x/mentions").collect()
+    }
+    assert got == want
+    assert {o for _, o in got} == {"http://x/e7", "http://x/p42", "http://x/e123"}
+    # generous bound: vocabulary-size-independent text work must not
+    # degrade into the regex path's O(vocab x positions) scan
+    assert join_secs < 60, join_secs
