@@ -124,6 +124,26 @@ def _bw_unit(_: int) -> int:
     return s
 
 
+def _wr_unit(_: int) -> int:
+    # pure write stream (numpy fill): measures the host's WRITE-
+    # bandwidth scaling ceiling. Measured here: ~31 GB/s at 8 workers,
+    # ~34 GB/s at 32 — writes saturate the bus ALREADY AT 8 THREADS
+    # (efficiency ~0.28). An allocation-heavy workload (string
+    # serialization writes every output byte at least twice) is bounded
+    # by a ceiling between this and the read-stream one.
+    import numpy as np
+
+    a = np.empty(8 * 1024 * 1024, dtype=np.int64)  # 64 MB
+    for i in range(16):
+        a.fill(i)
+    return int(a[0])
+
+
+def wr_probe(lo: int = 8, hi: int = 32, units: int = 64) -> dict:
+    """Write-bandwidth multiprocessing scaling probe (numpy fills)."""
+    return _probe(_wr_unit, lo, hi, units, bytes_per_unit=1.0 * 1024**3)
+
+
 def host_probe(lo: int = 8, hi: int = 32, units: int = 128) -> dict:
     """Pure-CPU multiprocessing scaling probe: same work at lo and hi
     worker counts; efficiency = (T_lo / T_hi) / (hi / lo)."""
@@ -186,8 +206,15 @@ def _flagship_session(cpus: int, sf_dir: str, replicate: int):
             # vs 4.4-5.2 s) — G1's concurrent/STW overhead was a big
             # share of the 8→32 scaling loss for this allocation-heavy
             # string-serialization job. Overridable via env.
-            "spark.driver.extraJavaOptions": os.environ.get(
-                "SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"
+            # measured on this box (steady-state local[32] reps at
+            # replicate x12): G1 11.2 s -> ParallelGC 9.1-10.4 s ->
+            # +10g young gen & pretouch 7.8-8.6 s. ParallelGC's first
+            # 2-3 reps are polluted by adaptive survivor sizing and
+            # heap-growth full GCs (observed 30 s pauses during cache
+            # build) — the pair measurement discards two settle rounds.
+            "spark.driver.extraJavaOptions": (
+                os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+                or "-XX:+UseParallelGC -Xmn10g -XX:+AlwaysPreTouch"
             ),
         },
     )
@@ -270,16 +297,21 @@ def _measure_pair(
     With ``probes=True``, every round ALSO runs the pure-CPU and the
     memory-bandwidth multiprocessing probes at both levels, inside the
     same ~1-minute window as that round's Spark reps — so each round
-    gets a host ceiling measured under the SAME box conditions, and the
-    per-round normalized efficiency (raw / matched ceiling) is immune
-    to the box changing between a single before/after probe and the
-    measurement it is supposed to normalize.
+    gets a host ceiling measured under the SAME box conditions; the
+    normalized efficiencies are ratios of MEDIANS across rounds, so
+    neither a single corrupted probe window nor the box changing
+    between a lone before/after probe and the reps it is supposed to
+    normalize can skew them.
     """
     workers: dict[int, subprocess.Popen] = {}
     meta: dict[int, dict] = {}
     pair: dict = {}
     cpu_ceils: list[float] = []
     bw_ceils: list[float] = []
+    wr_ceils: list[float] = []
+    settle = 2  # discarded rounds: ParallelGC adaptive sizing + heap
+    # growth pollute the first reps (observed: 30 s full-GC pauses
+    # during settle, then clean steady state)
     try:
         for cpus in (lo, hi):  # sequential warm-up: no contention
             p = subprocess.Popen(
@@ -293,16 +325,17 @@ def _measure_pair(
             workers[cpus] = p
             meta[cpus] = _read_json_line(p)  # blocks until warm
         runs: dict[int, list[float]] = {lo: [], hi: []}
-        for rnd in range(rounds + 1):
+        for rnd in range(rounds + settle):
             for cpus in (lo, hi):
                 workers[cpus].stdin.write("RUN\n")
                 workers[cpus].stdin.flush()
                 sec = _read_json_line(workers[cpus])["sec"]
-                if rnd > 0:  # round 0 is a discarded warm round (JIT/
-                    runs[cpus].append(sec)  # page-cache tails past warm-up)
-            if probes and rnd > 0:
+                if rnd >= settle:
+                    runs[cpus].append(sec)
+            if probes and rnd >= settle:
                 cpu_ceils.append(host_probe(lo, hi)["efficiency"])
                 bw_ceils.append(bw_probe(lo, hi)["efficiency"])
+                wr_ceils.append(wr_probe(lo, hi)["efficiency"])
     finally:
         for p in workers.values():
             try:
@@ -352,14 +385,25 @@ def _measure_pair(
         # in the output for inspection. Ceilings clamp to 1.0 — a
         # measured super-linear probe is cache warm-up, not a ceiling.
         pair["host_cpu_ceiling_per_round"] = [round(c, 3) for c in cpu_ceils]
-        pair["host_bw_ceiling_per_round"] = [round(c, 3) for c in bw_ceils]
+        pair["host_bw_read_ceiling_per_round"] = [round(c, 3) for c in bw_ceils]
+        pair["host_bw_write_ceiling_per_round"] = [round(c, 3) for c in wr_ceils]
         cpu_ceil = min(_median(cpu_ceils), 1.0)
         bw_ceil = min(_median(bw_ceils), 1.0)
+        wr_ceil = min(_median(wr_ceils), 1.0)
         pair["host_cpu_ceiling"] = round(cpu_ceil, 3)
-        pair["host_bw_ceiling"] = round(bw_ceil, 3)
+        pair["host_bw_read_ceiling"] = round(bw_ceil, 3)
+        pair["host_bw_write_ceiling"] = round(wr_ceil, 3)
         eff = pair["scaling_efficiency"]
+        # cpu-normalized: vs the core/SMT ceiling only (ignores the
+        # memory system — the HARSHEST denominator for a memory-heavy
+        # job). read-normalized: vs the read-stream bus ceiling — the
+        # CONSERVATIVE memory ceiling (the write-stream one is far
+        # lower, ~0.28: writes saturate at 8 threads on this box, and
+        # serialization writes every output byte at least twice; a
+        # mixed-traffic job's true ceiling lies between the two).
         pair["host_normalized_efficiency"] = round(eff / cpu_ceil, 3)
         pair["bandwidth_normalized_efficiency"] = round(eff / bw_ceil, 3)
+        pair["write_bw_normalized_efficiency"] = round(eff / wr_ceil, 3)
     return pair
 
 
