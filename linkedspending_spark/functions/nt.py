@@ -64,13 +64,33 @@ def nt_statement(
     o_datatype: Column | str = "o_datatype",
     o_lang: Column | str = "o_lang",
 ) -> Column:
-    """Full N-Triples line ``<s> <p> <term> .``"""
-    return F.concat(
-        F.lit("<"),
-        _col(s),
-        F.lit("> <"),
-        _col(p),
-        F.lit("> "),
-        nt_object_term(o, o_kind, o_datatype, o_lang),
-        F.lit(" ."),
+    """Full N-Triples line ``<s> <p> <term> .``
+
+    The object-kind CASE sits OUTSIDE the concat and each branch holds
+    the WHOLE line's concat, not just the object term: Catalyst's
+    CombineConcats then flattens every branch (including concat-minted
+    s/p/o URIs from upstream projections) into one flat ``concat``, so
+    each output byte is written exactly once into one buffer. The
+    obvious shape — ``concat(prefix, CASE(concat(term)...), suffix)``
+    — evaluates an inner concat and copies its result again in the
+    outer one, doubling serialization write traffic; write bandwidth
+    is the measured scaling wall on the bench box (write streams
+    saturate at 8 threads), so the copy is the one to kill.
+    """
+    s, p, o = _col(s), _col(p), _col(o)
+    kind, dt, lang = _col(o_kind), _col(o_datatype), _col(o_lang)
+
+    def line(*object_parts: Column) -> Column:
+        return F.concat(
+            F.lit("<"), s, F.lit("> <"), p, F.lit("> "), *object_parts, F.lit(" .")
+        )
+
+    quote, esc = F.lit('"'), nt_escape(o)
+    return (
+        F.when(kind == KIND_URI, line(F.lit("<"), o, F.lit(">")))
+        .when(lang.isNotNull(), line(quote, esc, F.lit('"@'), lang))
+        .when(
+            dt.isNotNull(), line(quote, esc, F.lit('"^^<'), dt, F.lit(">"))
+        )
+        .otherwise(line(quote, esc, quote))
     )
