@@ -3145,6 +3145,96 @@ FROM orders
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every purchase event picks the latest
+    prior-or-simultaneous click by the same user — the bulk form of the
+    reference's pairwise freshness comparison
+    (LinkedSpendingDatasetInfo.java:102 ``newestTransformation``,
+    ConvertWorker.java:898). Union + running-last plan: no join node,
+    one window shuffle (operators/temporal.py)."""
+    from .operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    res = asof_join(
+        left,
+        right.withColumnRenamed("user_id", "r_user_id"),
+        "user_id",
+        "r_user_id",
+        "ts",
+        "click_ts",
+        payload=["click_id"],
+    )
+    return res.select(
+        "event_id",
+        F.date_format("ts", ISO).alias("event_ts"),
+        "click_id",
+        F.date_format("click_ts", ISO).alias("click_ts"),
+    )
+
+
+SQL_ASOF_JOIN = f"""
+SELECT l.event_id,
+       strftime(l.ts, '{ISO_DUCK}') AS event_ts,
+       r.click_id,
+       strftime(r.click_ts, '{ISO_DUCK}') AS click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (
+  -- deterministic tie dedup, same reduction as the operator:
+  -- one row per (user, ts), max payload
+  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+) r ON l.user_id = r.user_id AND l.ts >= r.click_ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join: (purchase, click) pairs by the same user
+    with the click in the 4 hours up to the purchase — attribution-
+    window shape. The bucketed plan turns the BETWEEN theta-join into a
+    hash equi-join on (user, time-bucket) with fan-out ≤2 buckets per
+    left row (operators/temporal.py)."""
+    from .operators.temporal import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    res = range_join(
+        left, right, "user_id", "r_user_id", "ts", "click_ts", -4 * 3600, 0
+    )
+    return res.select(
+        "event_id",
+        "click_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("click_ts")).alias("lag_s"),
+    )
+
+
+# floor(epoch(..)) on every boundary/lag: Spark's unix_timestamp
+# truncates sub-second fractions while DuckDB's epoch()::BIGINT rounds —
+# floor on both sides makes membership and lag bit-identical
+SQL_RANGE_JOIN = """
+SELECT l.event_id, r.event_id AS click_id,
+       CAST(floor(epoch(l.ts)) - floor(epoch(r.ts)) AS BIGINT) AS lag_s
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'purchase' AND r.event_type = 'click'
+ AND floor(epoch(r.ts)) BETWEEN floor(epoch(l.ts)) - 4*3600 AND floor(epoch(l.ts))
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3189,6 +3279,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_parse_stats": q_date_parse_stats,
     "set_ops": q_set_ops,
     "clean_strings": q_clean_strings,
+    # temporal joins Spark lacks as built-ins (operators/temporal.py)
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     # scalar-function profiles (single-scan consolidations)
     "event_fields": q_event_fields,
     "order_fields": q_order_fields,
@@ -3240,6 +3333,8 @@ ORACLES: dict[str, str] = {
     "date_parse_stats": SQL_DATE_PARSE_STATS,
     "set_ops": SQL_SET_OPS,
     "clean_strings": SQL_CLEAN_STRINGS,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     "event_fields": SQL_EVENT_FIELDS,
     "order_fields": SQL_ORDER_FIELDS,
     "doc_profile": SQL_DOC_PROFILE,
