@@ -61,8 +61,11 @@ strong-scaling measurement on one shared box:
   for the 8→32 pair, ×3 for the executor pair: BASELINE.md's ≥10 s
   rule applied to both levels, not just the slow one), amortizing
   fixed driver/scheduler latency;
-* efficiency = MEDIAN of per-round paired ratios (robust to spikes);
-  min-based efficiency and raw per-rep lists are reported next to it.
+* efficiency = RATIO OF MEDIANS (median lo rep / median hi rep /
+  thread ratio) — one corrupted rep at either level cannot move either
+  median; the headline pair runs 7 rounds (median = 4th of 7) so even
+  three corrupted reps per level cannot. Paired-median and min-based
+  forms plus raw per-rep lists are reported next to it.
 
 Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
@@ -583,11 +586,17 @@ def main() -> None:
     # serialized at 1.06 GB/s, i.e. already brushing the wall, which
     # capped raw efficiency ~0.75 — the very artifact this pair exists
     # to exclude.
+    # rounds=7 for the HEADLINE pair: the median is the 4th of 7 reps,
+    # so up to three tenant-corrupted reps per level cannot move it
+    # (measured: a replicate=32 experiment had 2/5 hi reps corrupted
+    # 4-5x by tenant spikes; larger per-rep work did NOT add margin —
+    # clean-round ratios were 0.86-0.92 either way — so the margin
+    # lever is median robustness, not rep length).
     flagship["pair_exec_1_4"] = _measure_pair(
         ("exec1x1", "local-cluster[1,1,12288]", 1),
         ("exec4x1", "local-cluster[4,1,12288]", 4),
         REPLICATE * 3,
-        rounds=5,
+        rounds=7,
         probes=True,
     )
     flagship["pair_8_32"] = _measure_pair(
