@@ -58,14 +58,24 @@ strong-scaling measurement on one shared box:
   waking up mid-bench) hits adjacent reps of BOTH levels instead of
   one whole level, and the per-round ratio t_lo/t_hi cancels it;
 * per-rep work is sized so the FAST level runs ≥10 s (replicate ×12
-  for the 8→32 pair, ×3 for the executor pair: BASELINE.md's ≥10 s
-  rule applied to both levels, not just the slow one), amortizing
-  fixed driver/scheduler latency;
+  for the 8→32 pair, ×4 for the executor pair: BASELINE.md's ≥10 s
+  rule applied to both levels, not just the slow one — at ×3 the
+  4-executor level bottomed out at ~7.9 s/rep, and the un-amortized
+  driver/scheduler latency alone cost ~0.08-0.10 efficiency
+  (clean-subset 0.787 at ×3 vs 0.883 at ×4, same methodology));
 * efficiency = RATIO OF MEDIANS (median lo rep / median hi rep /
   thread ratio) — one corrupted rep at either level cannot move either
   median; the headline pair runs 7 rounds (median = 4th of 7) so even
   three corrupted reps per level cannot. Paired-median and min-based
-  forms plus raw per-rep lists are reported next to it.
+  forms plus raw per-rep lists are reported next to it;
+* contended windows are detected (a level's median > 1.4× its own
+  min means reps were measured through tenant noise, which is
+  strictly additive) and buy up to 6 extra interleaved rounds while
+  the workers are warm; `scaling_efficiency_clean` — medians over
+  only the reps within 1.4× of that level's own min, kept-rep counts
+  reported — estimates the engine's true cost when a window never
+  clears. Nothing is silently dropped: every raw rep stays in the
+  JSON.
 
 Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
@@ -699,9 +709,11 @@ def main() -> None:
     # rounds=7 for the HEADLINE pair: the median is the 4th of 7 reps,
     # so up to three tenant-corrupted reps per level cannot move it
     # (measured: a replicate=32 experiment had 2/5 hi reps corrupted
-    # 4-5x by tenant spikes; larger per-rep work did NOT add margin —
-    # clean-round ratios were 0.86-0.92 either way — so the margin
-    # lever is median robustness, not rep length).
+    # 4-5x by tenant spikes — median robustness is the first margin
+    # lever). replicate ×4 (not ×3) is the second: ×3 left the
+    # 4-executor level at ~7.9 s/rep, under the ≥10 s rule, and the
+    # un-amortized per-rep driver latency cost ~0.08-0.10 efficiency
+    # (clean-subset 0.787 at ×3 vs 0.883 at ×4 on contended windows).
     # each pair is isolated: a pair that cannot produce even one
     # complete round records its error and the OTHER pair (and the
     # query timings above) still print — a single worker JVM death
@@ -709,7 +721,7 @@ def main() -> None:
     for key, spec in (
         ("pair_exec_1_4", (("exec1x1", "local-cluster[1,1,12288]", 1),
                            ("exec4x1", "local-cluster[4,1,12288]", 4),
-                           REPLICATE * 3, 7)),
+                           REPLICATE * 4, 7)),
         ("pair_8_32", (("local8", "local[8]", 8),
                        ("local32", "local[32]", 32),
                        REPLICATE * 12, 5)),
