@@ -151,11 +151,46 @@ def prefer_representatives(
     )
 
 
+def _local_components(spark, rows) -> DataFrame:
+    """Driver-side union-find over a collected edge list.
+
+    Same contract as :func:`connected_components`: component = the
+    lexicographic min node id (Python codepoint order == Spark's UTF-8
+    binary order for valid strings, so representatives agree with the
+    distributed path bit-for-bit).
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict[str, str] = {}
+    for n in parent:
+        root = find(n)
+        if root not in comp_min or n < comp_min[root]:
+            comp_min[root] = n
+    data = [(n, comp_min[find(n)]) for n in sorted(parent)]
+    return spark.createDataFrame(data, schema="node string, component string")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Min-label propagation via alternating large-star / small-star.
 
@@ -164,6 +199,16 @@ def connected_components(
     id of the component. Converges in O(log n) rounds; each round is two
     shuffles keyed on node id. The driver loop checks a global sum-hash
     for convergence (one lightweight action per round).
+
+    Adaptive small-graph path (the same class of adaptivity as a
+    broadcast-join size threshold): when the deduplicated symmetrized
+    edge list fits on the driver (≤ ``local_threshold`` rows — tens of
+    MB), the O(log n) rounds of shuffle/driver latency cost orders of
+    magnitude more than the problem itself, so the component map is
+    computed with driver-side union-find in ONE Spark job and returned
+    as a local relation. Identical results (same min-label contract);
+    the distributed star loop is unchanged and remains the scale path.
+    ``local_threshold=0`` forces the distributed path.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -172,6 +217,15 @@ def connected_components(
     )
     # symmetrize once; all later rounds keep orientation invariants
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+    if local_threshold:
+        # one job: if ≤ threshold rows come back, that IS the edge set.
+        # CollectLimit reads reduce partitions incrementally, so a big
+        # graph pays one distinct map pass + a bounded fetch, negligible
+        # next to the star rounds it proceeds to run.
+        head = e.limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            return _local_components(edges.sparkSession, head)
 
     # Both stars are formulated WITHOUT collect_set: a hub node's full
     # adjacency never materializes in one aggregation row. min() is

@@ -43,10 +43,17 @@ def test_connected_components_random_graph(spark):
     edges = [(u, v) for u, v in edges if u != v]
     expected = _union_find_components(edges)
     df = spark.createDataFrame(edges, "src string, dst string")
+    # default: small-graph driver union-find fast path
     got = {
         r["node"]: r["component"] for r in connected_components(df).collect()
     }
     assert got == expected
+    # forced distributed star loop: identical result
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert got_dist == expected
 
 
 def test_connected_components_chain_and_star(spark):
@@ -54,7 +61,11 @@ def test_connected_components_chain_and_star(spark):
     chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(30)]
     star = [("hub", f"s{i}") for i in range(20)]
     df = spark.createDataFrame(chain + star, "src string, dst string")
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    # the long chain exercises the distributed loop's O(log n) rounds
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, local_threshold=0).collect()
+    }
     assert all(got[f"c{i:02d}"] == "c00" for i in range(31))
     assert all(got[f"s{i}"] == "hub" for i in range(20)) and got["hub"] == "hub"
 

@@ -63,7 +63,10 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         )
         comp = {
             r["node"]: r["component"]
-            for r in connected_components(edges).collect()
+            # local_threshold=0: this test is about the DISTRIBUTED
+            # loop's checkpoint behavior, so force past the small-graph
+            # driver fast path
+            for r in connected_components(edges, local_threshold=0).collect()
         }
         assert comp == {
             "a": "a", "b": "a", "c": "a",
