@@ -1572,7 +1572,11 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_dedup_lsh_pairs() -> str:
+def _sql_lsh_pairs_ctes() -> str:
+    """The shared CTE chain (d → sh → hashed → sigs → banded → cands →
+    verified) for MinHash-LSH near-dup pairs on ``documents`` with
+    ``doc_id < 300`` — composed by both the pairs oracle and the
+    canonical-docs oracle."""
     p = (1 << 61) - 1
     rows_per_band = _DLSH_N_HASHES // _DLSH_BANDS
     sig_exprs = []
@@ -1597,8 +1601,7 @@ def _sql_dedup_lsh_pairs() -> str:
         "generate_series(0, greatest(len({t}) - 3, 0)), "
         "i -> {t}[i+1] || ' ' || {t}[i+2] || ' ' || {t}[i+3]))"
     )
-    return f"""
-WITH d AS (
+    return f"""d AS (
   SELECT doc_id AS k, string_split_regex(trim(lower(text)), '\\s+') AS toks
   FROM documents WHERE doc_id < 300
 ), sh AS (
@@ -1619,12 +1622,149 @@ cands AS (
                / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE),
                6) AS jaccard
   FROM cands JOIN sh sa ON sa.k = a JOIN sh sb ON sb.k = b
-)
+)"""
+
+
+SQL_DEDUP_LSH_PAIRS = f"""
+WITH {_sql_lsh_pairs_ctes()}
 SELECT a, b, jaccard FROM verified WHERE jaccard >= {_DLSH_THRESHOLD}
 """
 
 
-SQL_DEDUP_LSH_PAIRS = _sql_dedup_lsh_pairs()
+def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus near-dedup: LSH pairs → components → canonical.
+
+    The full training-data dedup operation at 100 TB: banded MinHash-LSH
+    candidate pairs (bucketed, never all-pairs) → connected components
+    over the near-dup graph (large/small-star at scale; driver
+    union-find under the small-graph threshold) → every document mapped
+    to its component's min-id representative; ``is_canonical = 1`` rows
+    ARE the deduplicated corpus cut. Doc ids ride through CC as
+    zero-padded strings so the lexicographic min-label contract equals
+    the numeric min the oracle computes."""
+    from .operators.canon import connected_components
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = minhash_lsh_pairs(
+        d,
+        n_hashes=_DLSH_N_HASHES,
+        bands=_DLSH_BANDS,
+        threshold=_DLSH_THRESHOLD,
+        portable=True,
+    )
+    edges = pairs.select(
+        F.format_string("%09d", F.col("a")).alias("src"),
+        F.format_string("%09d", F.col("b")).alias("dst"),
+    )
+    comp = connected_components(edges).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("canonical_id"),
+    )
+    return (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id"),
+        )
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("canonical_id")).cast("int"),
+        )
+    )
+
+
+SQL_DEDUP_CANONICAL_DOCS = f"""
+WITH RECURSIVE {_sql_lsh_pairs_ctes()},
+pairs AS (SELECT a, b FROM verified WHERE jaccard >= {_DLSH_THRESHOLD}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id < 300),
+cc AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.v AS node, c.lbl FROM cc c JOIN edges e ON c.node = e.u
+  WHERE c.lbl < e.v
+)
+SELECT node AS doc_id,
+       CAST(MIN(lbl) AS BIGINT) AS canonical_id,
+       CAST(node = MIN(lbl) AS INT) AS is_canonical
+FROM cc GROUP BY node
+"""
+
+
+_ABT_K = 5
+_ABT_QUERIES = (0, 7, 19)
+
+
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN serving: exact top-k per query for a query SET.
+
+    One pass over the corpus answers all m queries: the m query vectors
+    broadcast (m × dims rows), dot/norm accumulate as one map-side
+    partial aggregation keyed (q_id, vec_id), then a per-query window
+    takes top-k — the retrieval-batch shape of a training pipeline
+    (dedupe-against / hard-negative mining). Cosine is rounded to 4
+    before ranking so cross-engine double-summation order cannot flip
+    the order; ties break by vec_id. The cell-pruned variant is
+    ``ivf_topk``."""
+    e = _read(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    q = ex.where(F.col("vec_id").isin(*_ABT_QUERIES)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("i").alias("qi"),
+        F.col("v").alias("qv"),
+    )
+    dots = (
+        ex.join(F.broadcast(q), ex.i == q.qi)
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.sum(F.col("v") * F.col("qv")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("na"),
+            F.sum(F.col("qv") * F.col("qv")).alias("nq"),
+        )
+    )
+    sims = dots.where(F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nq")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _ABT_K)
+        .select("q_id", "vec_id", "cosine", "rnk")
+    )
+
+
+SQL_ANN_BATCH_TOPK = f"""
+WITH ex AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, i AS qi, v AS qv FROM ex
+  WHERE vec_id IN {_ABT_QUERIES}
+), dots AS (
+  SELECT q_id, vec_id, SUM(v * qv) AS dot, SUM(v * v) AS na,
+         SUM(qv * qv) AS nq
+  FROM ex JOIN q ON ex.i = q.qi GROUP BY q_id, vec_id
+), sims AS (
+  SELECT q_id, vec_id, ROUND(dot / (sqrt(na) * sqrt(nq)), 4) AS cosine
+  FROM dots WHERE vec_id <> q_id
+), ranked AS (
+  SELECT q_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY cosine DESC, vec_id
+         ) AS INT) AS rnk
+  FROM sims
+)
+SELECT q_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= {_ABT_K}
+"""
 
 
 _SHP_BITS = 16
@@ -3294,9 +3434,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shingle_jaccard": q_shingle_jaccard,
     "winnow_fingerprint": q_winnow_fingerprint,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "dedup_canonical_docs": q_dedup_canonical_docs,
     "simhash_pairs": q_simhash_pairs,
     "curate_corpus": q_curate_corpus,
     "ann_cosine": q_ann_cosine,
+    "ann_batch_topk": q_ann_batch_topk,
     "cosine_pairs": q_cosine_pairs,
     "embedding_centroids": q_embedding_centroids,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
@@ -3345,9 +3487,11 @@ ORACLES: dict[str, str] = {
     "shingle_jaccard": SQL_SHINGLE_JACCARD,
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "dedup_lsh_pairs": SQL_DEDUP_LSH_PAIRS,
+    "dedup_canonical_docs": SQL_DEDUP_CANONICAL_DOCS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "curate_corpus": SQL_CURATE_CORPUS,
     "ann_cosine": SQL_ANN_COSINE,
+    "ann_batch_topk": SQL_ANN_BATCH_TOPK,
     "cosine_pairs": SQL_COSINE_PAIRS,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
