@@ -2678,15 +2678,36 @@ FROM scored WHERE sim_raw >= 0.5
 
 
 def q_triple_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triple-pattern query surface (Sparql.java:26-53 analog): bind p
-    and dataset, wildcard s/o — filters pushed to the scan, and on a
-    bucket-partitioned table the dataset binding also prunes partitions
-    (see serve.py; pruning gated by tests/test_serve.py)."""
-    from .serve import match
+    """Serving surface: single-pattern reads (Sparql.java:26-53) UNION
+    the reference's own catalog BGP (Sparql.java:40-53,
+    ``datasetsByModified``: ``?d a qb:DataSet . ?d <prop> ?v . ...``)
+    re-expressed with serve.select_bgp over the materialized graph —
+    each pattern a pushed-down scan, patterns equi-joined on ``?d``.
+    One result grain: (s-or-d, p-or-var, o-or-value) rows; the single
+    pattern binds (p, dataset) and wildcards s/o, the BGP returns every
+    dataset with its label and each of its refYears (3-pattern join,
+    1:N on years — the exact shape of the reference's query)."""
+    from .operators.convert_transcripts import dataset_triples
+    from .serve import match, select_bgp
 
     t = transcripts_from_events(spark, sf_dir)
-    triples = observation_triples(t)
-    return match(triples, p=M.LSO_REF_DATE, dataset="conv-7").select("s", "p", "o")
+    pattern = (
+        match(observation_triples(t), p=M.LSO_REF_DATE, dataset="conv-7")
+        .select("s", "p", "o")
+    )
+    bgp = select_bgp(
+        dataset_triples(t),
+        [
+            ("?d", M.RDF_TYPE, M.QB_DATASET),
+            ("?d", M.RDFS_LABEL, "?label"),
+            ("?d", M.LSO_REF_YEAR, "?year"),
+        ],
+    ).select(
+        F.col("d").alias("s"),
+        F.col("label").alias("p"),
+        F.col("year").alias("o"),
+    )
+    return pattern.unionByName(bgp)
 
 
 SQL_TRIPLE_MATCH = f"""
@@ -2696,6 +2717,12 @@ SELECT '{INST}observation-' || conv_id || '-' || CAST(turn_idx AS STRING) AS s,
        strftime(ts, '{ISO_DUCK}') AS o
 FROM transcripts
 WHERE conv_id = 'conv-7' AND ts IS NOT NULL
+UNION ALL
+SELECT '{INST}' || conv_id AS s,
+       conv_id AS p,
+       printf('%04d', y) AS o
+FROM (SELECT DISTINCT conv_id, CAST(year(ts) AS INT) AS y
+      FROM transcripts WHERE ts IS NOT NULL) dsyears
 """
 
 

@@ -185,3 +185,93 @@ def test_convert_with_full_dictionaries_recall(spark):
 
     dup = out.groupBy("s", "p", "o").count().where(FF.col("count") > 1).count()
     assert dup == 0
+
+
+def test_select_bgp_reference_catalog_query(spark, triple_table):
+    """Sparql.java:40-53 analog: '?d a qb:DataSet . ?d rdfs:label ?l .
+    ?d lso:refYear ?y' — 3-pattern join on ?d, 1:N on years."""
+    from linkedspending_spark.serve import select_bgp
+
+    triples = read_triple_table(spark, triple_table)
+    out = select_bgp(
+        triples,
+        [
+            ("?d", M.RDF_TYPE, M.QB_DATASET),
+            ("?d", M.RDFS_LABEL, "?label"),
+            ("?d", M.LSO_REF_YEAR, "?year"),
+        ],
+    )
+    assert out.columns == ["d", "label", "year"]
+    rows = out.collect()
+    # every dataset appears with its conv_id label; join on ?d must have
+    # dropped the property-node rdfs:label rows (labels == conv_ids)
+    labels = {r["label"] for r in rows}
+    datasets = {
+        r["dataset"]
+        for r in triples.select("dataset").distinct().collect()
+    }
+    assert labels == datasets
+    # 1:N: row count equals the number of (dataset, refYear) pairs
+    expected = triples.where(F.col("p") == M.LSO_REF_YEAR).count()
+    assert len(rows) == expected > 0
+
+
+def test_select_bgp_term_shapes(spark, triple_table):
+    from linkedspending_spark.serve import select_bgp
+
+    triples = read_triple_table(spark, triple_table)
+    # repeated variable in one pattern: positions must agree (s == o
+    # never holds for typing triples -> empty, not an error)
+    same = select_bgp(triples, [("?x", M.RDF_TYPE, "?x")])
+    assert same.columns == ["x"] and same.count() == 0
+    # all-constant pattern acts as an existence gate: true -> no effect
+    n_datasets = select_bgp(
+        triples, [("?d", M.RDF_TYPE, M.QB_DATASET)]
+    ).count()
+    any_obs = triples.where(
+        (F.col("p") == M.RDF_TYPE) & (F.col("o") == M.QB_OBSERVATION)
+    ).first()
+    gated = select_bgp(
+        triples,
+        [
+            ("?d", M.RDF_TYPE, M.QB_DATASET),
+            (any_obs["s"], M.RDF_TYPE, M.QB_OBSERVATION),  # exists: true
+        ],
+    )
+    assert gated.count() == n_datasets
+    empty_gate = select_bgp(
+        triples,
+        [
+            ("?d", M.RDF_TYPE, M.QB_DATASET),
+            ("urn:no-such-subject", M.RDF_TYPE, M.QB_OBSERVATION),
+        ],
+    )
+    assert empty_gate.count() == 0
+    # disconnected patterns: deliberate cross product
+    cross = select_bgp(
+        triples,
+        [("?d", M.RDF_TYPE, M.QB_DATASET), ("?o", M.RDF_TYPE, M.QB_OBSERVATION)],
+    )
+    n_obs = triples.where(
+        (F.col("p") == M.RDF_TYPE) & (F.col("o") == M.QB_OBSERVATION)
+    ).count()
+    assert cross.count() == n_datasets * n_obs
+    with pytest.raises(ValueError):
+        select_bgp(triples, [])
+
+
+def test_select_bgp_pushdown_plan(spark, triple_table):
+    """Each pattern's constants reach the parquet scan as PushedFilters."""
+    from linkedspending_spark.serve import select_bgp
+
+    triples = read_triple_table(spark, triple_table)
+    q = select_bgp(
+        triples,
+        [("?d", M.RDF_TYPE, M.QB_DATASET), ("?d", M.RDFS_LABEL, "?label")],
+    )
+    plan = plan_of(q)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert sum(M.RDF_TYPE.split("#")[-1] in l or "p" in l for l in pushed) >= 1
+    assert any(M.RDFS_LABEL.split("#")[-1][:5] in l for l in pushed) or len(
+        pushed
+    ) >= 2, plan[:3000]
