@@ -65,12 +65,12 @@ strong-scaling measurement on one shared box:
   (clean-subset 0.787 at ×3 vs 0.883 at ×4, same methodology));
 * efficiency = RATIO OF MEDIANS (median lo rep / median hi rep /
   thread ratio) — one corrupted rep at either level cannot move either
-  median; the headline pair runs 7 rounds (median = 4th of 7) so even
-  three corrupted reps per level cannot. Paired-median and min-based
+  median; the headline pair runs 9 rounds (median = 5th of 9) so even
+  four corrupted reps per level cannot. Paired-median and min-based
   forms plus raw per-rep lists are reported next to it;
-* contended windows are detected (a level's median > 1.4× its own
+* contended windows are detected (a level's median > 1.3× its own
   min means reps were measured through tenant noise, which is
-  strictly additive) and buy up to 6 extra interleaved rounds while
+  strictly additive) and buy up to 8 extra interleaved rounds while
   the workers are warm; `scaling_efficiency_clean` — medians over
   only the reps within 1.4× of that level's own min, kept-rep counts
   reported — estimates the engine's true cost when a window never
@@ -476,10 +476,24 @@ def _measure_pair(
             # a level whose median rep is far above its own min was
             # measured through tenant contention (noise is strictly
             # additive); clean reps of the SAME level bound it from
-            # below. 1.4x covers honest steady-state spread (~1.2x
-            # observed on quiet windows).
+            # below. 1.3x: honest steady-state spread is ~1.2x on quiet
+            # windows, and a recorded 7-round run whose hi-level median
+            # sat 1.33x above its min (three tenant-inflated reps) cost
+            # the headline ~0.15 efficiency without tripping the old
+            # 1.4x trigger. SECOND trigger: >=1/3 of a level's reps
+            # individually >1.3x its min — a median can still sit on a
+            # clean rep while enough contaminated reps surround it to
+            # make the NEXT corrupted rep flip it (observed: 3-of-9
+            # inflated hi reps, clean median, headline dragged 0.09);
+            # extension is cheap (workers stay warm), a too-tight
+            # trigger only buys extra clean reps.
+            def frac_bad(v: str) -> float:
+                lim = 1.3 * min(runs[v])
+                return sum(r > lim for r in runs[v]) / len(runs[v])
+
             return any(
-                _median(runs[v]) > 1.4 * min(runs[v]) for v in (lo, hi)
+                _median(runs[v]) > 1.3 * min(runs[v]) or frac_bad(v) >= 1 / 3
+                for v in (lo, hi)
             )
 
         try:
@@ -496,7 +510,7 @@ def _measure_pair(
             # engine's true cost; on a box that never clears, the
             # per-round ceilings document why the number is low
             extra = 0
-            while extra < 6 and contended():
+            while extra < 8 and contended():
                 extra += 1
                 for lvl in (lo, hi):
                     runs[lvl].append(timed_rep(lvl))
@@ -650,31 +664,41 @@ def main() -> None:
 
     from linkedspending_spark.jobs import run_canonicalize_job, run_transcripts_job
 
-    tmp = tempfile.mkdtemp(prefix="bench_pipe_")
+    # two passes, min per phase (same one-sided-noise rule as the query
+    # timings: a single tenant spike once recorded canonicalize at
+    # 21.7 s vs the 12.8-15.4 s it measures on quiet windows — one-shot
+    # numbers of record shouldn't carry that)
     pipeline: dict = {}
-    try:
-        t0 = time.perf_counter()
-        rep = run_transcripts_job(
-            spark,
-            transcripts_from_events(spark, SF_DIR),
-            out_path=f"{tmp}/triples",
-            manifest_path=f"{tmp}/man",
-            n_buckets=64,
-        )
-        convert_sec = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        canon = run_canonicalize_job(
-            spark, f"{tmp}/triples", f"{tmp}/triples_canonical", f"{tmp}/man"
-        )
-        pipeline = {
-            "convert_sec": round(convert_sec, 3),
-            "canonicalize_sec": round(time.perf_counter() - t0, 3),
-            "triples": rep.converted_triples,
-            "canonical_triples": canon.converted_triples,
-            "state": canon.state,
-        }
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    for _pass in range(2):
+        tmp = tempfile.mkdtemp(prefix="bench_pipe_")
+        try:
+            t0 = time.perf_counter()
+            rep = run_transcripts_job(
+                spark,
+                transcripts_from_events(spark, SF_DIR),
+                out_path=f"{tmp}/triples",
+                manifest_path=f"{tmp}/man",
+                n_buckets=64,
+            )
+            convert_sec = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            canon = run_canonicalize_job(
+                spark, f"{tmp}/triples", f"{tmp}/triples_canonical", f"{tmp}/man"
+            )
+            canon_sec = round(time.perf_counter() - t0, 3)
+            pipeline = {
+                "convert_sec": min(
+                    pipeline.get("convert_sec", convert_sec), convert_sec
+                ),
+                "canonicalize_sec": min(
+                    pipeline.get("canonicalize_sec", canon_sec), canon_sec
+                ),
+                "triples": rep.converted_triples,
+                "canonical_triples": canon.converted_triples,
+                "state": canon.state,
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
 
     # scaling: THREE measurements, from most-faithful-to-the-north-rule
@@ -706,14 +730,18 @@ def main() -> None:
     # serialized at 1.06 GB/s, i.e. already brushing the wall, which
     # capped raw efficiency ~0.75 — the very artifact this pair exists
     # to exclude.
-    # rounds=7 for the HEADLINE pair: the median is the 4th of 7 reps,
-    # so up to three tenant-corrupted reps per level cannot move it
+    # rounds=9 for the HEADLINE pair: the median is the 5th of 9 reps,
+    # so up to four tenant-corrupted reps per level cannot move it
     # (measured: a replicate=32 experiment had 2/5 hi reps corrupted
-    # 4-5x by tenant spikes — median robustness is the first margin
-    # lever). replicate ×4 (not ×3) is the second: ×3 left the
+    # 4-5x by tenant spikes, and a 7-round run had 3/7 hi reps inflated
+    # ~1.3-4.6x — median robustness is the first margin
+    # lever). replicate ×5 is the second: ×3 left the
     # 4-executor level at ~7.9 s/rep, under the ≥10 s rule, and the
     # un-amortized per-rep driver latency cost ~0.08-0.10 efficiency
-    # (clean-subset 0.787 at ×3 vs 0.883 at ×4 on contended windows).
+    # (clean-subset 0.787 at ×3 vs 0.883 at ×4 on contended windows);
+    # ×4 still measured clean hi reps at 7-9 s, below the rule — ×5
+    # puts the fast level solidly ≥10 s so short-rep jitter stops
+    # inflating its relative spread.
     # each pair is isolated: a pair that cannot produce even one
     # complete round records its error and the OTHER pair (and the
     # query timings above) still print — a single worker JVM death
@@ -721,7 +749,7 @@ def main() -> None:
     for key, spec in (
         ("pair_exec_1_4", (("exec1x1", "local-cluster[1,1,12288]", 1),
                            ("exec4x1", "local-cluster[4,1,12288]", 4),
-                           REPLICATE * 4, 7)),
+                           REPLICATE * 5, 9)),
         ("pair_8_32", (("local8", "local[8]", 8),
                        ("local32", "local[32]", 32),
                        REPLICATE * 12, 5)),

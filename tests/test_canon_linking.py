@@ -178,3 +178,98 @@ def test_lsh_join_recall_vs_exact_ground_truth(spark):
     }
     assert lsh <= exact  # exact-verify step ⇒ no false positives
     assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_merge_components_equals_full_recompute(spark):
+    """Incremental CC contract: merge_components(CC(wave1), wave2) ==
+    connected_components(wave1 ∪ wave2), including brand-new nodes."""
+    from linkedspending_spark.operators.canon import merge_components
+
+    rng = random.Random(29)
+    nodes = [f"m{i:03d}" for i in range(100)]
+    all_edges = [
+        (nodes[rng.randrange(len(nodes))], nodes[rng.randrange(len(nodes))])
+        for _ in range(130)
+    ]
+    all_edges = [(u, v) for u, v in all_edges if u != v]
+    wave1, wave2 = all_edges[:70], all_edges[70:]
+    # wave2 also introduces nodes the first wave never saw
+    wave2 += [("zz-new-1", nodes[0]), ("zz-new-1", "zz-new-2"), ("aa-new", nodes[50])]
+
+    base = connected_components(
+        spark.createDataFrame(wave1, "src string, dst string")
+    )
+    merged = merge_components(
+        base, spark.createDataFrame(wave2, "src string, dst string")
+    )
+    got = {r["node"]: r["component"] for r in merged.collect()}
+
+    expected = _union_find_components(wave1 + wave2)
+    # merge_components covers nodes of both waves; full CC covers the same
+    assert got == expected
+    # every node exactly once
+    assert merged.count() == len(got)
+
+
+def test_merge_components_intra_component_wave_is_noop(spark):
+    from linkedspending_spark.operators.canon import merge_components
+
+    base_edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    base = connected_components(
+        spark.createDataFrame(base_edges, "src string, dst string")
+    )
+    # edges entirely inside existing components: nothing changes
+    wave = spark.createDataFrame([("a", "c"), ("y", "x")], "src string, dst string")
+    assert merge_components(base, wave, changed_only=True).count() == 0
+    full = {r["node"]: r["component"]
+            for r in merge_components(base, wave).collect()}
+    assert full == {r["node"]: r["component"] for r in base.collect()}
+
+
+def test_merge_components_changed_only_is_the_increment(spark):
+    """changed_only=True returns exactly the rows a MERGE sink must
+    upsert: applying it over the old map reproduces the full result."""
+    from linkedspending_spark.operators.canon import merge_components
+
+    base_edges = [("a", "b"), ("p", "q"), ("x", "y")]
+    base = connected_components(
+        spark.createDataFrame(base_edges, "src string, dst string")
+    )
+    # bridge two components and attach one new node (named to sort
+    # AFTER x/y — a lexicographically smaller new node would correctly
+    # re-label the whole component to itself, min-node contract)
+    wave = spark.createDataFrame(
+        [("b", "q"), ("zz-new", "y")], "src string, dst string"
+    )
+    inc = {r["node"]: r["component"]
+           for r in merge_components(base, wave, changed_only=True).collect()}
+    full = {r["node"]: r["component"]
+            for r in merge_components(base, wave).collect()}
+    old = {r["node"]: r["component"] for r in base.collect()}
+    applied = {**old, **inc}
+    assert applied == full
+    # p,q moved under 'a'; zz-new joined x/y's component; a,b,x,y unchanged
+    assert inc["p"] == "a" and inc["q"] == "a" and inc["zz-new"] == "x"
+    assert not {"a", "b", "x", "y"} & set(inc)
+
+
+def test_merge_components_chained_waves(spark):
+    from linkedspending_spark.operators.canon import merge_components
+
+    rng = random.Random(31)
+    nodes = [f"c{i:02d}" for i in range(40)]
+    edges = [
+        (nodes[rng.randrange(len(nodes))], nodes[rng.randrange(len(nodes))])
+        for _ in range(60)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    w1, w2, w3 = edges[:20], edges[20:40], edges[40:]
+    cur = connected_components(
+        spark.createDataFrame(w1, "src string, dst string")
+    )
+    for w in (w2, w3):
+        cur = merge_components(
+            cur, spark.createDataFrame(w, "src string, dst string")
+        )
+    got = {r["node"]: r["component"] for r in cur.collect()}
+    assert got == _union_find_components(edges)

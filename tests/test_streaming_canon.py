@@ -1,0 +1,113 @@
+"""Streaming incremental canonicalization: per-wave merge into a
+versioned assignment store, exactly-once."""
+
+from __future__ import annotations
+
+from linkedspending_spark.operators.canon import connected_components
+from linkedspending_spark.sources.manifest import ManifestStore
+from linkedspending_spark.streaming.canon import (
+    EDGE_SCHEMA,
+    read_assignments,
+    stream_sameas_merge,
+)
+
+WAVES = [
+    [("a", "b"), ("c", "d")],
+    [("b", "c"), ("x", "y")],          # bridges a-b and c-d; new comp x-y
+    [("new-1", "y"), ("new-1", "new-2")],  # attaches fresh nodes
+]
+
+
+def _write_waves(spark, tmp_path, waves):
+    in_path = tmp_path / "edges"
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(wave, EDGE_SCHEMA).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(str(in_path))
+    return str(in_path)
+
+
+def test_stream_merge_matches_full_cc(spark, tmp_path):
+    in_path = _write_waves(spark, tmp_path, WAVES)
+    store = str(tmp_path / "store")
+    man = str(tmp_path / "man")
+    ckpt = str(tmp_path / "ckpt")
+    stats = stream_sameas_merge(spark, in_path, store, man, ckpt)
+    assert stats["batches"] >= 2 and stats["skipped"] == 0
+
+    got = {
+        r["node"]: r["component"]
+        for r in read_assignments(spark, store, man).collect()
+    }
+    all_edges = [e for w in WAVES for e in w]
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(all_edges, "src string, dst string")
+        ).collect()
+    }
+    assert got == want
+    # manifest carries the version pointer of each committed batch
+    rows = ManifestStore(spark, man).read().collect()
+    assert len(rows) == stats["batches"]
+    assert stats["version"] == max(int(r["n_rows"]) for r in rows)
+
+
+def test_stream_merge_restart_skips_committed_batches(spark, tmp_path):
+    """Re-running the finished stream (same checkpoint) replays nothing;
+    a NEW wave appended afterwards folds on top of the committed store."""
+    in_path = _write_waves(spark, tmp_path, WAVES[:2])
+    store = str(tmp_path / "store")
+    man = str(tmp_path / "man")
+    ckpt = str(tmp_path / "ckpt")
+    first = stream_sameas_merge(spark, in_path, store, man, ckpt)
+    assert first["batches"] >= 1
+
+    # finished stream, same checkpoint: no new batches, nothing skipped
+    # (the streaming engine itself doesn't replay committed offsets)
+    again = stream_sameas_merge(spark, in_path, store, man, ckpt)
+    assert again["batches"] == 0
+    assert again["version"] == first["version"]
+
+    # append wave 3 and resume: exactly the increment is processed
+    spark.createDataFrame(WAVES[2], EDGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_path)
+    resumed = stream_sameas_merge(spark, in_path, store, man, ckpt)
+    assert resumed["batches"] >= 1
+    got = {
+        r["node"]: r["component"]
+        for r in read_assignments(spark, store, man).collect()
+    }
+    all_edges = [e for w in WAVES for e in w]
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(all_edges, "src string, dst string")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stream_merge_replayed_batch_is_idempotent(spark, tmp_path):
+    """A batch whose manifest row exists is skipped outright (the crash-
+    between-commit-and-record case rebuilds its own version dir, so
+    either way the store never double-applies a wave)."""
+    in_path = _write_waves(spark, tmp_path, WAVES[:1])
+    store = str(tmp_path / "store")
+    man = str(tmp_path / "man")
+    first = stream_sameas_merge(
+        spark, in_path, store, man, str(tmp_path / "ckpt1")
+    )
+    assert first["batches"] == 1
+    # fresh checkpoint: the engine replays the same file as batch 0;
+    # the manifest key already exists, so the fold is skipped
+    second = stream_sameas_merge(
+        spark, in_path, store, man, str(tmp_path / "ckpt2")
+    )
+    assert second["batches"] == 0 and second["skipped"] >= 1
+    got = {
+        r["node"]: r["component"]
+        for r in read_assignments(spark, store, man).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
