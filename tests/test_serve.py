@@ -275,3 +275,76 @@ def test_select_bgp_pushdown_plan(spark, triple_table):
     assert any(M.RDFS_LABEL.split("#")[-1][:5] in l for l in pushed) or len(
         pushed
     ) >= 2, plan[:3000]
+
+
+def test_select_bgp_matches_naive_evaluator(spark):
+    """Randomized equivalence: select_bgp over a tiny random graph must
+    produce exactly the bag of solution mappings a naive nested-loop
+    SPARQL BGP evaluator produces (bag semantics: no implicit dedup)."""
+    import random
+
+    from linkedspending_spark.serve import select_bgp
+
+    def naive(triples, patterns, var_order):
+        sols = [dict()]
+        for pat in patterns:
+            nxt = []
+            for b in sols:
+                for row in triples:
+                    bb, ok = dict(b), True
+                    for term, val in zip(pat, row):
+                        if term.startswith("?"):
+                            v = term[1:]
+                            if bb.get(v, val) != val:
+                                ok = False
+                                break
+                            bb[v] = val
+                        elif term != val:
+                            ok = False
+                            break
+                    if ok:
+                        nxt.append(bb)
+            sols = nxt
+        return sorted(tuple(b[v] for v in var_order) for b in sols)
+
+    rng = random.Random(47)
+    for trial in range(5):
+        triples = sorted(
+            {
+                (
+                    f"s{rng.randrange(4)}",
+                    f"p{rng.randrange(2)}",
+                    f"o{rng.randrange(4)}",
+                )
+                for _ in range(rng.randrange(8, 20))
+            }
+        )
+        df = spark.createDataFrame(triples, "s string, p string, o string")
+        n_pat = rng.randrange(2, 4)
+        patterns, var_order = [], []
+        pool = ["?x", "?y", "?z"]
+        for _ in range(n_pat):
+            pat = tuple(
+                rng.choice(
+                    [rng.choice(pool), f"s{rng.randrange(4)}"]
+                    if pos == 0
+                    else [rng.choice(pool), f"p{rng.randrange(2)}"]
+                    if pos == 1
+                    else [rng.choice(pool), f"o{rng.randrange(4)}"]
+                )
+                for pos in range(3)
+            )
+            patterns.append(pat)
+        # need at least one variable overall for a non-degenerate select
+        if not any(t.startswith("?") for pat in patterns for t in pat):
+            patterns[0] = ("?x",) + patterns[0][1:]
+        for pat in patterns:
+            for t in pat:
+                if t.startswith("?") and t[1:] not in var_order:
+                    var_order.append(t[1:])
+        got = sorted(
+            tuple(r[v] for v in var_order)
+            for r in select_bgp(df, patterns).collect()
+        )
+        want = naive(triples, patterns, var_order)
+        assert got == want, (trial, patterns, got, want)
