@@ -111,3 +111,54 @@ def test_stream_merge_replayed_batch_is_idempotent(spark, tmp_path):
         for r in read_assignments(spark, store, man).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+
+def test_stream_merge_uncommitted_version_is_ignored_and_rebuilt(spark, tmp_path):
+    """Crash between the version-dir write and the manifest record: the
+    orphan version dir is never read (manifest is authoritative) and a
+    restarted stream rebuilds that exact version idempotently."""
+    import pathlib
+
+    in_path = _write_waves(spark, tmp_path, WAVES[:1])
+    store = str(tmp_path / "store")
+    man = str(tmp_path / "man")
+    first = stream_sameas_merge(
+        spark, in_path, store, man, str(tmp_path / "ckpt1")
+    )
+    committed = first["version"]
+
+    # simulate the crash remnant: a deeper version dir with bogus data
+    # and NO manifest row
+    orphan = committed + 7
+    spark.createDataFrame(
+        [("poison", "poison")], "node string, component string"
+    ).write.parquet(f"{store}/v={orphan}")
+
+    # reads resolve through the manifest -> the orphan is invisible
+    got = {
+        r["node"]: r["component"]
+        for r in read_assignments(spark, store, man).collect()
+    }
+    assert "poison" not in got
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+    # a resumed stream folds new waves from the last COMMITTED version,
+    # not the orphan
+    spark.createDataFrame(WAVES[1], EDGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_path)
+    stream_sameas_merge(spark, in_path, store, man, str(tmp_path / "ckpt1"))
+    got2 = {
+        r["node"]: r["component"]
+        for r in read_assignments(spark, store, man).collect()
+    }
+    all_edges = [e for w in WAVES[:2] for e in w]
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(all_edges, "src string, dst string")
+        ).collect()
+    }
+    assert got2 == want and "poison" not in got2
+    # the orphan dir still exists on disk but stays unreachable
+    assert pathlib.Path(f"{store}/v={orphan}").exists()
