@@ -273,3 +273,64 @@ def test_merge_components_chained_waves(spark):
         )
     got = {r["node"]: r["component"] for r in cur.collect()}
     assert got == _union_find_components(edges)
+
+
+def test_incremental_canonicalization_composes(spark):
+    """The full incremental loop: triples canonicalized against CC(E1),
+    then a new wave E2 folded with merge_components and applied with
+    canonicalize_triples_minimal_dedup(increment), must equal one-shot
+    canonicalization against CC(E1 ∪ E2) with statement-set semantics —
+    including a node that appears in triples and E2 but never in E1."""
+    import random
+
+    from linkedspending_spark.operators.canon import (
+        canonicalize_triples_minimal_dedup,
+        merge_components,
+    )
+
+    rng = random.Random(37)
+    nodes = [f"http://x/n{i:02d}" for i in range(24)]
+    rows = []
+    for i in range(120):
+        s = nodes[rng.randrange(len(nodes))]
+        o = nodes[rng.randrange(len(nodes))]
+        kind = "uri" if rng.random() < 0.7 else "literal"
+        rows.append((s, f"p{rng.randrange(4)}", o, kind, None, None))
+    schema = (
+        "s string, p string, o string, o_kind string,"
+        " o_datatype string, o_lang string"
+    )
+    triples = spark.createDataFrame(sorted(set(rows)), schema)
+
+    e1 = [(nodes[rng.randrange(18)], nodes[rng.randrange(18)]) for _ in range(10)]
+    # wave 2 touches nodes 18-23, which E1 never saw (but triples use)
+    e2 = [(nodes[rng.randrange(len(nodes))], nodes[rng.randrange(len(nodes))])
+          for _ in range(8)]
+    e1 = [(u, v) for u, v in e1 if u != v]
+    e2 = [(u, v) for u, v in e2 if u != v]
+
+    c1 = connected_components(spark.createDataFrame(e1, "src string, dst string"))
+    canon1 = canonicalize_triples_minimal_dedup(
+        triples, c1
+    )
+
+    inc = merge_components(
+        c1, spark.createDataFrame(e2, "src string, dst string"),
+        changed_only=True,
+    )
+    got = {
+        (r["s"], r["p"], r["o"])
+        for r in canonicalize_triples_minimal_dedup(canon1, inc).collect()
+    }
+
+    full = connected_components(
+        spark.createDataFrame(e1 + e2, "src string, dst string")
+    )
+    want = {
+        (r["s"], r["p"], r["o"])
+        for r in canonicalize_triples_minimal_dedup(triples, full).collect()
+    }
+    assert got == want
+    # and the bag is a set on both sides (statement-set semantics held)
+    inc_df = canonicalize_triples_minimal_dedup(canon1, inc)
+    assert inc_df.count() == inc_df.dropDuplicates(["s", "p", "o"]).count()
