@@ -334,3 +334,19 @@ def test_incremental_canonicalization_composes(spark):
     # and the bag is a set on both sides (statement-set semantics held)
     inc_df = canonicalize_triples_minimal_dedup(canon1, inc)
     assert inc_df.count() == inc_df.dropDuplicates(["s", "p", "o"]).count()
+
+
+def test_merge_components_distributed_delta_path(spark):
+    """local_threshold=0 forces the star-loop CC over the component-level
+    edge list — the 100-TB path — with identical results."""
+    from linkedspending_spark.operators.canon import merge_components
+
+    base = connected_components(
+        spark.createDataFrame([("a", "b"), ("p", "q")], "src string, dst string")
+    )
+    wave = spark.createDataFrame([("b", "q"), ("q", "zz")], "src string, dst string")
+    got = {
+        r["node"]: r["component"]
+        for r in merge_components(base, wave, local_threshold=0).collect()
+    }
+    assert got == {"a": "a", "b": "a", "p": "a", "q": "a", "zz": "a"}

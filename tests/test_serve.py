@@ -348,3 +348,19 @@ def test_select_bgp_matches_naive_evaluator(spark):
         )
         want = naive(triples, patterns, var_order)
         assert got == want, (trial, patterns, got, want)
+
+
+def test_select_bgp_dataset_binding_prunes_every_pattern_scan(spark, triple_table):
+    """A bound dataset flows into EVERY pattern's match() scan: each scan
+    carries the bucket PartitionFilter, and results equal the unpruned
+    dataset-filtered join."""
+    from linkedspending_spark.serve import select_bgp
+
+    triples = read_triple_table(spark, triple_table)
+    patterns = [("?d", M.RDF_TYPE, M.QB_DATASET), ("?d", M.RDFS_LABEL, "?label")]
+    q = select_bgp(triples, patterns, dataset="conv-0003", n_buckets=8)
+    rows = q.collect()
+    assert len(rows) == 1 and rows[0]["label"] == "conv-0003"
+    plan = plan_of(q)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert sum("bucket" in l for l in part_lines) >= 2, plan[:3000]
