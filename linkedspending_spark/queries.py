@@ -2491,7 +2491,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The deterministic stand-in decode (sha256 digest → 8 little-endian
     int32s → float32s) is replayed hex-digit-by-hex-digit in the DuckDB
-    oracle, so the whole Arrow batch path is value-hash-gated."""
+    oracle, so the whole Arrow batch path is value-hash-gated.
+
+    Registry projection: the UDF's ``feature array<float>`` is
+    posexploded to one scalar row per (asset, dim) — the driver's
+    pandas-based canonicalizer cannot sort/hash list-typed cells
+    (round-3 red row: ``TypeError: unhashable type: 'list'``). The
+    float32 values are cast to double (lossless) so both engines hand
+    the driver bit-identical scalars."""
     from .operators.multimodal import extract_features
 
     d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
@@ -2506,19 +2513,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
-    return extract_features(assets)
+    feats = extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        "sha256",
+        F.posexplode("feature").alias("dim", "feature_val"),
+        "decode_status",
+    ).withColumn("feature_val", F.col("feature_val").cast("double"))
 
 
 def _sql_multimodal_features() -> str:
     # feature[i] = int32.from_bytes(sha256(content)[4i:4i+4], "little") / 2^31,
-    # reconstructed from the hex digest (byte j = hex chars 2j+1..2j+2)
+    # reconstructed from the hex digest (byte j = hex chars 2j+1..2j+2);
+    # one row per (asset, dim) — CASE over a VALUES dim table mirrors the
+    # Spark side's posexplode
     comps = []
     for i in range(8):
         b = [f"substr(h, {2 * (4 * i + j) + 1}, 2)" for j in range(4)]
         le = f"({b[3]} || {b[2]} || {b[1]} || {b[0]})"
         v = f"CAST(('0x' || {le}) AS BIGINT)"
         signed = f"(CASE WHEN {v} >= 2147483648 THEN {v} - 4294967296 ELSE {v} END)"
-        comps.append(f"CAST({signed} / 2147483648.0 AS FLOAT)")
+        comps.append(f"CAST(CAST({signed} / 2147483648.0 AS FLOAT) AS DOUBLE)")
+    case = " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(comps))
+    dims = ", ".join(f"({i})" for i in range(8))
     return f"""
 WITH a AS (
   SELECT 'doc-' || CAST(doc_id AS STRING) AS asset_id, 'image' AS media_type,
@@ -2527,9 +2546,10 @@ WITH a AS (
   FROM documents WHERE doc_id < 200
 )
 SELECT asset_id, media_type, n_bytes, h AS sha256,
-       [{", ".join(comps)}] AS feature,
+       d.dim AS dim,
+       (CASE d.dim {case} END) AS feature_val,
        'stubbed' AS decode_status
-FROM a
+FROM a CROSS JOIN (VALUES {dims}) AS d(dim)
 """
 
 

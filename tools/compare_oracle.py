@@ -33,7 +33,25 @@ def _norm(v):
         return f"{v:.9g}"
     if isinstance(v, dt.datetime):
         return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        # canonicalize nested lists so the value comparison still runs —
+        # but _driver_compatible() separately FAILS the entry, because the
+        # driver's pandas sort_values cannot hash list cells (round-3 red
+        # row). This keeps diagnostics useful without masking the defect.
+        return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)
+
+
+def _driver_incompatible_cols(rows) -> set:
+    """Column indexes holding list/tuple cells — the driver's pandas
+    canonicalizer raises `unhashable type: 'list'` on these, so a registry
+    entry emitting them is red in the hard signal even if values match."""
+    bad = set()
+    for r in rows[:50]:
+        for i, v in enumerate(r):
+            if isinstance(v, (list, tuple)):
+                bad.add(i)
+    return bad
 
 
 def _key(row, cols_order):
@@ -49,6 +67,13 @@ def compare(spark, con, name, sf_dir):
     dk_rows = res.fetchall()
     msg = []
     ok = True
+    bad_cols = _driver_incompatible_cols(sp_rows)
+    if bad_cols:
+        ok = False
+        msg.append(
+            "driver-incompatible list-typed column(s): "
+            + ", ".join(sorted(sp_cols[i] for i in bad_cols))
+        )
     if sorted(sp_cols) != sorted(c.lower() for c in dk_cols):
         ok = False
         msg.append(f"schema: spark={sorted(sp_cols)} duck={sorted(dk_cols)}")
