@@ -682,7 +682,10 @@ def main() -> None:
     # timings: a single tenant spike once recorded canonicalize at
     # 21.7 s vs the 12.8-15.4 s it measures on quiet windows — one-shot
     # numbers of record shouldn't carry that)
-    pipeline: dict = {}
+    # both passes recorded (round-3 ADVICE: pass 2 runs fully JIT-warm, so
+    # a bare min conflates estimator choice with engine improvement in
+    # round-over-round reads — *_passes keeps the cold number visible)
+    pipeline: dict = {"convert_passes": [], "canonicalize_passes": []}
     for _pass in range(2):
         tmp = tempfile.mkdtemp(prefix="bench_pipe_")
         try:
@@ -700,17 +703,17 @@ def main() -> None:
                 spark, f"{tmp}/triples", f"{tmp}/triples_canonical", f"{tmp}/man"
             )
             canon_sec = round(time.perf_counter() - t0, 3)
-            pipeline = {
-                "convert_sec": min(
-                    pipeline.get("convert_sec", convert_sec), convert_sec
-                ),
-                "canonicalize_sec": min(
-                    pipeline.get("canonicalize_sec", canon_sec), canon_sec
-                ),
-                "triples": rep.converted_triples,
-                "canonical_triples": canon.converted_triples,
-                "state": canon.state,
-            }
+            pipeline["convert_passes"].append(convert_sec)
+            pipeline["canonicalize_passes"].append(canon_sec)
+            pipeline.update(
+                {
+                    "convert_sec": min(pipeline["convert_passes"]),
+                    "canonicalize_sec": min(pipeline["canonicalize_passes"]),
+                    "triples": rep.converted_triples,
+                    "canonical_triples": canon.converted_triples,
+                    "state": canon.state,
+                }
+            )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
@@ -775,19 +778,87 @@ def main() -> None:
             flagship[key] = {"error": f"{type(ex).__name__}: {ex}"[:500]}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(SF_DIR),
-                "pipeline": pipeline,
-                "flagship": flagship,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+        "pipeline": pipeline,
+        "flagship": flagship,
+    }
+    # Full record (raw rep lists, per-round ceiling arrays, every estimator
+    # variant) goes to a side file; the single stdout line is a compact
+    # summary guaranteed to fit the driver's 2,000-char tail window —
+    # round 3's 3,268-char line is why BENCH_r03.json has "parsed": null.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    line = json.dumps(_compact(full))
+    if len(line) > 1990:  # hard guarantee: drop per-query detail last
+        slim = dict(_compact(full))
+        slim["queries"] = {"total_sec": total, "truncated": True}
+        line = json.dumps(slim)
+    print(line)
+
+
+def _compact(full: dict) -> dict:
+    """Driver-facing summary of the full bench record: headline totals,
+    per-query seconds, pipeline, and per-pair medians/mins + all four
+    efficiency estimators + host ceilings — no raw rep lists."""
+
+    def pair_compact(p: dict) -> dict:
+        if "error" in p:
+            return {"error": p["error"][:160]}
+        out = {}
+        for lvl, v in p.items():
+            if isinstance(v, dict) and "sec" in v:
+                out[lvl] = {
+                    "sec": v["sec"],
+                    "min": v["sec_min"],
+                    "tps": v["triples_per_sec"],
+                    "gbps": v["nt_gbps"],
+                }
+        for src, dst in (
+            ("scaling_efficiency", "eff_min_based"),
+            ("scaling_efficiency_median_ratio", "eff_median_ratio"),
+            ("scaling_efficiency_paired_median", "eff_paired_median"),
+            ("scaling_efficiency_clean", "eff_clean"),
+            ("host_cpu_ceiling", "ceil_cpu"),
+            ("host_bw_read_ceiling", "ceil_bw_read"),
+            ("host_bw_write_ceiling", "ceil_bw_write"),
+            ("host_normalized_efficiency", "eff_host_norm"),
+            ("bandwidth_normalized_efficiency", "eff_bw_norm"),
+            ("aborted_after_rounds", "aborted_after_rounds"),
+        ):
+            if src in p:
+                out[dst] = p[src]
+        return out
+
+    pipe = {
+        k: full["pipeline"].get(k)
+        for k in (
+            "convert_sec",
+            "canonicalize_sec",
+            "convert_passes",
+            "canonicalize_passes",
+            "triples",
+            "canonical_triples",
+        )
+        if k in full["pipeline"]
+    }
+    return {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": full["queries"],
+        "sf": full["sf"],
+        "pipeline": pipe,
+        "flagship": {k: pair_compact(v) for k, v in full["flagship"].items()},
+        "detail": "BENCH_full.json",
+    }
 
 
 if __name__ == "__main__":
