@@ -212,17 +212,34 @@ def build_ivf_exact(
     ]
 
     # Overflow proof for the long dot-product fast path (_exact_dist_expr
-    # wide=False): in every Lloyd round, centroid sums satisfy
-    # |s_i| ≤ n_c·X ≤ N·X with X = max|x_i| over the data, so
-    # |x·s| ≤ dims·X·(N·X). X and N are harvested for free from the
-    # FIRST round's sums aggregation (posexplode already emits every
-    # element), so round 1 runs the always-safe decimal path and later
-    # rounds switch to long — measured 2.3-3× faster per assignment pass
-    # at 100k rows (11.0 s decimal vs 4.7 s long) — once the bound clears 2^62
-    # (factor-2 margin under int64). ANSI mode turns a mistaken proof
-    # into a loud error, never a wrong answer; both paths produce the
-    # same exact integers, so oracle parity is unaffected.
-    wide = True
+    # wide=False): in EVERY Lloyd round, centroid sums satisfy
+    # |s_i| ≤ n_c·X ≤ N·X with X = max|x_i| over the data (the seed round
+    # has n=1 and |s_i| ≤ X, covered by the same bound), so
+    # |x·s| ≤ dims·X·(N·X). One cheap narrow pre-scan (count + max|x|)
+    # proves the bound up front — previously X and N were harvested from
+    # round 1's sums, so round 1 always paid the decimal wide path:
+    # measured 2.3-3× slower per assignment pass at 100k rows (11.0 s vs
+    # 4.7 s), and at small scale the decimal expression's janino compile
+    # alone costs ~1.2 s (cold build 4.9 s → 2.5 s with the pre-scan).
+    # Bound clears 2^62 (factor-2 margin under int64); ANSI mode turns a
+    # mistaken proof into a loud error, never a wrong answer; both paths
+    # produce the same exact integers, so oracle parity is unaffected.
+    stats = scaled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.aggregate(
+                F.col("__x"),
+                F.lit(0).cast("long"),
+                lambda acc, v: F.greatest(acc, F.abs(v)),
+            )
+        ).alias("mx"),
+    ).collect()[0]
+    n_rows = int(stats["n"] or 0)
+    x_max = int(stats["mx"] or 0)
+    dims0 = len(cents[0][0]) if cents else 0
+    wide = not (
+        n_rows > 0 and dims0 * x_max * (n_rows * x_max) < (1 << 62)
+    )
 
     def assign(cents_now):
         dists = F.array(
@@ -247,7 +264,6 @@ def build_ivf_exact(
             .agg(
                 F.sum("v").alias("s"),
                 F.count(F.lit(1)).alias("n"),
-                F.max(F.abs(F.col("v"))).alias("mx"),
             )
             .collect()
         )
@@ -257,10 +273,6 @@ def build_ivf_exact(
             by_cell.setdefault(r["cell"], {})[r["i"]] = int(r["s"])
             n_of[r["cell"]] = int(r["n"])
         dims = len(cents[0][0])
-        if it == 0 and sums:
-            x_max = max(int(r["mx"]) for r in sums)
-            n_rows = sum(n_of.values())
-            wide = not (dims * x_max * (n_rows * x_max) < (1 << 62))
         cents = [
             (
                 [by_cell[c][i] for i in range(dims)],
