@@ -10,18 +10,30 @@ edges into a persistent ``(node, component)`` assignment store with
 O(wave) CC work plus one scan of the store per batch, never a shuffle
 of the store.
 
-Exactly-once, same construction as ``sink.py``:
+Exactly-once, same construction as ``sink.py`` but keyed on batch
+CONTENT, not the checkpoint-scoped batch id:
 
-* the store is **versioned by batch id** (``{store}/v=<batch_id>``) and
-  each version is written with ``mode("overwrite")`` — a replayed
-  micro-batch (restart from the streaming checkpoint, or a crash
-  between the data commit and the manifest record) rebuilds ITS OWN
-  version directory from the last *committed* version, so replays are
-  idempotent rather than compounding;
-* the manifest row (``canon-batch-<id>``, carrying the version pointer
-  in ``n_rows``) is recorded AFTER the data commit; the latest
-  committed version is resolved ONCE at stream start and then tracked
-  driver-side — a batch whose key is already present is skipped.
+* each committed wave's manifest key is
+  ``canon-batch-v<version>-<contenthash>`` where ``contenthash`` is an
+  order-independent fingerprint of the batch's edge multiset
+  (count + sum of ``xxhash64(src, dst)``). A bare batch id would be
+  wrong across checkpoint resets: with a FRESH checkpoint against an
+  existing manifest, numbering restarts at 0, and a batch holding NEW
+  files would collide with an already-seen id and be silently dropped
+  (round-3 ADVICE). Content keying skips a wave only when the SAME
+  edge set replays — and re-applying an already-applied edge set is
+  additionally harmless (``merge_components`` is idempotent on
+  duplicate edges), so even a regrouped partial overlap stays correct;
+* store versions are ``{store}/v=<k>`` with ``k`` monotonically
+  increasing over COMMITTED versions (parsed back from the manifest
+  key — ``n_rows`` holds the store's actual row count, not a smuggled
+  pointer); each version is written with ``mode("overwrite")`` — a
+  replayed micro-batch (restart from the streaming checkpoint, or a
+  crash between the data commit and the manifest record) rebuilds the
+  next uncommitted version directory from the last *committed* one, so
+  replays are idempotent rather than compounding;
+* the manifest row is recorded AFTER the data commit; committed state
+  is resolved ONCE at stream start and then tracked driver-side.
 
 Per-batch cost: CC over O(wave) rows, plus one scan and one rewrite of
 the store (the versioned-parquet sandbox stand-in has no MERGE). On a
@@ -58,7 +70,7 @@ def read_assignments(
     serve.py): a version directory without its manifest row is an
     uncommitted replay remnant and is never read.
     """
-    version = _latest_version(ManifestStore(spark, manifest_path))
+    version, _ = _committed_state(ManifestStore(spark, manifest_path))
     if version is None:
         return spark.createDataFrame([], ASSIGNMENT_SCHEMA)
     return spark.read.schema(ASSIGNMENT_SCHEMA).parquet(
@@ -66,14 +78,45 @@ def read_assignments(
     )
 
 
-def _latest_version(store: ManifestStore) -> int | None:
-    row = (
+def _committed_state(store: ManifestStore) -> tuple[int | None, set[str]]:
+    """(latest committed version, committed content hashes) from the
+    manifest's ``canon-batch-v<version>-<contenthash>`` keys."""
+    rows = (
         store.read()
         .where(F.col("dataset").startswith(_KEY_PREFIX))
-        .agg(F.max("n_rows").alias("v"))
-        .collect()[0]
+        .select("dataset")
+        .distinct()
+        .collect()
     )
-    return None if row["v"] is None else int(row["v"])
+    latest: int | None = None
+    hashes: set[str] = set()
+    for r in rows:
+        rest = r["dataset"][len(_KEY_PREFIX):]
+        if not rest.startswith("v") or "-" not in rest:
+            continue
+        vtxt, h = rest[1:].split("-", 1)
+        try:
+            v = int(vtxt)
+        except ValueError:
+            continue
+        hashes.add(h)
+        latest = v if latest is None else max(latest, v)
+    return latest, hashes
+
+
+def _content_key(batch_df: DataFrame) -> str:
+    """Order-independent fingerprint of the batch's edge multiset
+    (count + sum of per-edge xxhash64) — stable across checkpoint
+    resets and file-list reorderings, unlike the micro-batch id."""
+    row = batch_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal accumulator: a long sum of xxhash64 values overflows
+        # under ANSI mode after a handful of edges
+        F.sum(F.xxhash64("src", "dst").cast("decimal(20,0)")).alias("s"),
+    ).collect()[0]
+    n = int(row["n"] or 0)
+    s = int(row["s"] or 0) % (1 << 64)
+    return f"{n}x{s:016x}"
 
 
 def stream_sameas_merge(
@@ -93,20 +136,13 @@ def stream_sameas_merge(
     """
     store = ManifestStore(spark, manifest_path)
     run_id = new_run_id()
-    seen = {
-        r["dataset"]
-        for r in store.read()
-        .where(F.col("dataset").startswith(_KEY_PREFIX))
-        .select("dataset")
-        .distinct()
-        .collect()
-    }
-    state = {"version": _latest_version(store)}
+    latest, seen_hashes = _committed_state(store)
+    state = {"version": latest, "hashes": seen_hashes}
     stats = {"batches": 0, "skipped": 0}
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        key = f"{_KEY_PREFIX}{batch_id}"
-        if key in seen:
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        h = _content_key(batch_df)
+        if h in state["hashes"]:
             stats["skipped"] += 1
             return
         if state["version"] is None:
@@ -116,16 +152,26 @@ def stream_sameas_merge(
                 f"{store_path}/v={state['version']}"
             )
         merged = merge_components(current, batch_df)
-        # idempotent by construction: overwrite THIS batch's version dir
-        merged.write.mode("overwrite").parquet(f"{store_path}/v={batch_id}")
+        version = 0 if state["version"] is None else state["version"] + 1
+        # idempotent by construction: the next uncommitted version dir
+        # is overwritten; a crash before the manifest record leaves an
+        # orphan that the replay (same committed base -> same version
+        # number) rebuilds in place. Observation rides the write action
+        # so n_rows is the store's REAL row count, at zero extra scans.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        merged.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/v={version}")
         store.record(
-            dataset=key,
-            n_rows=int(batch_id),  # the version pointer
+            dataset=f"{_KEY_PREFIX}v{version}-{h}",
+            n_rows=int(obs.get["n"] or 0),
             n_triples=None,
             run_id=run_id,
         )
-        seen.add(key)
-        state["version"] = int(batch_id)
+        state["hashes"].add(h)
+        state["version"] = version
         stats["batches"] += 1
 
     stream = (

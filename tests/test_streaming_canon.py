@@ -47,10 +47,14 @@ def test_stream_merge_matches_full_cc(spark, tmp_path):
         ).collect()
     }
     assert got == want
-    # manifest carries the version pointer of each committed batch
+    # manifest keys carry the version pointer (canon-batch-v<k>-<hash>);
+    # n_rows holds the store's real row count, not a smuggled pointer
     rows = ManifestStore(spark, man).read().collect()
     assert len(rows) == stats["batches"]
-    assert stats["version"] == max(int(r["n_rows"]) for r in rows)
+    versions = [int(r["dataset"].split("-")[2][1:]) for r in rows]
+    assert stats["version"] == max(versions)
+    latest = max(rows, key=lambda r: int(r["dataset"].split("-")[2][1:]))
+    assert int(latest["n_rows"]) == len(got)
 
 
 def test_stream_merge_restart_skips_committed_batches(spark, tmp_path):
@@ -90,9 +94,9 @@ def test_stream_merge_restart_skips_committed_batches(spark, tmp_path):
 
 
 def test_stream_merge_replayed_batch_is_idempotent(spark, tmp_path):
-    """A batch whose manifest row exists is skipped outright (the crash-
-    between-commit-and-record case rebuilds its own version dir, so
-    either way the store never double-applies a wave)."""
+    """A batch whose CONTENT hash is committed is skipped outright (the
+    crash-between-commit-and-record case rebuilds the next uncommitted
+    version dir, so either way the store never double-applies a wave)."""
     in_path = _write_waves(spark, tmp_path, WAVES[:1])
     store = str(tmp_path / "store")
     man = str(tmp_path / "man")
@@ -101,7 +105,7 @@ def test_stream_merge_replayed_batch_is_idempotent(spark, tmp_path):
     )
     assert first["batches"] == 1
     # fresh checkpoint: the engine replays the same file as batch 0;
-    # the manifest key already exists, so the fold is skipped
+    # its content hash is already committed, so the fold is skipped
     second = stream_sameas_merge(
         spark, in_path, store, man, str(tmp_path / "ckpt2")
     )
@@ -111,6 +115,48 @@ def test_stream_merge_replayed_batch_is_idempotent(spark, tmp_path):
         for r in read_assignments(spark, store, man).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+
+def test_stream_merge_fresh_checkpoint_grown_input_applies_new_waves(
+    spark, tmp_path
+):
+    """Round-3 ADVICE regression: with a FRESH checkpoint against an
+    existing manifest, micro-batch numbering restarts at 0 — under
+    batch-id keying a batch holding NEW files collided with an
+    already-seen key and its sameAs wave was silently dropped. Content
+    keying must apply the new waves and skip only the true replays."""
+    in_path = _write_waves(spark, tmp_path, WAVES[:1])
+    store = str(tmp_path / "store")
+    man = str(tmp_path / "man")
+    first = stream_sameas_merge(
+        spark, in_path, store, man, str(tmp_path / "ckpt1")
+    )
+    assert first["batches"] == 1
+
+    # the input dir GROWS, then the stream restarts from a FRESH
+    # checkpoint: batch ids restart at 0 over a longer file list
+    for wave in WAVES[1:]:
+        spark.createDataFrame(wave, EDGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_path)
+    second = stream_sameas_merge(
+        spark, in_path, store, man, str(tmp_path / "ckpt2")
+    )
+    assert second["batches"] >= 1  # new waves APPLIED, not dropped
+    assert second["skipped"] >= 1  # the true replay skipped
+
+    got = {
+        r["node"]: r["component"]
+        for r in read_assignments(spark, store, man).collect()
+    }
+    all_edges = [e for w in WAVES for e in w]
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(all_edges, "src string, dst string")
+        ).collect()
+    }
+    assert got == want
 
 
 def test_stream_merge_uncommitted_version_is_ignored_and_rebuilt(spark, tmp_path):
