@@ -271,7 +271,10 @@ def test_select_bgp_pushdown_plan(spark, triple_table):
     )
     plan = plan_of(q)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
-    assert sum(M.RDF_TYPE.split("#")[-1] in l or "p" in l for l in pushed) >= 1
+    # the rdf:type constant must reach a scan as a concrete pushed predicate
+    assert any(
+        "EqualTo(p," in l or M.RDF_TYPE.split("#")[-1] in l for l in pushed
+    ), plan[:3000]
     assert any(M.RDFS_LABEL.split("#")[-1][:5] in l for l in pushed) or len(
         pushed
     ) >= 2, plan[:3000]
