@@ -282,34 +282,83 @@ def make_link_scorer(
     return score
 
 
-# small built-in stopword profiles for the language-ID heuristic
+# Built-in stopword profiles for the language-ID heuristic (the
+# EstimateDataSetLanguages / AddLanguageTags.java:47-173 analog).
+# 18 languages, 10-14 function words each, drawn from the well-known
+# public stopword inventories (the NLTK / stopwords-iso word sets).
+# Dict INSERTION ORDER is the classifier's tie-break order (first max
+# wins) — it is replayed verbatim by the DuckDB oracle CASE chain in
+# queries._sql_lang_counts, so never reorder without re-running parity.
 _LANG_STOPWORDS: dict[str, set[str]] = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "for", "on", "with"},
     "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"},
     "fr": {"le", "la", "les", "et", "est", "de", "des", "pour", "avec", "un"},
     "es": {"el", "la", "los", "y", "es", "de", "para", "con", "un", "una"},
+    "it": {"il", "di", "che", "per", "del", "sono", "nel", "come", "anche",
+           "questo", "alla", "più"},
+    "pt": {"o", "os", "um", "uma", "não", "com", "por", "são", "mas",
+           "mais", "quando", "também"},
+    "nl": {"het", "een", "en", "van", "ik", "dat", "niet", "zijn", "voor",
+           "naar", "maar", "ook"},
+    "sv": {"och", "att", "det", "som", "på", "är", "av", "inte", "till",
+           "har", "om", "han"},
+    "da": {"og", "i", "at", "den", "til", "er", "ikke", "men", "har",
+           "jeg", "var", "hun"},
+    "no": {"og", "det", "på", "som", "en", "er", "av", "ikke", "å",
+           "han", "vi", "kan"},
+    "fi": {"ja", "on", "ei", "että", "se", "hän", "oli", "mutta", "kun",
+           "niin", "myös", "ovat"},
+    "pl": {"i", "w", "nie", "na", "się", "z", "że", "do", "jest", "jak",
+           "ale", "po"},
+    "cs": {"a", "se", "na", "je", "že", "to", "v", "s", "ale", "jako",
+           "pro", "tak"},
+    "ro": {"și", "în", "la", "cu", "este", "pentru", "care", "pe", "nu",
+           "din", "mai", "sau"},
+    "tr": {"ve", "bir", "bu", "da", "için", "ile", "olarak", "çok",
+           "daha", "gibi", "ama", "ne"},
+    "hu": {"az", "és", "hogy", "nem", "egy", "van", "már", "ha", "meg",
+           "csak", "mint", "volt"},
+    "id": {"yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "dalam", "akan", "pada"},
+    "ru": {"и", "в", "не", "на", "что", "он", "с", "как", "это", "по",
+           "но", "она"},
 }
+
+# Token alphabet for the classifier's word splitter: basic Latin +
+# Latin-1 letters (à-ö, ø-ÿ — skips ÷), Latin Extended-A/B (Polish,
+# Czech, Romanian, Turkish letters), Cyrillic lowercase + ё.  One
+# constant shared by the Spark UDF and the generated DuckDB regex so
+# both engines tokenize identically (Python re and RE2 both treat these
+# as codepoint ranges over the same UTF-8 input).
+_LANG_TOKEN_CLASS = "a-zà-öø-ÿĀ-ɏа-яё"
+_LANG_SPLIT_RE = f"[^{_LANG_TOKEN_CLASS}]+"
 
 
 def make_language_id(spark: SparkSession):
     """pandas UDF: text → best-guess language code by stopword share.
 
     The EstimateDataSetLanguages analog (A9) as an n-gram/stopword
-    heuristic; returns 'und' when no profile scores > 0.
+    heuristic over 18 language profiles; returns 'und' when no profile
+    scores > 0.  Scores are SIZE-NORMALIZED (distinct-token overlap ÷
+    profile size) compared by exact integer cross-multiplication —
+    n_i*|S_j| vs n_j*|S_i| — so the DuckDB oracle can replay the
+    comparison without float ties (first max wins in profile order).
     """
     bc = spark.sparkContext.broadcast(_LANG_STOPWORDS)
 
     @F.pandas_udf(T.StringType())
     def lang_id(texts: pd.Series) -> pd.Series:
         profiles = bc.value
+        split = re.compile(_LANG_SPLIT_RE)
 
         def classify(t: str) -> str:
-            toks = set(re.split(r"[^a-zäöüéèêáíóúñ]+", t.lower()))
-            best, best_n = "und", 0
+            toks = set(split.split(t.lower()))
+            best, best_n, best_size = "und", 0, 1
             for lang, stops in profiles.items():
                 n = len(toks & stops)
-                if n > best_n:
-                    best, best_n = lang, n
+                # normalized first-max-wins: n/|S| > best_n/|S_best|
+                if n * best_size > best_n * len(stops):
+                    best, best_n, best_size = lang, n, len(stops)
             return best
 
         return texts.fillna("").map(classify)

@@ -2383,28 +2383,43 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_lang_counts() -> str:
-    """Shared CTE: per-doc distinct-token overlap counts per language."""
-    from .operators.mentions import _LANG_STOPWORDS
+    """Shared CTE: per-doc distinct-token overlap counts per language,
+    classified by the size-normalized first-max-wins rule.
 
+    Replays ``mentions.make_language_id`` exactly: the Python loop keeps
+    lang_i iff n_i > 0, n_i/|S_i| beats every EARLIER profile strictly
+    and every LATER profile non-strictly — which a CASE chain in profile
+    order expresses as ``n_i > 0 AND n_i*|S_j| >= n_j*|S_i| for all
+    j > i`` (first branch to fire is the Python winner; all-integer
+    cross-multiplication, no float ties)."""
+    from .operators.mentions import _LANG_SPLIT_RE, _LANG_STOPWORDS
+
+    langs = list(_LANG_STOPWORDS)
+    sizes = {lang: len(ws) for lang, ws in _LANG_STOPWORDS.items()}
     counts = ", ".join(
         "len(list_intersect(toks, [{words}])) AS n_{lang}".format(
             words=", ".join(f"'{w}'" for w in sorted(ws)), lang=lang
         )
         for lang, ws in _LANG_STOPWORDS.items()
     )
+    branches = []
+    for i, li in enumerate(langs):
+        conds = [f"n_{li} > 0"] + [
+            f"n_{li} * {sizes[lj]} >= n_{lj} * {sizes[li]}"
+            for lj in langs[i + 1:]
+        ]
+        branches.append(f"    WHEN {' AND '.join(conds)} THEN '{li}'")
+    case = "\n".join(branches)
     return f"""
 t AS (
   SELECT doc_id, source,
-         list_distinct(string_split_regex(lower(text), '[^a-zäöüéèêáíóúñ]+')) AS toks
+         list_distinct(string_split_regex(lower(text), '{_LANG_SPLIT_RE}')) AS toks
   FROM documents
 ), c AS (
   SELECT doc_id, source, {counts} FROM t
 ), classified AS (
   SELECT doc_id, source, CASE
-    WHEN n_en > 0 AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
-    WHEN n_de > 0 AND n_de >= n_fr AND n_de >= n_es THEN 'de'
-    WHEN n_fr > 0 AND n_fr >= n_es THEN 'fr'
-    WHEN n_es > 0 THEN 'es'
+{case}
     ELSE 'und' END AS lang_guess
   FROM c
 )"""
