@@ -2,8 +2,10 @@
 
 Media ride through the engine as opaque ``binary`` columns plus typed
 metadata — the Spark-side contract (schema, partitioning, Arrow batch
-shape) is real and tested; the actual decoders are stubbed behind
-import-tries because the sandbox has no image/audio libraries
+shape) is real and tested. Uncompressed containers (RIFF/WAVE PCM-16,
+PPM P6) are decoded end-to-end by dependency-free pure-Python parsers
+(``_decode_wav`` / ``_decode_ppm``); compressed codecs are stubbed
+behind import-tries because the sandbox has no image/audio libraries
 (clearly marked below — plug in PIL/torchaudio at deployment).
 
 Pattern: ``mapInPandas`` for whole-batch feature extraction (the iterator
@@ -45,7 +47,12 @@ FEATURE_SCHEMA = (
 
 
 def _try_real_decoder(media_type: str):
-    """Return a real decoder when the library exists — STUB in sandbox."""
+    """Return a real decoder when the library exists — STUB in sandbox.
+
+    This is the plug-in seam for heavyweight codecs (JPEG/PNG via PIL,
+    compressed audio via soundfile). Uncompressed container formats —
+    RIFF/WAVE PCM and PPM P6 — are decoded by the dependency-free pure
+    Python paths below and never reach this seam."""
     try:  # pragma: no cover - libs absent in sandbox
         if media_type == "image":
             from PIL import Image  # noqa: F401
@@ -58,6 +65,110 @@ def _try_real_decoder(media_type: str):
     except ImportError:
         return None
     return None
+
+
+def _decode_wav(payload: bytes, dim: int) -> list[float] | None:
+    """Pure-Python RIFF/WAVE PCM-16 decode → per-segment RMS feature.
+
+    Walks the RIFF chunk list (word-aligned), requires a PCM (format 1)
+    16-bit ``fmt `` chunk and a ``data`` chunk, and returns ``dim`` RMS
+    amplitudes over equal sample slices, normalized to [0, 1].  Any
+    malformed header/truncated payload returns None (caller falls back
+    to the digest stub) — never raises mid-batch."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + csz]
+        if len(body) < csz:
+            return None
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, n_ch, _rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits != 16 or n_ch < 1:
+        return None
+    n = len(data) // 2
+    if n == 0:
+        return None
+    samples = struct.unpack(f"<{n}h", data[: 2 * n])
+    feats = []
+    for i in range(dim):
+        seg = samples[i * n // dim : (i + 1) * n // dim]
+        if not seg:
+            feats.append(0.0)
+        else:
+            feats.append(
+                (sum(s * s for s in seg) / len(seg)) ** 0.5 / 32768.0
+            )
+    return feats
+
+
+def _decode_ppm(payload: bytes, dim: int) -> list[float] | None:
+    """Pure-Python PPM (P6, 8-bit) decode → per-band mean intensity.
+
+    Parses the ASCII header (``P6`` width height maxval, ``#`` comments
+    allowed), requires the full raw RGB payload to be present, and
+    returns ``dim`` mean pixel intensities over equal horizontal bands,
+    normalized by maxval.  Malformed input returns None."""
+    if not payload.startswith(b"P6"):
+        return None
+    pos, vals = 2, []
+    while len(vals) < 3 and pos < len(payload):
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            return None
+        vals.append(int(payload[start:pos]))
+    if len(vals) < 3:
+        return None
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    pos += 1  # exactly one whitespace byte after maxval
+    need = w * h * 3
+    pix = payload[pos : pos + need]
+    if len(pix) < need:
+        return None
+    feats = []
+    for i in range(dim):
+        lo, hi = i * h // dim, (i + 1) * h // dim
+        band = pix[lo * w * 3 : hi * w * 3]
+        if not band:
+            feats.append(0.0)
+        else:
+            feats.append(sum(band) / len(band) / maxval)
+    return feats
+
+
+def _decode_or_stub(media_type: str, payload: bytes, dim: int):
+    """Decode one payload: pure-Python WAV/PPM when the magic + full
+    header parse succeeds, the library seam when present, else the
+    deterministic digest stub.  Returns (feature, decode_status)."""
+    payload = payload or b""
+    if media_type == "audio":
+        f = _decode_wav(payload, dim)
+        if f is not None:
+            return f, "decoded"
+    if media_type == "image":
+        f = _decode_ppm(payload, dim)
+        if f is not None:
+            return f, "decoded"
+    _try_real_decoder(media_type)  # plug-in seam: None in sandbox
+    return _fake_feature(payload, dim), "stubbed"
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -82,6 +193,10 @@ def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["content"]
+            decoded = [
+                _decode_or_stub(m, b, dim)
+                for m, b in zip(pdf["media_type"], payloads)
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -90,12 +205,8 @@ def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
                     "sha256": payloads.map(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
-                    "feature": payloads.map(lambda b: _fake_feature(b, dim)),
-                    "decode_status": pdf["media_type"].map(
-                        lambda m: "stubbed"
-                        if _try_real_decoder(m) is None
-                        else "decoded"
-                    ),
+                    "feature": [f for f, _ in decoded],
+                    "decode_status": [s for _, s in decoded],
                 }
             )
 
