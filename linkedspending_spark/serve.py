@@ -129,12 +129,94 @@ def _is_var(term) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+def bgp_stats(triples: DataFrame) -> dict:
+    """One-time cardinality statistics for :func:`select_bgp` ordering.
+
+    The classic triple-store selectivity table (RDF-3X/Jena style): one
+    ``groupBy('p')`` pass collecting, per predicate, the triple count
+    and the approximate distinct subject/object counts, plus one tiny
+    global aggregate. Predicates are vocabulary-sized (dozens–hundreds
+    at any corpus scale), so the collected dict is O(vocabulary) driver
+    traffic regardless of table size — compute once per table version
+    and reuse across queries.
+    """
+    per_p = {
+        r["p"]: {"count": r["n"], "n_s": r["ns"], "n_o": r["no"]}
+        for r in triples.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("s").alias("ns"),
+            F.approx_count_distinct("o").alias("no"),
+        )
+        .collect()
+    }
+    g = triples.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.approx_count_distinct("s").alias("ns"),
+        F.approx_count_distinct("o").alias("no"),
+    ).collect()[0]
+    return {
+        "total": g["total"],
+        "n_s": g["ns"],
+        "n_o": g["no"],
+        "p_counts": per_p,
+    }
+
+
+def _estimate_pattern(consts: dict, stats: dict) -> float:
+    """Estimated result cardinality of one pattern scan under the
+    uniformity assumption: count(p) scaled by 1/distinct(s|o within p)
+    for each additionally bound term; IN-lists scale by list length."""
+
+    def _n(value) -> int:
+        return len(value) if isinstance(value, (list, tuple, set)) else 1
+
+    if "p" in consts:
+        ps = consts["p"]
+        ps = list(ps) if isinstance(ps, (list, tuple, set)) else [ps]
+        infos = [
+            stats["p_counts"].get(p, {"count": 0, "n_s": 1, "n_o": 1})
+            for p in ps
+        ]
+        est = float(sum(i["count"] for i in infos))
+        n_s = max(max((i["n_s"] for i in infos), default=1), 1)
+        n_o = max(max((i["n_o"] for i in infos), default=1), 1)
+    else:
+        est = float(stats["total"])
+        n_s = max(stats["n_s"], 1)
+        n_o = max(stats["n_o"], 1)
+    if "s" in consts:
+        est *= _n(consts["s"]) / n_s
+    if "o" in consts:
+        est *= _n(consts["o"]) / n_o
+    return est
+
+
+def _join_order(entries: list[tuple[frozenset, float]]) -> list[int]:
+    """Join order over (vars, cost) pattern entries: start at the
+    cheapest pattern, then repeatedly take the cheapest pattern CONNECTED
+    to the joined prefix (disconnected only when nothing connects —
+    that cross product is the query's own semantics)."""
+    remaining = list(range(len(entries)))
+    order = [min(remaining, key=lambda i: entries[i][1])]
+    remaining.remove(order[0])
+    bound = set(entries[order[0]][0])
+    while remaining:
+        connected = [i for i in remaining if entries[i][0] & bound]
+        nxt = min(connected or remaining, key=lambda i: entries[i][1])
+        remaining.remove(nxt)
+        order.append(nxt)
+        bound |= entries[nxt][0]
+    return order
+
+
 def select_bgp(
     triples: DataFrame,
     patterns: Sequence[tuple],
     dataset: str | None = None,
     n_buckets: int | None = None,
     manifest_path: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Basic-graph-pattern (conjunctive) select — Sparql.java:40-53 analog.
 
@@ -150,8 +232,14 @@ def select_bgp(
     constant is a pushed-down parquet filter and a bound ``dataset``
     still prunes bucket partitions; patterns then equi-join on their
     shared variables, with Catalyst/AQE choosing broadcast vs shuffle
-    per join from the actual scan sizes. Join order is greedy
-    most-constants-first, then connectivity-first — a pattern that
+    per join from the actual scan sizes. Join order: with ``stats``
+    (from :func:`bgp_stats` — compute once per table version, reuse
+    across queries) patterns are ordered cheapest-estimated-cardinality
+    first, connected-next (the classic triple-store selectivity
+    ordering: at 100× scale the selective pattern leading the tree is
+    the difference between a broadcast prefix and a corpus-sized
+    shuffle); without stats the fallback is greedy
+    most-constants-first, then connectivity-first. A pattern that
     shares no variable with the joined prefix is a deliberate
     cartesian product (valid SPARQL, ruinous at scale; keep BGPs
     connected). A pattern that repeats a variable (``?x p ?x``)
@@ -193,16 +281,17 @@ def select_bgp(
             )
         else:  # all-constant pattern: 1-row/0-row existence gate
             proj = df.limit(1).select(F.lit(1).alias(f"__exists_{pat_i}"))
-        plans.append((frozenset(first_col), proj, len(consts)))
-
-    plans.sort(key=lambda t: -t[2])
-    bound, joined = plans[0][0], plans[0][1]
-    rest = list(plans[1:])
-    while rest:
-        idx = next(
-            (i for i, (vs, _, _) in enumerate(rest) if vs & bound), 0
+        cost = (
+            _estimate_pattern(consts, stats)
+            if stats is not None
+            else -len(consts)
         )
-        vs, df, _ = rest.pop(idx)
+        plans.append((frozenset(first_col), proj, cost))
+
+    order = _join_order([(vs, cost) for vs, _, cost in plans])
+    bound, joined = plans[order[0]][0], plans[order[0]][1]
+    for i in order[1:]:
+        vs, df, _ = plans[i]
         shared = sorted(vs & bound)
         joined = joined.join(df, on=shared) if shared else joined.crossJoin(df)
         bound = bound | vs
