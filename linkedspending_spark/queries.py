@@ -167,6 +167,8 @@ SQL_MENTION_JOIN = _sql_mention_join()
 # aggregations (A1,A2,A3,A8) and predicates (P1,P5)
 # --------------------------------------------------------------------------
 
+# subsumed by q_conv_stats (registry entry 'conv_stats') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_conv_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: per-conversation completeness ratio (ConvertWorker.java:798-804)."""
     t = transcripts_from_events(spark, sf_dir)
@@ -220,6 +222,8 @@ def _per_column_missing_agg(t: DataFrame) -> DataFrame:
     )
 
 
+# subsumed by q_property_profile (registry entry 'property_profile') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: per-column missing counts, single scan + stack unpivot."""
     t = transcripts_from_events(spark, sf_dir)
@@ -242,6 +246,8 @@ SELECT 'ts', CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(
 """
 
 
+# subsumed by q_property_profile (registry entry 'property_profile') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_property_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: per-property completeness ratio (ConvertWorker.java:805-814).
 
@@ -358,6 +364,8 @@ GROUP BY 1, 3
 """
 
 
+# subsumed by q_corpus_stats (registry entry 'corpus_stats') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_distinct_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: distinct refYear set (ConvertWorker.java:817-820)."""
     ev = _read(spark, sf_dir, "events")
@@ -367,6 +375,8 @@ def q_distinct_years(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DISTINCT_YEARS = "SELECT DISTINCT CAST(year(ts) AS INT) AS y FROM events"
 
 
+# subsumed by q_corpus_stats (registry entry 'corpus_stats') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: total row count (entries.json?pagesize=0 analog)."""
     return _read(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
@@ -415,6 +425,8 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 # joins & set ops (J1,J2,J4,J5,J6,U1,U2)
 # --------------------------------------------------------------------------
 
+# subsumed by q_set_ops (registry entry 'set_ops') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog diff: customers that never ordered (Boss.java:61-76 analog)."""
     c = _read(spark, sf_dir, "customer")
@@ -430,6 +442,8 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
+# subsumed by q_set_ops (registry entry 'set_ops') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_pool_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2: scheduling-pool union with dedup (Boss.java:69-76)."""
     c = _read(spark, sf_dir, "customer")
@@ -571,6 +585,8 @@ SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
 """
 
 
+# subsumed by q_conv_stats (registry entry 'conv_stats') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_freshness_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datasets by modified time (O2/P7 freshness analog)."""
     t = transcripts_from_events(spark, sf_dir)
@@ -591,6 +607,8 @@ FROM transcripts GROUP BY conv_id
 # scalar functions (F1-F9, F11)
 # --------------------------------------------------------------------------
 
+# subsumed by q_order_fields (registry entry 'order_fields') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_uri_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1: deterministic observation-URI minting by concat (ConvertWorker.java:609-611)."""
     o = _read(spark, sf_dir, "orders")
@@ -609,6 +627,8 @@ FROM orders
 """
 
 
+# subsumed by q_event_fields (registry entry 'event_fields') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_date_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: canonical ISO / gYear / date lexical forms (zero-padded)."""
     ev = _read(spark, sf_dir, "events")
@@ -628,6 +648,8 @@ FROM events
 """
 
 
+# subsumed by q_event_fields (registry entry 'event_fields') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_string_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3+F4: synthesize messy date strings, strip offsets, pad, parse."""
     ev = _read(spark, sf_dir, "events")
@@ -746,6 +768,8 @@ FROM parsed
 """
 
 
+# subsumed by q_event_fields (registry entry 'event_fields') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_int_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: int-parse with string fallback over synthesized mixed strings."""
     ev = _read(spark, sf_dir, "events")
@@ -786,6 +810,8 @@ FROM src
 """
 
 
+# subsumed by q_order_fields (registry entry 'order_fields') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_year_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: default-year = first 4 chars cast to int (ConvertWorker.java:226-229)."""
     o = _read(spark, sf_dir, "orders")
@@ -804,6 +830,8 @@ FROM orders
 """
 
 
+# subsumed by q_event_fields (registry entry 'event_fields') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: JSON field access via get_json_object on events.props."""
     ev = _read(spark, sf_dir, "events")
@@ -818,6 +846,8 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
 """
 
 
+# subsumed by q_doc_profile (registry entry 'doc_profile') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_nt_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9: NT escaping over hazard-injected text (quote/backslash/newline/tab)."""
     d = _read(spark, sf_dir, "documents")
@@ -836,6 +866,8 @@ FROM documents
 """
 
 
+# subsumed by q_token_stats (registry entry 'token_stats') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace split + non-empty filter per document."""
     d = _read(spark, sf_dir, "documents")
@@ -861,6 +893,8 @@ WHERE token <> '' GROUP BY token
 _BPE_PATTERN = "'(?:s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ']+| +"
 
 
+# subsumed by q_token_stats (registry entry 'token_stats') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting: the LLM-pipeline pretokenizer shape
     (space-prefixed word/number/punct pieces, contraction suffixes) —
@@ -977,6 +1011,8 @@ WHERE common / CAST(sza.sz + szb.sz - common AS DOUBLE) >= 0.2
 """
 
 
+# subsumed by q_sig_profile (registry entry 'sig_profile') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature parity (md5-based, 4 permutations), doc_id<100."""
     d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
@@ -1026,6 +1062,8 @@ SELECT doc_id, {", ".join(sig_exprs)} FROM hashed GROUP BY doc_id
 SQL_MINHASH_SIG = _sql_minhash()
 
 
+# subsumed by q_doc_profile (registry entry 'doc_profile') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punctuation/uppercase ratio features per document."""
     d = _read(spark, sf_dir, "documents")
@@ -1056,6 +1094,8 @@ FROM documents
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
 
 
+# subsumed by q_doc_profile (registry entry 'doc_profile') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_stopword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-token share per document."""
     d = _read(spark, sf_dir, "documents")
@@ -1077,6 +1117,8 @@ FROM documents
 """
 
 
+# subsumed by q_doc_profile (registry entry 'doc_profile') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over letters-only normalized text."""
     d = _read(spark, sf_dir, "documents")
@@ -1241,6 +1283,8 @@ SELECT DISTINCT ds, '{M.QB_SLICE_PROP}', sl FROM base
 """
 
 
+# subsumed by q_conv_stats (registry entry 'conv_stats') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation — identical result to plain count."""
     from .operators.skew import salted_count
@@ -1255,6 +1299,8 @@ SELECT conv_id, COUNT(*) AS n FROM transcripts GROUP BY conv_id
 """
 
 
+# subsumed by q_sig_profile (registry entry 'sig_profile') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable 16-bit SimHash fingerprint (md5 token hashes, bit-majority)."""
     d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
@@ -1309,6 +1355,8 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+# subsumed by q_event_fields (registry entry 'event_fields') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: new session when gap to previous event > 30 min."""
     ev = _read(spark, sf_dir, "events")
@@ -1383,6 +1431,8 @@ WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.5
 """
 
 
+# subsumed by q_doc_profile (registry entry 'doc_profile') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata shape: utf8 payload bytes + sha256 digest."""
     d = _read(spark, sf_dir, "documents")
@@ -1984,6 +2034,8 @@ def _mh_params(i: int) -> tuple[int, int]:
     return 2 * i + 1, (0x9E3779B9 * (i + 1)) & 0xFFFFFFFF
 
 
+# subsumed by q_dedup_lsh_pairs (registry entry 'dedup_lsh_pairs') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banded candidate pairs, fully SQL-oracled.
 
@@ -2070,6 +2122,8 @@ _HP_PLANES = 8
 _HP_THRESHOLD = 0.9
 
 
+# subsumed by q_embedding_lsh_pairs (registry entry 'embedding_lsh_pairs') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs, fully SQL-oracled.
 
@@ -2368,6 +2422,8 @@ UNION ALL SELECT obs, '{ont}orders-cube-entrydate',
 SQL_OS_CONVERT = _sql_os_convert()
 
 
+# subsumed by q_doc_profile (registry entry 'doc_profile') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow pandas-UDF language-ID heuristic (A9 analog).
 
@@ -2575,6 +2631,8 @@ _HS_FRAC_NUM = 3  # keep ~3/10 of documents
 _HS_FRAC_DEN = 10
 
 
+# subsumed by q_doc_profile (registry entry 'doc_profile') under the 50-entry cap;
+# kept unregistered for tests/bench round-over-round names — do NOT re-register.
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based corpus sampling (training-data op).
 
