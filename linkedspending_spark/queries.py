@@ -2779,9 +2779,16 @@ def q_triple_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     One result grain: (s-or-d, p-or-var, o-or-value) rows; the single
     pattern binds (p, dataset) and wildcards s/o, the BGP returns every
     dataset with its label and each of its refYears (3-pattern join,
-    1:N on years — the exact shape of the reference's query)."""
+    1:N on years — the exact shape of the reference's query).
+
+    Third branch (round 4): the OPTIONAL/FILTER algebra
+    (serve.select_sparql) under the same value hash — every dataset
+    except conv-0 (FILTER on a required var), OPTIONALLY its refYears
+    but only where the dataset is fully complete (the group's
+    completeness="1.000000" pattern gates the left join, so incomplete
+    datasets come back NULL-extended → 'unbound')."""
     from .operators.convert_transcripts import dataset_triples
-    from .serve import match, select_bgp
+    from .serve import match, select_bgp, select_sparql
 
     t = transcripts_from_events(spark, sf_dir)
     pattern = (
@@ -2800,7 +2807,23 @@ def q_triple_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("p"),
         F.col("year").alias("o"),
     )
-    return pattern.unionByName(bgp)
+    dst = dataset_triples(t)
+    alg = select_sparql(
+        dst,
+        [("?d", M.RDF_TYPE, M.QB_DATASET), ("?d", M.RDFS_LABEL, "?label")],
+        optionals=[
+            [
+                ("?d", M.LSO_COMPLETENESS, "1.000000"),
+                ("?d", M.LSO_REF_YEAR, "?year"),
+            ]
+        ],
+        filters=["?label != 'conv-0'"],
+    ).select(
+        F.col("d").alias("s"),
+        F.col("label").alias("p"),
+        F.coalesce("year", F.lit("unbound")).alias("o"),
+    )
+    return pattern.unionByName(bgp).unionByName(alg)
 
 
 SQL_TRIPLE_MATCH = f"""
@@ -2816,6 +2839,26 @@ SELECT '{INST}' || conv_id AS s,
        printf('%04d', y) AS o
 FROM (SELECT DISTINCT conv_id, CAST(year(ts) AS INT) AS y
       FROM transcripts WHERE ts IS NOT NULL) dsyears
+UNION ALL
+-- select_sparql branch: FILTER on the required label, OPTIONAL refYears
+-- gated on completeness = 1.000000 (missing-count 0 ⇔ the %.6f literal)
+SELECT '{INST}' || g.conv_id AS s,
+       g.conv_id AS p,
+       COALESCE(y.o, 'unbound') AS o
+FROM (SELECT DISTINCT conv_id FROM transcripts
+      WHERE conv_id != 'conv-0') g
+LEFT JOIN (
+  SELECT yy.conv_id, printf('%04d', yy.y) AS o
+  FROM (SELECT conv_id FROM transcripts GROUP BY conv_id
+        HAVING SUM(CASE WHEN tool IS NULL OR trim(tool) IN ('', 'null')
+                        THEN 1 ELSE 0 END
+                 + CASE WHEN role IS NULL THEN 1 ELSE 0 END
+                 + CASE WHEN text IS NULL THEN 1 ELSE 0 END
+                 + CASE WHEN ts IS NULL THEN 1 ELSE 0 END) = 0) c
+  JOIN (SELECT DISTINCT conv_id, CAST(year(ts) AS INT) AS y
+        FROM transcripts WHERE ts IS NOT NULL) yy
+    ON yy.conv_id = c.conv_id
+) y ON y.conv_id = g.conv_id
 """
 
 

@@ -8,8 +8,12 @@ partitioned parquet/Iceberg triple table. The reference's own catalog
 queries are conjunctive multi-pattern selects (Sparql.java:44:
 ``?d a qb:DataSet . ?d dcterms:modified ?m . ?d dcterms:created ?c``)
 — ``select_bgp`` evaluates exactly that shape: a basic graph pattern
-as a join tree of pushed-down pattern scans. A full SPARQL parser /
-OPTIONAL / FILTER algebra stays out of scope (SURVEY.md §6).
+as a join tree of pushed-down pattern scans, and ``select_sparql``
+layers OPTIONAL (left-joined pattern groups), FILTER (earliest-bound
+expression predicates), DISTINCT and LIMIT on top — covering the
+forms Sparql.java's free-form queries actually use. A full SPARQL
+*parser* (text → algebra) stays out of scope (SURVEY.md §6): the
+algebra surface here is programmatic.
 
 Scale shape: every bound term becomes a pushed-down parquet filter
 (min/max + dictionary pruning on the sorted columns), and a bound
@@ -20,6 +24,7 @@ the scan touches only ``1/n_buckets`` of the table, shown under
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -296,3 +301,101 @@ def select_bgp(
         joined = joined.join(df, on=shared) if shared else joined.crossJoin(df)
         bound = bound | vs
     return joined.select(*out_order)
+
+
+_FILTER_VAR = re.compile(r"\?(\w+)")
+
+
+def _filter_vars(expr: str) -> frozenset[str]:
+    return frozenset(_FILTER_VAR.findall(expr))
+
+
+def _translate_filter(expr: str) -> str:
+    """``?var`` references → backtick-quoted column references."""
+    return _FILTER_VAR.sub(r"`\1`", expr)
+
+
+def select_sparql(
+    triples: DataFrame,
+    patterns: Sequence[tuple],
+    optionals: Sequence[Sequence[tuple]] = (),
+    filters: Sequence[str] = (),
+    distinct: bool = False,
+    limit: int | None = None,
+    dataset: str | None = None,
+    n_buckets: int | None = None,
+    manifest_path: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """SPARQL SELECT beyond the conjunctive BGP: OPTIONAL + FILTER +
+    DISTINCT/LIMIT over :func:`select_bgp` groups (Sparql.java:26-53's
+    free-form surface — e.g. the reference's dataset listings with
+    optionally-present dcterms fields).
+
+    * ``optionals`` — each entry is a pattern group evaluated as its own
+      BGP and LEFT-joined on the variables shared with the solution so
+      far (SPARQL OPTIONAL). Variables introduced only in an optional
+      group come back NULL where the group found no match. BGP solution
+      columns are never NULL (triple terms are non-null), so the SQL
+      left equi-join is exactly SPARQL's compatibility join here.
+    * ``filters`` — Spark SQL boolean expressions over ``?var``
+      references (e.g. ``"?year >= '2021'"``). Each filter is applied at
+      the EARLIEST group at which all its variables are bound: filters
+      over required variables land right after the main BGP (Catalyst
+      then pushes them through the inner joins into the scans); filters
+      over optional variables land after that optional's left join,
+      where a NULL (unbound) variable makes the comparison false — the
+      SQL NULL rule coincides with SPARQL's "type error → false".
+    * ``distinct`` / ``limit`` — SELECT DISTINCT and LIMIT.
+
+    Scale shape: each group is an independently-ordered BGP join tree
+    (pass ``stats`` for selectivity ordering); OPTIONAL groups join on
+    their shared variables, so a selective main group broadcasts into
+    every optional instead of re-scanning the corpus.
+    """
+    kw = dict(
+        dataset=dataset,
+        n_buckets=n_buckets,
+        manifest_path=manifest_path,
+        stats=stats,
+    )
+    df = select_bgp(triples, patterns, **kw)
+    out_order = list(df.columns)
+    bound = set(out_order)
+    remaining = list(filters)
+
+    def apply_ready(d: DataFrame) -> DataFrame:
+        for f in list(remaining):
+            vs = _filter_vars(f)
+            if not vs:
+                raise ValueError(f"filter {f!r} references no ?variable")
+            if vs <= bound:
+                d = d.where(F.expr(_translate_filter(f)))
+                remaining.remove(f)
+        return d
+
+    df = apply_ready(df)
+    for group in optionals:
+        opt = select_bgp(triples, group, **kw)
+        shared = [c for c in out_order if c in opt.columns]
+        df = (
+            df.join(opt, on=shared, how="left")
+            if shared
+            # no shared variable: every solution extends with every
+            # optional row, NULL-extended when the group is empty
+            else df.join(opt, F.lit(True), "left")
+        )
+        out_order += [c for c in opt.columns if c not in bound]
+        bound |= set(opt.columns)
+        df = apply_ready(df)
+    if remaining:
+        raise ValueError(
+            "filter(s) reference variables bound by no group: "
+            f"{sorted(remaining)}"
+        )
+    df = df.select(*out_order)
+    if distinct:
+        df = df.dropDuplicates()
+    if limit is not None:
+        df = df.limit(limit)
+    return df
