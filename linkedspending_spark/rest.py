@@ -1,0 +1,246 @@
+"""HTTP binding for the serving surfaces (Rest.java analog, stdlib-only).
+
+The reference exposes its catalog, jobs, and graph reads over REST
+(Rest.java:30-240 — ``/datasets`` with a 5 s TTL cache, ``/jobs``,
+job-state links; GrizzlyHttpUtil.java:17-36 hosts it on Grizzly). The
+engine's equivalents are library DataFrames (``serve.match`` /
+``select_sparql``, ``jobs.list_runs``, the manifest store); this module
+binds them to HTTP with nothing but ``http.server`` so a switching user
+gets the same operational surface without any web framework.
+
+Responses are JSON (the Spark-era choice; the reference emitted hand-
+built HTML tables). Every endpoint is a bounded driver-side collect:
+``limit`` is capped at ``max_rows``, so request cost is O(limit) driver
+traffic over a pushed-down distributed scan — the heavy lifting (filter
+pushdown, partition pruning, BGP join ordering) happens in the cluster,
+exactly like any other driver program. The server thread-pool shares
+one SparkSession; Spark queries are thread-safe across concurrent
+requests.
+
+Endpoints::
+
+    GET  /                 service index (Rest.java:233-240 root node)
+    GET  /health           liveness probe
+    GET  /datasets         per-dataset manifest rollup, TTL-cached
+                           (Rest.java:120-123 datasets cache analog)
+    GET  /jobs             jobs.list_runs rollup (one row per run)
+    GET  /triples?s=&p=&o=&dataset=&limit=   serve.match pattern read
+    POST /sparql           {"patterns": [[s,p,o],...], "optionals":
+                           [[[s,p,o],...]], "filters": [...],
+                           "distinct": bool, "limit": N}
+                           → serve.select_sparql solutions
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .serve import bgp_stats, match, select_sparql
+
+
+class RestService:
+    """Query-side state shared by every request: one SparkSession, the
+    triple table, the store paths, the BGP stats table, and the
+    ``/datasets`` TTL cache."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        triples: DataFrame | None = None,
+        manifest_path: str | None = None,
+        metrics_path: str | None = None,
+        max_rows: int = 1000,
+        datasets_ttl_sec: float = 5.0,
+        with_stats: bool = True,
+    ):
+        self.spark = spark
+        self.triples = triples
+        self.manifest_path = manifest_path
+        self.metrics_path = metrics_path
+        self.max_rows = max_rows
+        self.datasets_ttl_sec = datasets_ttl_sec
+        # one-time selectivity table for BGP join ordering (serve.bgp_stats)
+        self.stats = (
+            bgp_stats(triples) if (triples is not None and with_stats) else None
+        )
+        self._datasets_cache: tuple[float, list] | None = None
+        self._cache_lock = threading.Lock()
+
+    # -- endpoint bodies (each returns a JSON-serializable value) ----------
+
+    def index(self) -> dict:
+        return {
+            "datasets": "/datasets",
+            "jobs": "/jobs",
+            "triples": "/triples?s=&p=&o=&dataset=&limit=",
+            "sparql": "POST /sparql",
+            "health": "/health",
+        }
+
+    def datasets(self) -> list:
+        """Per-dataset manifest rollup with the reference's TTL cache
+        (Rest.java:37-40,123: datasetsLastFetched + DATASETS_TTL)."""
+        with self._cache_lock:
+            now = time.monotonic()
+            if (
+                self._datasets_cache is not None
+                and now - self._datasets_cache[0] < self.datasets_ttl_sec
+            ):
+                return self._datasets_cache[1]
+        if self.manifest_path is None:
+            raise _HttpError(404, "no manifest store configured")
+        from .sources.manifest import ManifestStore
+
+        rows = (
+            ManifestStore(self.spark, self.manifest_path)
+            .read()
+            .where(~F.col("dataset").startswith("__"))
+            .groupBy("dataset")
+            .agg(
+                F.max("version").alias("version"),
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_triples").alias("n_triples"),
+                F.max("finished_at").alias("finished_at"),
+                F.count(F.lit(1)).alias("n_commits"),
+            )
+            .orderBy("dataset")
+            .limit(self.max_rows)
+            .collect()
+        )
+        out = [r.asDict() for r in rows]
+        with self._cache_lock:
+            self._datasets_cache = (time.monotonic(), out)
+        return out
+
+    def jobs(self) -> list:
+        if self.manifest_path is None:
+            raise _HttpError(404, "no manifest store configured")
+        from .jobs import list_runs
+
+        df = list_runs(self.spark, self.manifest_path, self.metrics_path)
+        return [r.asDict() for r in df.limit(self.max_rows).collect()]
+
+    def triples_read(self, qs: dict) -> list:
+        if self.triples is None:
+            raise _HttpError(404, "no triple table configured")
+
+        def one_or_many(key):
+            vals = qs.get(key)
+            if not vals:
+                return None
+            return vals[0] if len(vals) == 1 else vals
+
+        limit = min(int(qs.get("limit", [100])[0]), self.max_rows)
+        df = match(
+            self.triples,
+            s=one_or_many("s"),
+            p=one_or_many("p"),
+            o=one_or_many("o"),
+            dataset=qs.get("dataset", [None])[0],
+            manifest_path=self.manifest_path,
+        )
+        return [r.asDict() for r in df.limit(limit).collect()]
+
+    def sparql(self, body: dict) -> list:
+        if self.triples is None:
+            raise _HttpError(404, "no triple table configured")
+        patterns = body.get("patterns")
+        if not patterns:
+            raise _HttpError(400, "body needs non-empty 'patterns'")
+        limit = min(int(body.get("limit", self.max_rows)), self.max_rows)
+        try:
+            df = select_sparql(
+                self.triples,
+                [tuple(p) for p in patterns],
+                optionals=[
+                    [tuple(p) for p in group]
+                    for group in body.get("optionals", [])
+                ],
+                filters=body.get("filters", []),
+                distinct=bool(body.get("distinct", False)),
+                limit=limit,
+                stats=self.stats,
+            )
+        except ValueError as e:
+            raise _HttpError(400, str(e)) from e
+        return [r.asDict() for r in df.collect()]
+
+
+class _HttpError(Exception):
+    def __init__(self, status: int, message: str):
+        self.status, self.message = status, message
+
+
+def _make_handler(service: RestService):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet: don't spam test output with per-request log lines
+        def log_message(self, fmt, *args):  # noqa: N802
+            pass
+
+        def _reply(self, status: int, payload) -> None:
+            body = json.dumps(payload, default=str).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _dispatch(self, fn) -> None:
+            try:
+                self._reply(200, fn())
+            except _HttpError as e:
+                self._reply(e.status, {"error": e.message})
+            except Exception as e:  # surface, don't kill the thread
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def do_GET(self) -> None:  # noqa: N802
+            url = urlparse(self.path)
+            qs = parse_qs(url.query)
+            routes = {
+                "/": service.index,
+                "/health": lambda: {"ok": True},
+                "/datasets": service.datasets,
+                "/jobs": service.jobs,
+                "/triples": lambda: service.triples_read(qs),
+            }
+            fn = routes.get(url.path)
+            if fn is None:
+                self._reply(404, {"error": f"no route {url.path}"})
+            else:
+                self._dispatch(fn)
+
+        def do_POST(self) -> None:  # noqa: N802
+            url = urlparse(self.path)
+            if url.path != "/sparql":
+                self._reply(404, {"error": f"no route {url.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                self._reply(400, {"error": "body must be JSON"})
+                return
+            self._dispatch(lambda: service.sparql(body))
+
+    return Handler
+
+
+def make_server(
+    service: RestService, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; ``port=0`` picks a free port
+    (``server.server_address[1]`` reports it). Start with
+    ``serve_forever()`` — typically on a daemon thread next to the Spark
+    driver (GrizzlyHttpUtil.startThisServer analog)::
+
+        server = make_server(RestService(spark, triples, manifest_path))
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+    """
+    return ThreadingHTTPServer((host, port), _make_handler(service))

@@ -1,0 +1,140 @@
+"""HTTP serving layer (Rest.java analog): JSON endpoints over one
+SparkSession, bounded collects, TTL-cached dataset listing."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkedspending_spark import model as M
+from linkedspending_spark.operators.convert_transcripts import convert_transcripts
+from linkedspending_spark.rest import RestService, make_server
+from linkedspending_spark.transcripts import synth_transcripts_df
+
+
+@pytest.fixture(scope="module")
+def rest_server(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("rest")
+    t = synth_transcripts_df(spark, n_convs=6, base_turns=5)
+    triples = convert_transcripts(spark, t)
+    triples.write.parquet(str(base / "triples"))
+
+    from linkedspending_spark.sources.manifest import ManifestStore
+
+    mpath = str(base / "manifests")
+    store = ManifestStore(spark, mpath)
+    store.record_many(
+        [("conv-0", 5, 120), ("conv-1", 5, 118)], run_id="run-a"
+    )
+    store.record("conv-2", 5, 121, run_id="run-b")
+
+    service = RestService(
+        spark,
+        triples=spark.read.parquet(str(base / "triples")),
+        manifest_path=mpath,
+        max_rows=500,
+    )
+    server = make_server(service)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+    yield f"http://127.0.0.1:{port}", service
+    server.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url: str, payload: dict):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_index_and_health(rest_server):
+    base, _ = rest_server
+    status, idx = _get(base + "/")
+    assert status == 200 and idx["datasets"] == "/datasets"
+    assert _get(base + "/health") == (200, {"ok": True})
+    with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(base + "/nope", timeout=60)
+
+
+def test_datasets_listing_and_ttl_cache(rest_server, spark):
+    base, service = rest_server
+    status, ds = _get(base + "/datasets")
+    assert status == 200
+    by_name = {d["dataset"]: d for d in ds}
+    assert by_name["conv-0"]["n_triples"] == 120
+    assert by_name["conv-2"]["n_commits"] == 1
+    # TTL cache (Rest.java datasets cache analog): a new commit is
+    # invisible until the cache expires
+    from linkedspending_spark.sources.manifest import ManifestStore
+
+    ManifestStore(spark, service.manifest_path).record(
+        "conv-9", 5, 99, run_id="run-c"
+    )
+    _, cached = _get(base + "/datasets")
+    assert "conv-9" not in {d["dataset"] for d in cached}
+    service._datasets_cache = None  # expire
+    _, fresh = _get(base + "/datasets")
+    assert "conv-9" in {d["dataset"] for d in fresh}
+
+
+def test_jobs_listing(rest_server):
+    base, _ = rest_server
+    status, jobs = _get(base + "/jobs")
+    assert status == 200
+    runs = {j["run_id"] for j in jobs}
+    assert {"run-a", "run-b"} <= runs
+
+
+def test_triples_pattern_read(rest_server):
+    base, _ = rest_server
+    from urllib.parse import quote
+
+    status, rows = _get(
+        base + f"/triples?p={quote(M.RDF_TYPE, safe='')}&limit=10"
+    )
+    assert status == 200 and 0 < len(rows) <= 10
+    assert all(r["p"] == M.RDF_TYPE for r in rows)
+
+
+def test_sparql_endpoint(rest_server):
+    base, _ = rest_server
+    status, sols = _post(
+        base + "/sparql",
+        {
+            "patterns": [
+                ["?d", M.RDF_TYPE, M.QB_DATASET],
+                ["?d", M.RDFS_LABEL, "?label"],
+            ],
+            "optionals": [[["?d", M.LSO_REF_YEAR, "?year"]]],
+            "filters": ["?label != 'conv-0'"],
+            "distinct": True,
+        },
+    )
+    assert status == 200 and len(sols) > 0
+    assert all(set(s) == {"d", "label", "year"} for s in sols)
+    assert all(s["label"] != "conv-0" for s in sols)
+    # bad request: filter over a variable no group binds
+    status, err = _post(
+        base + "/sparql",
+        {"patterns": [["?d", M.RDF_TYPE, M.QB_DATASET]], "filters": ["?x > 1"]},
+    )
+    assert status == 400 and "error" in err
+    # bad request: missing patterns
+    assert _post(base + "/sparql", {})[0] == 400
