@@ -447,9 +447,21 @@ def _measure_pair(
     # lost BOTH pairs' results, because nothing prints until the end)
     try:
         for lvl in (lo, hi):  # sequential warm-up: no contention
-            workers[lvl], meta[lvl] = _spawn_worker(
-                lvl, masters[lvl], replicate
-            )
+            # warm-up is the longest single exposure a worker JVM has to
+            # external kills (observed: an exec1x1 JVM received a
+            # shutdown mid-warm-up job and the whole pair died before
+            # its sibling was even spawned) — retry a dead warm-up from
+            # the same restart budget the reps use
+            while True:
+                try:
+                    workers[lvl], meta[lvl] = _spawn_worker(
+                        lvl, masters[lvl], replicate
+                    )
+                    break
+                except (RuntimeError, OSError):
+                    if restarts_left == 0:
+                        raise
+                    restarts_left -= 1
         def timed_rep(lvl: str) -> float:
             nonlocal restarts_left
             try:
