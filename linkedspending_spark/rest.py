@@ -27,7 +27,9 @@ Endpoints::
     GET  /triples?s=&p=&o=&dataset=&limit=   serve.match pattern read
     POST /sparql           {"patterns": [[s,p,o],...], "optionals":
                            [[[s,p,o],...]], "filters": [...],
-                           "distinct": bool, "limit": N}
+                           "unions": [[[[s,p,o],...], ...], ...],
+                           "distinct": bool, "order_by": ["?v", "-?v"],
+                           "limit": N}
                            → serve.select_sparql solutions
 """
 
@@ -152,19 +154,24 @@ class RestService:
         if self.triples is None:
             raise _HttpError(404, "no triple table configured")
         patterns = body.get("patterns")
-        if not patterns:
-            raise _HttpError(400, "body needs non-empty 'patterns'")
+        if not patterns and not body.get("unions"):
+            raise _HttpError(400, "body needs non-empty 'patterns' or 'unions'")
         limit = min(int(body.get("limit", self.max_rows)), self.max_rows)
         try:
             df = select_sparql(
                 self.triples,
-                [tuple(p) for p in patterns],
+                [tuple(p) for p in (patterns or [])],
                 optionals=[
                     [tuple(p) for p in group]
                     for group in body.get("optionals", [])
                 ],
                 filters=body.get("filters", []),
+                unions=[
+                    [[tuple(p) for p in branch] for branch in expr]
+                    for expr in body.get("unions", [])
+                ],
                 distinct=bool(body.get("distinct", False)),
+                order_by=body.get("order_by", []),
                 limit=limit,
                 stats=self.stats,
             )

@@ -10,8 +10,9 @@ queries are conjunctive multi-pattern selects (Sparql.java:44:
 — ``select_bgp`` evaluates exactly that shape: a basic graph pattern
 as a join tree of pushed-down pattern scans, and ``select_sparql``
 layers OPTIONAL (left-joined pattern groups), FILTER (earliest-bound
-expression predicates), DISTINCT and LIMIT on top — covering the
-forms Sparql.java's free-form queries actually use. A full SPARQL
+expression predicates), UNION (by-name branch union, NULL = unbound),
+DISTINCT, ORDER BY and LIMIT on top — covering the forms
+Sparql.java's free-form queries actually use and then some. A full SPARQL
 *parser* (text → algebra) stays out of scope (SURVEY.md §6): the
 algebra surface here is programmatic.
 
@@ -320,7 +321,9 @@ def select_sparql(
     patterns: Sequence[tuple],
     optionals: Sequence[Sequence[tuple]] = (),
     filters: Sequence[str] = (),
+    unions: Sequence[Sequence[Sequence[tuple]]] = (),
     distinct: bool = False,
+    order_by: Sequence[str] = (),
     limit: int | None = None,
     dataset: str | None = None,
     n_buckets: int | None = None,
@@ -328,9 +331,9 @@ def select_sparql(
     stats: dict | None = None,
 ) -> DataFrame:
     """SPARQL SELECT beyond the conjunctive BGP: OPTIONAL + FILTER +
-    DISTINCT/LIMIT over :func:`select_bgp` groups (Sparql.java:26-53's
-    free-form surface — e.g. the reference's dataset listings with
-    optionally-present dcterms fields).
+    UNION + DISTINCT/ORDER BY/LIMIT over :func:`select_bgp` groups
+    (Sparql.java:26-53's free-form surface — e.g. the reference's
+    dataset listings with optionally-present dcterms fields).
 
     * ``optionals`` — each entry is a pattern group evaluated as its own
       BGP and LEFT-joined on the variables shared with the solution so
@@ -346,12 +349,26 @@ def select_sparql(
       over optional variables land after that optional's left join,
       where a NULL (unbound) variable makes the comparison false — the
       SQL NULL rule coincides with SPARQL's "type error → false".
-    * ``distinct`` / ``limit`` — SELECT DISTINCT and LIMIT.
+    * ``unions`` — each entry is ONE union expression: a list of ≥2
+      alternative pattern groups (``{A} UNION {B}``). Each branch is
+      evaluated as its own BGP; branch solutions are unioned by name
+      (variables a branch does not bind come back NULL = unbound), and
+      the union's solutions join the solution so far on the shared
+      variables. A shared variable must be bound by EVERY branch —
+      SPARQL's compatibility join would accept an unbound shared
+      variable where the SQL equi-join drops it, so that case raises
+      instead of silently diverging.
+    * ``distinct`` / ``order_by`` / ``limit`` — SELECT DISTINCT,
+      ORDER BY (``"?var"`` ascending, ``"-?var"`` descending), LIMIT.
+      ORDER BY + LIMIT together plan as TakeOrderedAndProject (per-
+      partition top-k, no global sort) — the serving-path shape.
 
     Scale shape: each group is an independently-ordered BGP join tree
     (pass ``stats`` for selectivity ordering); OPTIONAL groups join on
     their shared variables, so a selective main group broadcasts into
-    every optional instead of re-scanning the corpus.
+    every optional instead of re-scanning the corpus. UNION branches
+    are independent pushed-down scans — Spark unions are plan-level
+    (no shuffle, no materialization).
     """
     kw = dict(
         dataset=dataset,
@@ -359,7 +376,15 @@ def select_sparql(
         manifest_path=manifest_path,
         stats=stats,
     )
-    df = select_bgp(triples, patterns, **kw)
+    union_dfs = [_eval_union(triples, groups, kw) for groups in unions]
+    if patterns:
+        df = select_bgp(triples, patterns, **kw)
+    elif union_dfs:
+        # SPARQL allows a query that is just a UNION: the first union
+        # expression is the base solution, the rest join onto it below
+        df, _ = union_dfs.pop(0)
+    else:
+        raise ValueError("select_sparql needs patterns or unions")
     out_order = list(df.columns)
     bound = set(out_order)
     remaining = list(filters)
@@ -388,6 +413,21 @@ def select_sparql(
         out_order += [c for c in opt.columns if c not in bound]
         bound |= set(opt.columns)
         df = apply_ready(df)
+    for u, branch_cols in union_dfs:
+        shared = [c for c in out_order if c in u.columns]
+        partial = [
+            c for c in shared if any(c not in bc for bc in branch_cols)
+        ]
+        if partial:
+            raise ValueError(
+                f"union branch leaves shared variable(s) {partial} "
+                "unbound — SPARQL's compatibility join on unbound "
+                "variables is not supported; bind them in every branch"
+            )
+        df = df.join(u, on=shared) if shared else df.crossJoin(u)
+        out_order += [c for c in u.columns if c not in bound]
+        bound |= set(u.columns)
+        df = apply_ready(df)
     if remaining:
         raise ValueError(
             "filter(s) reference variables bound by no group: "
@@ -396,6 +436,37 @@ def select_sparql(
     df = df.select(*out_order)
     if distinct:
         df = df.dropDuplicates()
+    if order_by:
+        keys = []
+        for tok in order_by:
+            desc = tok.startswith("-")
+            var = tok.lstrip("-").lstrip("?")
+            if var not in bound:
+                raise ValueError(f"order_by variable ?{var} is unbound")
+            keys.append(F.col(var).desc() if desc else F.col(var).asc())
+        df = df.orderBy(*keys)
     if limit is not None:
         df = df.limit(limit)
     return df
+
+
+def _eval_union(
+    triples: DataFrame, groups: Sequence[Sequence[tuple]], kw: dict
+) -> tuple[DataFrame, list[set]]:
+    """One SPARQL UNION expression: branch BGPs unioned by variable name.
+
+    Returns the unioned solutions plus each branch's bound-variable set
+    (the caller refuses equi-joins on variables some branch leaves
+    unbound). unionByName(allowMissingColumns=True) NULL-extends the
+    variables a branch does not bind — exactly SPARQL's unbound.
+    """
+    if len(groups) < 2:
+        raise ValueError("a union expression needs >= 2 branches")
+    branches = [select_bgp(triples, g, **kw) for g in groups]
+    cols: list[str] = []
+    for b in branches:
+        cols += [c for c in b.columns if c not in cols]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out.select(*cols), [set(b.columns) for b in branches]

@@ -138,3 +138,35 @@ def test_sparql_endpoint(rest_server):
     assert status == 400 and "error" in err
     # bad request: missing patterns
     assert _post(base + "/sparql", {})[0] == 400
+
+
+def test_sparql_endpoint_union_order_by(rest_server):
+    """UNION + ORDER BY plumb through the HTTP body to select_sparql."""
+    base, _ = rest_server
+    status, sols = _post(
+        base + "/sparql",
+        {
+            "patterns": [["?d", M.RDF_TYPE, M.QB_DATASET]],
+            "unions": [[
+                [["?d", M.RDFS_LABEL, "?v"]],
+                [["?d", M.LSO_REF_YEAR, "?v"]],
+            ]],
+            "order_by": ["-?v"],
+            "limit": 5,
+        },
+    )
+    assert status == 200 and 0 < len(sols) <= 5
+    vals = [s["v"] for s in sols]
+    assert vals == sorted(vals, reverse=True)
+    # a union whose branch leaves a shared variable unbound is a 400
+    status, err = _post(
+        base + "/sparql",
+        {
+            "patterns": [["?d", M.RDF_TYPE, M.QB_DATASET]],
+            "unions": [[
+                [["?d", M.RDFS_LABEL, "?v"]],
+                [["conv-x", M.LSO_REF_YEAR, "?v"]],
+            ]],
+        },
+    )
+    assert status == 400 and "error" in err

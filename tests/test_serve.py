@@ -515,3 +515,71 @@ def test_select_sparql_matches_naive_evaluator(spark):
         map(tuple, select_sparql(t, main, optionals=[opt]).collect())
     )
     assert got == sorted(expected) and len(got) > 0
+
+
+def test_select_sparql_union_order_by(spark):
+    """UNION + ORDER BY algebra: branch solutions union by variable
+    name (NULL-extending branch-specific variables), join the solution
+    so far on shared variables, and ORDER BY/LIMIT plan as a top-k."""
+    from linkedspending_spark.serve import select_sparql
+
+    rows = [
+        ("d1", "a", "DataSet", "x"), ("d2", "a", "DataSet", "x"),
+        ("d3", "a", "DataSet", "x"),
+        ("d1", "created", "2020", "x"), ("d2", "modified", "2021", "x"),
+        ("d3", "created", "2019", "x"),
+        ("d1", "label", "alpha", "x"),
+    ]
+    t = spark.createDataFrame(
+        rows, "s string, p string, o string, dataset string"
+    )
+    base = [("?d", "a", "DataSet")]
+
+    # {?d created ?when} UNION {?d modified ?when}: same variable bound
+    # by both branches
+    u_when = [[("?d", "created", "?when")], [("?d", "modified", "?when")]]
+    q = select_sparql(t, base, unions=[u_when])
+    assert sorted(map(tuple, q.collect())) == [
+        ("d1", "2020"), ("d2", "2021"), ("d3", "2019"),
+    ]
+
+    # branch-specific variables come back NULL (SPARQL unbound) on the
+    # other branch's solutions
+    q = select_sparql(
+        t, base,
+        unions=[[[("?d", "created", "?c")], [("?d", "modified", "?m")]]],
+    )
+    assert sorted(map(tuple, q.collect()), key=str) == [
+        ("d1", "2020", None), ("d2", None, "2021"), ("d3", "2019", None),
+    ]
+
+    # FILTER over a union-bound variable applies after the union join
+    q = select_sparql(t, base, unions=[u_when], filters=["?when >= '2020'"])
+    assert sorted(map(tuple, q.collect())) == [("d1", "2020"), ("d2", "2021")]
+
+    # a query that is JUST a union, ordered descending
+    q = select_sparql(t, [], unions=[u_when], order_by=["-?when"])
+    assert [tuple(r) for r in q.collect()] == [
+        ("d2", "2021"), ("d1", "2020"), ("d3", "2019"),
+    ]
+
+    # ORDER BY + LIMIT plans as a top-k, not a global sort
+    q = select_sparql(t, base, unions=[u_when], order_by=["?when"], limit=2)
+    assert [r["when"] for r in q.collect()] == ["2019", "2020"]
+    assert "TakeOrderedAndProject" in plan_of(q)
+
+    # a shared variable some branch leaves unbound would need SPARQL's
+    # NULL-compatible join -> refused, not silently wrong
+    with pytest.raises(ValueError, match="unbound"):
+        select_sparql(
+            t, base,
+            unions=[[[("?d", "created", "?w")], [("d2", "modified", "?w")]]],
+        )
+
+    # degenerate forms raise
+    with pytest.raises(ValueError, match=">= 2 branches"):
+        select_sparql(t, base, unions=[[[("?d", "created", "?w")]]])
+    with pytest.raises(ValueError, match="unbound"):
+        select_sparql(t, base, order_by=["?nope"])
+    with pytest.raises(ValueError, match="patterns or unions"):
+        select_sparql(t, [])
