@@ -25,7 +25,10 @@ Endpoints::
                            (Rest.java:120-123 datasets cache analog)
     GET  /jobs             jobs.list_runs rollup (one row per run)
     GET  /triples?s=&p=&o=&dataset=&limit=   serve.match pattern read
-    POST /sparql           {"patterns": [[s,p,o],...], "optionals":
+    POST /sparql           {"query": "select ?d ?m {?d a qb:DataSet. ...}"}
+                           textual SPARQL (sparql.select_text dialect), OR
+                           the JSON algebra form:
+                           {"patterns": [[s,p,o],...], "optionals":
                            [[[s,p,o],...]], "filters": [...],
                            "unions": [[[[s,p,o],...], ...], ...],
                            "distinct": bool, "order_by": ["?v", "-?v"],
@@ -153,9 +156,24 @@ class RestService:
     def sparql(self, body: dict) -> list:
         if self.triples is None:
             raise _HttpError(404, "no triple table configured")
+        if body.get("query"):  # textual SPARQL (Sparql.java:26-29 analog)
+            from .sparql import SparqlSyntaxError, select_text
+
+            try:
+                df = select_text(
+                    self.triples,
+                    body["query"],
+                    stats=self.stats,
+                    limit_cap=self.max_rows,
+                )
+            except (SparqlSyntaxError, ValueError) as e:
+                raise _HttpError(400, str(e)) from e
+            return [r.asDict() for r in df.collect()]
         patterns = body.get("patterns")
         if not patterns and not body.get("unions"):
-            raise _HttpError(400, "body needs non-empty 'patterns' or 'unions'")
+            raise _HttpError(
+                400, "body needs 'query', 'patterns' or 'unions'"
+            )
         limit = min(int(body.get("limit", self.max_rows)), self.max_rows)
         try:
             df = select_sparql(

@@ -12,9 +12,9 @@ as a join tree of pushed-down pattern scans, and ``select_sparql``
 layers OPTIONAL (left-joined pattern groups), FILTER (earliest-bound
 expression predicates), UNION (by-name branch union, NULL = unbound),
 DISTINCT, ORDER BY and LIMIT on top — covering the forms
-Sparql.java's free-form queries actually use and then some. A full SPARQL
-*parser* (text → algebra) stays out of scope (SURVEY.md §6): the
-algebra surface here is programmatic.
+Sparql.java's free-form queries actually use and then some. Textual
+queries (the reference's ``Sparql.select(query)`` strings) parse onto
+this algebra via :mod:`linkedspending_spark.sparql`.
 
 Scale shape: every bound term becomes a pushed-down parquet filter
 (min/max + dictionary pruning on the sorted columns), and a bound

@@ -1,0 +1,498 @@
+"""SPARQL SELECT text parser → the :mod:`serve` algebra.
+
+The reference issues *textual* SPARQL against its endpoint
+(Sparql.java:21-29 ``select``/``selectPrefixed``; query strings at
+Sparql.java:44 and LinkedSpendingDatasetInfo.java:62-83). ``serve.py``
+already evaluates the algebra (BGP join trees, OPTIONAL, FILTER, UNION,
+DISTINCT/ORDER BY/LIMIT); this module closes the last gap for a
+switching user by parsing the reference's dialect so those query
+strings run verbatim::
+
+    select_text(triples, 'select ?d ?m {?d a qb:DataSet. '
+                         '?d dcterms:modified ?m. ?d dcterms:created ?c.}')
+
+Supported grammar (a deliberate subset — exactly the forms the
+reference's own queries use, plus the algebra ``select_sparql``
+evaluates):
+
+* ``PREFIX name: <uri>`` declarations; the reference's four standing
+  prefixes (Sparql.java:17-20 — ``dcterms`` ``ls`` ``lso`` ``qb``) plus
+  ``rdf rdfs owl xsd dbo`` are predeclared, so ``selectPrefixed``-style
+  bodies parse as-is.
+* ``SELECT [DISTINCT] (?var... | *)`` with optional ``WHERE``.
+* Triple patterns with ``;`` predicate-object and ``,`` object lists;
+  terms are ``?var``, ``<uri>``, ``prefixed:name``, ``a`` (rdf:type),
+  numbers, and ``"literal"`` with optional ``^^datatype`` / ``@lang``.
+  Objects match on the stored *lexical form* (the triple table keeps
+  ``o`` as the lexical value with ``o_kind``/``o_datatype`` metadata,
+  model.py:98-105), so ``"true"^^xsd:boolean`` matches ``o = 'true'``.
+* ``OPTIONAL { ... }`` groups (triples only — a FILTER scoped inside an
+  OPTIONAL has different semantics than a solution-level filter and is
+  refused rather than silently moved).
+* ``FILTER( expr )`` — translated to a Spark SQL predicate: ``&&``/
+  ``||``/``!`` become AND/OR/NOT, URIs and (typed) literals become
+  string literals, ``?var`` references stay for ``select_sparql`` to
+  bind. Comparisons run over lexical forms (the column type).
+* ``{ A } UNION { B }`` (each branch a triple-pattern group).
+* ``ORDER BY [ASC(?v)|DESC(?v)|?v]...`` and ``LIMIT n``.
+
+Out of scope (raise, never misparse): property paths, subqueries,
+GRAPH/SERVICE/BIND/VALUES/aggregates, blank-node syntax.
+
+Scale shape: the parser only *front-ends* ``select_sparql`` — every
+pattern is still a pushed-down scan under the stats-ordered join tree,
+and ORDER BY + LIMIT still plan as TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import model as M
+from .serve import select_sparql
+
+#: Standing prefixes: the reference's four (Sparql.java:17-20) + core RDF.
+DEFAULT_PREFIXES: dict[str, str] = {
+    "dcterms": M.NS_DCT,
+    "ls": M.PREFIX_INSTANCE,
+    "lso": M.PREFIX_ONTOLOGY,
+    "qb": M.NS_QB,
+    "rdf": M.NS_RDF,
+    "rdfs": M.NS_RDFS,
+    "owl": M.NS_OWL,
+    "xsd": M.NS_XSD,
+    "dbo": M.NS_DBO,
+}
+
+_TOKEN = re.compile(
+    r"""
+      (?P<ws>\s+|\#[^\n]*)
+    | (?P<uri><[^<>\s]*>)
+    | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    | (?P<var>\?\w+)
+    | (?P<dt>\^\^)
+    | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
+    | (?P<pname>[A-Za-z_][\w-]*:(?:[\w-]+(?:\.[\w-]+)*)?)
+    | (?P<word>[A-Za-z_]\w*)
+    | (?P<num>[+-]?\d+(?:\.\d+)?)
+    | (?P<punct>[{}.,;()*])
+    """,
+    re.X,
+)
+
+_STR_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unescape(body: str) -> str:
+    return re.sub(
+        r"\\(.)", lambda m: _STR_ESCAPES.get(m.group(1), m.group(1)), body
+    )
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+class _Lexer:
+    """On-demand tokenizer over the query text. Position-based so FILTER
+    bodies can be captured raw (balanced parens, quote-aware) instead of
+    forcing SPARQL expression syntax through the triple-term grammar."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+        self._peeked: tuple[str, str] | None = None
+        self._peeked_start = 0
+
+    def _scan(self) -> tuple[str, str]:
+        while self.pos < len(self.text):
+            m = _TOKEN.match(self.text, self.pos)
+            if m is None:
+                raise SparqlSyntaxError(
+                    f"cannot tokenize at ...{self.text[self.pos:self.pos+30]!r}"
+                )
+            self.pos = m.end()
+            if m.lastgroup != "ws":
+                self._peeked_start = m.start()
+                return m.lastgroup, m.group()
+        self._peeked_start = self.pos
+        return "eof", ""
+
+    def peek(self) -> tuple[str, str]:
+        if self._peeked is None:
+            self._peeked = self._scan()
+        return self._peeked
+
+    def next(self) -> tuple[str, str]:
+        tok = self.peek()
+        self._peeked = None
+        return tok
+
+    def next_word(self) -> str | None:
+        """The next token lowered if it is a bare word, else None."""
+        kind, text = self.peek()
+        return text.lower() if kind == "word" else None
+
+    def expect_punct(self, ch: str) -> None:
+        kind, text = self.next()
+        if text != ch:
+            raise SparqlSyntaxError(f"expected {ch!r}, got {text!r}")
+
+    def raw_parens(self) -> str:
+        """Capture a balanced ``( ... )`` region raw, respecting quotes."""
+        if self._peeked is not None:  # un-peek: rewind to the token start
+            self.pos = self._peeked_start
+            self._peeked = None
+        while self.pos < len(self.text) and self.text[self.pos].isspace():
+            self.pos += 1
+        if self.pos >= len(self.text) or self.text[self.pos] != "(":
+            raise SparqlSyntaxError("FILTER needs a parenthesized expression")
+        depth, i, quote = 0, self.pos, None
+        while i < len(self.text):
+            c = self.text[i]
+            if quote:
+                if c == "\\":
+                    i += 1
+                elif c == quote:
+                    quote = None
+            elif c in "\"'":
+                quote = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    raw = self.text[self.pos + 1 : i]
+                    self.pos = i + 1
+                    return raw
+            i += 1
+        raise SparqlSyntaxError("unterminated FILTER expression")
+
+
+@dataclass
+class ParsedQuery:
+    """``select_sparql`` inputs plus the SELECT clause's projection."""
+
+    patterns: list[tuple] = field(default_factory=list)
+    optionals: list[list[tuple]] = field(default_factory=list)
+    filters: list[str] = field(default_factory=list)
+    unions: list[list[list[tuple]]] = field(default_factory=list)
+    distinct: bool = False
+    order_by: list[str] = field(default_factory=list)
+    limit: int | None = None
+    project: list[str] | None = None  # None = SELECT *
+
+
+_UNSUPPORTED = {
+    "graph", "service", "bind", "values", "minus", "exists", "group",
+    "having", "construct", "ask", "describe", "offset",
+}
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.lx = _Lexer(text)
+        self.prefixes = dict(DEFAULT_PREFIXES)
+        self.q = ParsedQuery()
+
+    # -- terms ---------------------------------------------------------------
+
+    def _expand(self, pname: str) -> str:
+        pfx, local = pname.split(":", 1)
+        if pfx not in self.prefixes:
+            raise SparqlSyntaxError(
+                f"unknown prefix {pfx!r} (declare PREFIX {pfx}: <...>)"
+            )
+        return self.prefixes[pfx] + local
+
+    def _term(self) -> str:
+        kind, text = self.lx.next()
+        if kind == "var":
+            return text
+        if kind == "uri":
+            return text[1:-1]
+        if kind == "pname":
+            return self._expand(text)
+        if kind == "num":
+            return text
+        if kind == "word":
+            if text == "a":
+                return M.RDF_TYPE
+            raise SparqlSyntaxError(
+                f"bare word {text!r} is not a term (quote literals; "
+                "only 'a' abbreviates rdf:type)"
+            )
+        if kind == "string":
+            value = _unescape(text[1:-1])
+            nxt = self.lx.peek()
+            if nxt[0] == "dt":  # ^^datatype: consumed; matching is lexical
+                self.lx.next()
+                dk, dt = self.lx.next()
+                if dk not in ("uri", "pname"):
+                    raise SparqlSyntaxError(f"bad datatype token {dt!r}")
+            elif nxt[0] == "lang":
+                self.lx.next()
+            return value
+        raise SparqlSyntaxError(f"unexpected term token {text!r}")
+
+    # -- groups ----------------------------------------------------------
+
+    def _triples_block(self, ctx: str) -> list[tuple]:
+        """A ``{ tp. tp... }`` group of plain triple patterns (with ``;``
+        and ``,`` lists); OPTIONAL/FILTER/UNION inside raise for *ctx*."""
+        self.lx.expect_punct("{")
+        out: list[tuple] = []
+        while True:
+            kind, text = self.lx.peek()
+            if text == "}":
+                self.lx.next()
+                return out
+            if kind == "eof":
+                raise SparqlSyntaxError(f"unterminated {ctx} group")
+            word = self.lx.next_word()
+            if word in ("optional", "filter", "union") or text == "{":
+                raise SparqlSyntaxError(
+                    f"{word or 'nested group'} inside {ctx} is not "
+                    "supported (solution-level forms only)"
+                )
+            out.extend(self._triple_lists())
+
+    def _triple_lists(self) -> list[tuple]:
+        """One subject's predicate-object lists: ``s p o, o2; p2 o3 .``"""
+        out: list[tuple] = []
+        s = self._term()
+        while True:
+            p = self._term()
+            while True:
+                out.append((s, p, self._term()))
+                if self.lx.peek()[1] == ",":
+                    self.lx.next()
+                    continue
+                break
+            nxt = self.lx.peek()[1]
+            if nxt == ";":
+                self.lx.next()
+                if self.lx.peek()[1] in (".", "}"):  # trailing ';' allowed
+                    break
+                continue
+            break
+        if self.lx.peek()[1] == ".":
+            self.lx.next()
+        return out
+
+    # -- filter translation -----------------------------------------------
+
+    _FILTER_PIECE = re.compile(
+        r"""
+          (?P<lit>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+          (?:\s*\^\^\s*(?:<[^<>\s]*>|[A-Za-z_][\w-]*:[\w.-]*))?
+        | (?P<uri><[^<>\s]*>)
+        | (?P<pname>[A-Za-z_][\w-]*:(?:[\w-]+(?:\.[\w-]+)*)?)
+        | (?P<and>&&) | (?P<or>\|\|) | (?P<not>!(?!=))
+        """,
+        re.X,
+    )
+
+    def _translate_filter(self, raw: str) -> str:
+        def _sql_str(v: str) -> str:
+            return "'" + v.replace("'", "''") + "'"
+
+        def sub(m: re.Match) -> str:
+            if m.group("lit") is not None:
+                return _sql_str(_unescape(m.group("lit")[1:-1]))
+            if m.group("uri") is not None:
+                return _sql_str(m.group("uri")[1:-1])
+            if m.group("pname") is not None:
+                return _sql_str(self._expand(m.group("pname")))
+            if m.group("and"):
+                return " AND "
+            if m.group("or"):
+                return " OR "
+            return " NOT "
+
+        return self._FILTER_PIECE.sub(sub, raw)
+
+    # -- top level ---------------------------------------------------------
+
+    def parse(self) -> ParsedQuery:
+        while self.lx.next_word() == "prefix":
+            self.lx.next()
+            kind, name = self.lx.next()
+            if kind != "pname" or not name.endswith(":"):
+                raise SparqlSyntaxError(f"bad prefix name {name!r}")
+            pfx = name.split(":", 1)[0]
+            kind, uri = self.lx.next()
+            if kind != "uri":
+                raise SparqlSyntaxError(f"prefix {pfx!r} needs a <uri>")
+            self.prefixes[pfx] = uri[1:-1]
+        word = self.lx.next_word()
+        if word in _UNSUPPORTED:
+            raise SparqlSyntaxError(f"{word.upper()} queries are not supported")
+        if word != "select":
+            raise SparqlSyntaxError("query must start with SELECT")
+        self.lx.next()
+        if self.lx.next_word() == "distinct":
+            self.lx.next()
+            self.q.distinct = True
+        kind, text = self.lx.peek()
+        if text == "*":
+            self.lx.next()
+        else:
+            proj: list[str] = []
+            while self.lx.peek()[0] == "var":
+                proj.append(self.lx.next()[1][1:])
+            if not proj:
+                raise SparqlSyntaxError("SELECT needs ?vars or *")
+            self.q.project = proj
+        if self.lx.next_word() == "where":
+            self.lx.next()
+        self._group_body()
+        self._solution_modifiers()
+        if self.lx.peek()[0] != "eof":
+            raise SparqlSyntaxError(
+                f"trailing input at {self.lx.peek()[1]!r}"
+            )
+        return self.q
+
+    def _group_body(self) -> None:
+        self.lx.expect_punct("{")
+        while True:
+            kind, text = self.lx.peek()
+            if text == "}":
+                self.lx.next()
+                return
+            if kind == "eof":
+                raise SparqlSyntaxError("unterminated group")
+            word = self.lx.next_word()
+            if word in _UNSUPPORTED:
+                raise SparqlSyntaxError(f"{word.upper()} is not supported")
+            if word == "optional":
+                self.lx.next()
+                self.q.optionals.append(self._triples_block("OPTIONAL"))
+            elif word == "filter":
+                self.lx.next()
+                self.q.filters.append(
+                    self._translate_filter(self.lx.raw_parens())
+                )
+            elif text == "{":
+                branches = [self._triples_block("a UNION branch")]
+                while self.lx.next_word() == "union":
+                    self.lx.next()
+                    branches.append(self._triples_block("a UNION branch"))
+                if len(branches) < 2:
+                    raise SparqlSyntaxError(
+                        "a braced group must be a {A} UNION {B} expression"
+                    )
+                self.q.unions.append(branches)
+            else:
+                self.q.patterns.extend(self._triple_lists())
+
+    def _solution_modifiers(self) -> None:
+        if self.lx.next_word() == "order":
+            self.lx.next()
+            if self.lx.next_word() != "by":
+                raise SparqlSyntaxError("ORDER must be followed by BY")
+            self.lx.next()
+            any_key = False
+            while True:
+                kind, text = self.lx.peek()
+                if kind == "var":
+                    self.lx.next()
+                    self.q.order_by.append(text)
+                elif kind == "word" and text.lower() in ("asc", "desc"):
+                    self.lx.next()
+                    self.lx.expect_punct("(")
+                    k, v = self.lx.next()
+                    if k != "var":
+                        raise SparqlSyntaxError("ASC/DESC needs a ?var")
+                    self.lx.expect_punct(")")
+                    self.q.order_by.append(
+                        ("-" if text.lower() == "desc" else "") + v
+                    )
+                else:
+                    break
+                any_key = True
+            if not any_key:
+                raise SparqlSyntaxError("ORDER BY needs at least one key")
+        if self.lx.next_word() == "limit":
+            self.lx.next()
+            kind, text = self.lx.next()
+            if kind != "num" or "." in text:
+                raise SparqlSyntaxError("LIMIT needs an integer")
+            self.q.limit = int(text)
+
+
+def parse_select(query: str) -> ParsedQuery:
+    """Parse a SPARQL SELECT string into :class:`ParsedQuery` (the
+    ``select_sparql`` inputs + projection). Raises
+    :class:`SparqlSyntaxError` on anything outside the dialect."""
+    return _Parser(query).parse()
+
+
+def select_text(
+    triples: DataFrame,
+    query: str,
+    dataset: str | None = None,
+    n_buckets: int | None = None,
+    manifest_path: str | None = None,
+    stats: dict | None = None,
+    limit_cap: int | None = None,
+) -> DataFrame:
+    """Run a textual SPARQL SELECT (the reference's ``Sparql.select``
+    analog, Sparql.java:26-29) over the triple table.
+
+    Compiles through :func:`parse_select` onto
+    :func:`~linkedspending_spark.serve.select_sparql`, then applies the
+    SELECT clause with SPARQL's modifier order: projection, then
+    DISTINCT (over the *projected* variables — ``select_sparql``'s own
+    flag dedups pre-projection, which is a different query), then ORDER
+    BY, then LIMIT. Consequently ORDER BY keys must be projected when
+    DISTINCT is used — SPARQL imposes the same restriction.
+
+    ``limit_cap`` bounds the effective LIMIT (serving-path guard;
+    applied even when the query has no LIMIT of its own).
+    """
+    q = parse_select(query)
+    df = select_sparql(
+        triples,
+        q.patterns,
+        optionals=q.optionals,
+        filters=q.filters,
+        unions=q.unions,
+        dataset=dataset,
+        n_buckets=n_buckets,
+        manifest_path=manifest_path,
+        stats=stats,
+    )
+    if q.project is not None:
+        missing = [v for v in q.project if v not in df.columns]
+        if missing:
+            raise SparqlSyntaxError(
+                f"projected variable(s) {missing} are bound by no pattern"
+            )
+        df = df.select(*q.project)
+    if q.distinct:
+        df = df.dropDuplicates()
+    if q.order_by:
+        keys = []
+        for tok in q.order_by:
+            desc = tok.startswith("-")
+            var = tok.lstrip("-").lstrip("?")
+            if var not in df.columns:
+                raise SparqlSyntaxError(
+                    f"ORDER BY ?{var} must be projected"
+                    if q.project is not None
+                    else f"ORDER BY ?{var} is unbound"
+                )
+            keys.append(F.col(var).desc() if desc else F.col(var).asc())
+        df = df.orderBy(*keys)
+    limit = q.limit
+    if limit_cap is not None:
+        limit = limit_cap if limit is None else min(limit, limit_cap)
+    if limit is not None:
+        df = df.limit(limit)
+    return df

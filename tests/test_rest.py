@@ -170,3 +170,29 @@ def test_sparql_endpoint_union_order_by(rest_server):
         },
     )
     assert status == 400 and "error" in err
+
+
+def test_sparql_endpoint_textual_query(rest_server):
+    """POST /sparql with a textual query (Sparql.select analog): the
+    reference's catalog-listing shape runs as-is over the converted
+    table."""
+    base, _ = rest_server
+    status, sols = _post(
+        base + "/sparql",
+        {
+            "query": "select ?d ?label {?d a qb:DataSet. "
+            "?d rdfs:label ?label.} order by ?label limit 4"
+        },
+    )
+    assert status == 200 and 0 < len(sols) <= 4
+    labels = [s["label"] for s in sols]
+    assert labels == sorted(labels)
+    assert all(set(s) == {"d", "label"} for s in sols)
+    # syntax error -> 400 with the parser's message
+    status, err = _post(base + "/sparql", {"query": "select ?x"})
+    assert status == 400 and "error" in err
+    # unsupported form -> 400, not a 500
+    status, err = _post(
+        base + "/sparql", {"query": "select ?x { bind(1 as ?x) }"}
+    )
+    assert status == 400 and "error" in err

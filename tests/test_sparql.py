@@ -1,0 +1,190 @@
+"""SPARQL text parser → serve algebra (Sparql.java:21-29 analog).
+
+The reference's own query strings (Sparql.java:44,
+LinkedSpendingDatasetInfo.java:62-83) must run verbatim through
+``select_text``; the parse must compile onto exactly the algebra
+``select_sparql`` evaluates."""
+
+from __future__ import annotations
+
+import pytest
+
+from linkedspending_spark import model as M
+from linkedspending_spark.sparql import (
+    SparqlSyntaxError,
+    parse_select,
+    select_text,
+)
+from tools.plan_audit import plan_of
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    """Catalog-shaped triple table mirroring the reference's dataset
+    metadata graph (the shape its SPARQL queries read)."""
+    I, O = M.PREFIX_INSTANCE, M.PREFIX_ONTOLOGY
+    D = M.NS_DCT
+    rows = []
+    for i, (name, created, modified, complete) in enumerate(
+        [
+            ("alpha", "2023-01-01", "2024-01-01", "true"),
+            ("beta", "2023-06-01", "2024-06-01", "true"),
+            ("gamma", "2023-09-01", "2024-09-01", "false"),
+        ]
+    ):
+        d = I + name
+        rows += [
+            (d, M.RDF_TYPE, M.QB_DATASET),
+            (d, D + "identifier", name),
+            (d, D + "created", created + "T00:00:00Z"),
+            (d, D + "modified", modified + "T00:00:00Z"),
+            (d, O + "sourceCreated", created + "T00:00:00Z"),
+            (d, O + "sourceModified", modified + "T00:00:00Z"),
+            (d, O + "transformationVersion", str(i + 3)),
+            (d, O + "uploadComplete", complete),
+        ]
+    rows.append((I + "beta", M.RDFS_LABEL, "Beta dataset"))
+    return spark.createDataFrame(
+        [(*r, "cat") for r in rows], "s string, p string, o string, dataset string"
+    )
+
+
+def test_sparql_java_44_verbatim(spark, catalog):
+    """Sparql.java:44's query string, character-for-character (full
+    dcterms URIs inline, prefixed qb:DataSet, no WHERE keyword)."""
+    q = (
+        "select ?d ?m {?d a qb:DataSet. ?d <http://purl.org/dc/terms/"
+        "modified> ?m. ?d <http://purl.org/dc/terms/created> ?c.}"
+    )
+    got = sorted(map(tuple, select_text(catalog, q).collect()))
+    I = M.PREFIX_INSTANCE
+    assert got == [
+        (I + "alpha", "2024-01-01T00:00:00Z"),
+        (I + "beta", "2024-06-01T00:00:00Z"),
+        (I + "gamma", "2024-09-01T00:00:00Z"),
+    ]
+
+
+def test_dataset_info_query_verbatim(spark, catalog):
+    """LinkedSpendingDatasetInfo.java:62-63's selectPrefixed body —
+    the typed literal gate ("true"^^xsd:boolean) matches on lexical
+    form, exactly the predicate the reference uses to hide unfinished
+    uploads."""
+    q = (
+        "select ?name ?c ?m ?sc ?sm ?tv {?d a qb:DataSet. "
+        "?d dcterms:identifier ?name. ?d dcterms:created ?c. "
+        "?d dcterms:modified ?m."
+        "?d lso:sourceCreated ?sc. ?d lso:sourceModified ?sm. "
+        "?d lso:transformationVersion ?tv. "
+        '?d lso:uploadComplete "true"^^xsd:boolean.}'
+    )
+    got = {r["name"]: r.asDict() for r in select_text(catalog, q).collect()}
+    assert set(got) == {"alpha", "beta"}  # gamma: uploadComplete=false
+    assert got["alpha"]["tv"] == "3" and got["beta"]["tv"] == "4"
+    assert got["beta"]["sc"] == "2023-06-01T00:00:00Z"
+
+
+def test_text_matches_programmatic_algebra(spark, catalog):
+    """OPTIONAL + FILTER + UNION + DISTINCT text compiles to the same
+    solutions as the programmatic select_sparql call."""
+    from linkedspending_spark.serve import select_sparql
+
+    text = """
+    SELECT DISTINCT ?d ?when WHERE {
+      ?d a qb:DataSet .
+      OPTIONAL { ?d rdfs:label ?l }
+      { ?d dcterms:created ?when } UNION { ?d dcterms:modified ?when }
+      FILTER(?when >= "2023-06" && ?d != ls:gamma)
+    } ORDER BY DESC(?when) LIMIT 3
+    """
+    got = [tuple(r) for r in select_text(catalog, text).collect()]
+    prog = select_sparql(
+        catalog,
+        [("?d", M.RDF_TYPE, M.QB_DATASET)],
+        optionals=[[("?d", M.RDFS_LABEL, "?l")]],
+        unions=[[
+            [("?d", M.NS_DCT + "created", "?when")],
+            [("?d", M.NS_DCT + "modified", "?when")],
+        ]],
+        filters=[
+            f"?when >= '2023-06' AND ?d != '{M.PREFIX_INSTANCE}gamma'"
+        ],
+    ).select("d", "when").dropDuplicates()
+    expected = sorted(
+        map(tuple, prog.collect()), key=lambda t: t[1], reverse=True
+    )[:3]
+    assert got == expected and len(got) == 3
+
+
+def test_distinct_applies_after_projection(spark, catalog):
+    """SELECT DISTINCT dedups the *projected* variables: projecting ?d
+    away from its per-date solutions collapses to one row per dataset
+    (select_sparql's own distinct flag dedups pre-projection — a
+    different query)."""
+    text = (
+        "select distinct ?d { { ?d dcterms:created ?x } "
+        "UNION { ?d dcterms:modified ?x } }"
+    )
+    assert select_text(catalog, text).count() == 3
+
+
+def test_order_by_limit_plans_topk(spark, catalog):
+    q = select_text(
+        catalog,
+        "select ?d ?m {?d dcterms:modified ?m} order by desc(?m) limit 2",
+    )
+    assert [r["m"][:4] for r in q.collect()] == ["2024", "2024"]
+    assert "TakeOrderedAndProject" in plan_of(q)
+
+
+def test_predicate_object_lists_and_comments(spark, catalog):
+    text = """
+    # predicate-object list over one subject
+    select ?name ?m {
+      ?d dcterms:identifier ?name ; dcterms:modified ?m .
+    }
+    """
+    assert select_text(catalog, text).count() == 3
+
+
+def test_limit_cap_guards_serving_path(spark, catalog):
+    q = "select ?s ?p ?o {?s ?p ?o} limit 1000"
+    assert select_text(catalog, q, limit_cap=5).count() == 5
+    # cap applies even with no LIMIT in the query
+    assert select_text(catalog, "select ?s {?s ?p ?o}", limit_cap=4).count() == 4
+
+
+def test_parse_errors():
+    with pytest.raises(SparqlSyntaxError, match="ASK"):
+        parse_select("ask { ?s ?p ?o }")
+    with pytest.raises(SparqlSyntaxError, match="not supported"):
+        parse_select("select ?x { graph ?g { ?x ?p ?o } }")
+    with pytest.raises(SparqlSyntaxError, match="unknown prefix"):
+        parse_select("select ?x { ?x nope:y ?z }")
+    with pytest.raises(SparqlSyntaxError, match="bare word"):
+        parse_select("select ?x { ?x ?p true }")
+    with pytest.raises(SparqlSyntaxError, match="inside OPTIONAL"):
+        parse_select("select ?x { optional { filter(?x > 1) } }")
+    with pytest.raises(SparqlSyntaxError, match="UNION"):
+        parse_select("select ?x { { ?x ?p ?o } }")  # lone braced group
+    with pytest.raises(SparqlSyntaxError, match="trailing"):
+        parse_select("select ?x { ?x ?p ?o } offset 5")
+
+
+def test_execution_errors(spark, catalog):
+    with pytest.raises(SparqlSyntaxError, match="bound by no pattern"):
+        select_text(catalog, "select ?nope { ?d a qb:DataSet }")
+    with pytest.raises(SparqlSyntaxError, match="must be projected"):
+        select_text(
+            catalog,
+            "select distinct ?d { ?d dcterms:modified ?m } order by ?m",
+        )
+
+
+def test_prefix_declaration_overrides_default(spark, catalog):
+    text = (
+        'PREFIX dcterms: <http://example.org/other/> '
+        "select ?d { ?d dcterms:modified ?m }"
+    )
+    # redeclared prefix points elsewhere -> no matches in the fixture
+    assert select_text(catalog, text).count() == 0
