@@ -188,3 +188,90 @@ def test_prefix_declaration_overrides_default(spark, catalog):
     )
     # redeclared prefix points elsewhere -> no matches in the fixture
     assert select_text(catalog, text).count() == 0
+
+
+# --- property test: rendered algebra → text → parse round-trips ---------
+
+from hypothesis import given, settings, strategies as st
+
+_VARS = ["a", "b", "c", "d2", "x_y"]
+_URIS = [
+    "http://example.org/p",
+    "http://example.org/ns#frag",
+    "http://example.org/a.b/c-d",
+    M.RDF_TYPE,
+]
+_LITS = ["plain", "with space", 'quo"te', "back\\slash", "tab\there", "7", ""]
+
+_term_var = st.sampled_from(_VARS).map(lambda v: "?" + v)
+_term_uri = st.sampled_from(_URIS)
+_term_lit = st.sampled_from(_LITS)
+_subject = st.one_of(_term_var, _term_uri)
+_object = st.one_of(_term_var, _term_uri, _term_lit)
+_pattern = st.tuples(_subject, st.one_of(_term_var, _term_uri), _object)
+_group = st.lists(_pattern, min_size=1, max_size=3)
+
+
+def _render_term(t: str, position: str) -> str:
+    if t.startswith("?"):
+        return t
+    if t.startswith("http://"):
+        # rdf:type in predicate position may render as 'a'
+        if position == "p" and t == M.RDF_TYPE:
+            return "a"
+        return f"<{t}>"
+    esc = t.replace("\\", "\\\\").replace('"', '\\"').replace("\t", "\\t")
+    return f'"{esc}"'
+
+
+def _render_group(patterns) -> str:
+    return " ".join(
+        f"{_render_term(s, 's')} {_render_term(p, 'p')} "
+        f"{_render_term(o, 'o')} ."
+        for s, p, o in patterns
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    patterns=_group,
+    optionals=st.lists(_group, max_size=2),
+    unions=st.lists(
+        st.lists(_group, min_size=2, max_size=3), max_size=1
+    ),
+    distinct=st.booleans(),
+    limit=st.one_of(st.none(), st.integers(0, 99)),
+    order_var=st.one_of(st.none(), st.sampled_from(_VARS)),
+    order_desc=st.booleans(),
+)
+def test_parse_roundtrips_rendered_algebra(
+    patterns, optionals, unions, distinct, limit, order_var, order_desc
+):
+    """Any algebra rendered to query text parses back to the same
+    algebra — terms with dots in URIs, quotes/escapes in literals, the
+    'a' shorthand, and every modifier combination."""
+    text = "SELECT " + ("DISTINCT " if distinct else "") + "* WHERE { "
+    text += _render_group(patterns)
+    for g in optionals:
+        text += " OPTIONAL { " + _render_group(g) + " }"
+    for branches in unions:
+        text += " " + " UNION ".join(
+            "{ " + _render_group(b) + " }" for b in branches
+        )
+    text += " }"
+    if order_var is not None:
+        text += (
+            f" ORDER BY {'DESC' if order_desc else 'ASC'}(?{order_var})"
+        )
+    if limit is not None:
+        text += f" LIMIT {limit}"
+
+    q = parse_select(text)
+    # rdf:type rendered as 'a' in predicate position parses back to the URI
+    assert q.patterns == patterns
+    assert q.optionals == [list(g) for g in optionals]
+    assert q.unions == [[list(b) for b in e] for e in unions]
+    assert q.distinct is distinct and q.limit == limit
+    assert q.project is None
+    if order_var is not None:
+        assert q.order_by == [("-" if order_desc else "") + "?" + order_var]
