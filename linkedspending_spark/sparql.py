@@ -34,10 +34,15 @@ evaluates):
   string literals, ``?var`` references stay for ``select_sparql`` to
   bind. Comparisons run over lexical forms (the column type).
 * ``{ A } UNION { B }`` (each branch a triple-pattern group).
+* Aggregates: ``SELECT (COUNT(?x) AS ?n) ?g ... GROUP BY ?g
+  HAVING(...)`` with COUNT / COUNT(DISTINCT ?x) / COUNT(*) / SUM / AVG
+  / MIN / MAX / SAMPLE. SUM/AVG cast the lexical form to double (SPARQL
+  numeric aggregation over typed literals); MIN/MAX compare lexical
+  forms (ISO dates order correctly; zero-padded numbers do too).
 * ``ORDER BY [ASC(?v)|DESC(?v)|?v]...`` and ``LIMIT n``.
 
 Out of scope (raise, never misparse): property paths, subqueries,
-GRAPH/SERVICE/BIND/VALUES/aggregates, blank-node syntax.
+GRAPH/SERVICE/BIND/VALUES, blank-node syntax.
 
 Scale shape: the parser only *front-ends* ``select_sparql`` — every
 pattern is still a pushed-down scan under the stats-ordered join tree,
@@ -185,11 +190,19 @@ class ParsedQuery:
     order_by: list[str] = field(default_factory=list)
     limit: int | None = None
     project: list[str] | None = None  # None = SELECT *
+    #: (func, var-or-None-for-*, distinct, alias) per SELECT aggregate
+    aggregates: list[tuple[str, str | None, bool, str]] = field(
+        default_factory=list
+    )
+    group_by: list[str] = field(default_factory=list)
+    having: list[str] = field(default_factory=list)
 
+
+_AGG_FUNCS = {"count", "sum", "min", "max", "avg", "sample"}
 
 _UNSUPPORTED = {
-    "graph", "service", "bind", "values", "minus", "exists", "group",
-    "having", "construct", "ask", "describe", "offset",
+    "graph", "service", "bind", "values", "minus", "exists",
+    "construct", "ask", "describe", "offset",
 }
 
 
@@ -343,10 +356,16 @@ class _Parser:
             self.lx.next()
         else:
             proj: list[str] = []
-            while self.lx.peek()[0] == "var":
-                proj.append(self.lx.next()[1][1:])
+            while True:
+                kind, text = self.lx.peek()
+                if kind == "var":
+                    proj.append(self.lx.next()[1][1:])
+                elif text == "(":
+                    proj.append(self._aggregate_spec())
+                else:
+                    break
             if not proj:
-                raise SparqlSyntaxError("SELECT needs ?vars or *")
+                raise SparqlSyntaxError("SELECT needs ?vars, aggregates or *")
             self.q.project = proj
         if self.lx.next_word() == "where":
             self.lx.next()
@@ -356,7 +375,38 @@ class _Parser:
             raise SparqlSyntaxError(
                 f"trailing input at {self.lx.peek()[1]!r}"
             )
-        return self.q
+        q = self.q
+        if q.aggregates or q.group_by:
+            aliases = [a for _, _, _, a in q.aggregates]
+            if len(set(aliases)) != len(aliases):
+                raise SparqlSyntaxError("duplicate aggregate alias")
+            clash = set(aliases) & set(q.group_by)
+            if clash:
+                raise SparqlSyntaxError(
+                    f"aggregate alias(es) {sorted(clash)} collide with "
+                    "GROUP BY variables"
+                )
+            bad = [
+                v
+                for v in (q.project or [])
+                if v not in aliases and v not in q.group_by
+            ]
+            if bad:
+                raise SparqlSyntaxError(
+                    f"projected variable(s) {bad} are neither grouped "
+                    "nor aggregated"
+                )
+            if q.project is None:
+                raise SparqlSyntaxError(
+                    "SELECT * cannot be combined with aggregation"
+                )
+            if q.distinct:
+                raise SparqlSyntaxError(
+                    "SELECT DISTINCT with aggregation is not supported"
+                )
+        elif q.having:
+            raise SparqlSyntaxError("HAVING needs GROUP BY or aggregates")
+        return q
 
     def _group_body(self) -> None:
         self.lx.expect_punct("{")
@@ -391,7 +441,55 @@ class _Parser:
             else:
                 self.q.patterns.extend(self._triple_lists())
 
+    def _aggregate_spec(self) -> str:
+        """``(FUNC([DISTINCT] ?v | *) AS ?alias)`` — returns the alias."""
+        self.lx.expect_punct("(")
+        kind, func = self.lx.next()
+        func = func.lower()
+        if kind != "word" or func not in _AGG_FUNCS:
+            raise SparqlSyntaxError(
+                f"unknown aggregate {func!r} (supported: "
+                f"{sorted(_AGG_FUNCS)})"
+            )
+        self.lx.expect_punct("(")
+        dist = False
+        if self.lx.next_word() == "distinct":
+            self.lx.next()
+            dist = True
+        kind, arg = self.lx.next()
+        if kind == "var":
+            var: str | None = arg[1:]
+        elif arg == "*" and func == "count":
+            var = None
+        else:
+            raise SparqlSyntaxError(
+                f"{func.upper()} needs a ?var"
+                + (" or *" if func == "count" else "")
+            )
+        self.lx.expect_punct(")")
+        if self.lx.next_word() != "as":
+            raise SparqlSyntaxError("aggregate needs AS ?alias")
+        self.lx.next()
+        kind, alias = self.lx.next()
+        if kind != "var":
+            raise SparqlSyntaxError("AS needs a ?alias")
+        self.lx.expect_punct(")")
+        self.q.aggregates.append((func, var, dist, alias[1:]))
+        return alias[1:]
+
     def _solution_modifiers(self) -> None:
+        if self.lx.next_word() == "group":
+            self.lx.next()
+            if self.lx.next_word() != "by":
+                raise SparqlSyntaxError("GROUP must be followed by BY")
+            self.lx.next()
+            while self.lx.peek()[0] == "var":
+                self.q.group_by.append(self.lx.next()[1][1:])
+            if not self.q.group_by:
+                raise SparqlSyntaxError("GROUP BY needs at least one ?var")
+        if self.lx.next_word() == "having":
+            self.lx.next()
+            self.q.having.append(self._translate_filter(self.lx.raw_parens()))
         if self.lx.next_word() == "order":
             self.lx.next()
             if self.lx.next_word() != "by":
@@ -433,6 +531,58 @@ def parse_select(query: str) -> ParsedQuery:
     return _Parser(query).parse()
 
 
+def _aggregate(df: DataFrame, q: ParsedQuery) -> DataFrame:
+    """GROUP BY + aggregates over the solution set. Plans as a hash
+    aggregate with map-side partial combine (the groupBy shuffle moves
+    per-group partials, not solutions) — the right 100-TB shape. SUM /
+    AVG cast the lexical form to double (non-numeric → NULL, ignored by
+    the aggregate, matching SPARQL's error-drop); MIN/MAX/SAMPLE stay
+    on the lexical string."""
+    missing = [v for v in q.group_by if v not in df.columns]
+    if missing:
+        raise SparqlSyntaxError(
+            f"GROUP BY variable(s) {missing} are bound by no pattern"
+        )
+    aggs = []
+    for func, var, dist, alias in q.aggregates:
+        if var is not None and var not in df.columns:
+            raise SparqlSyntaxError(
+                f"aggregate over unbound variable ?{var}"
+            )
+        if func == "count":
+            if var is None:
+                expr = F.count(F.lit(1))
+            elif dist:
+                expr = F.count_distinct(F.col(var))
+            else:
+                expr = F.count(F.col(var))
+        elif func in ("sum", "avg"):
+            col = F.col(var).cast("double")
+            expr = F.sum(col) if func == "sum" else F.avg(col)
+        elif func == "min":
+            expr = F.min(F.col(var))
+        elif func == "max":
+            expr = F.max(F.col(var))
+        else:  # sample: any value from the group
+            expr = F.first(F.col(var), ignorenulls=True)
+        if dist and func != "count":
+            raise SparqlSyntaxError(
+                f"DISTINCT inside {func.upper()} is not supported"
+            )
+        aggs.append(expr.alias(alias))
+    if not aggs:  # bare GROUP BY: one row per group
+        df = df.select(*q.group_by).dropDuplicates()
+    elif q.group_by:
+        df = df.groupBy(*q.group_by).agg(*aggs)
+    else:
+        df = df.agg(*aggs)
+    for h in q.having:
+        from .serve import _translate_filter as _vars_to_cols
+
+        df = df.where(F.expr(_vars_to_cols(h)))
+    return df
+
+
 def select_text(
     triples: DataFrame,
     query: str,
@@ -468,6 +618,8 @@ def select_text(
         manifest_path=manifest_path,
         stats=stats,
     )
+    if q.aggregates or q.group_by:
+        df = _aggregate(df, q)
     if q.project is not None:
         missing = [v for v in q.project if v not in df.columns]
         if missing:

@@ -275,3 +275,66 @@ def test_parse_roundtrips_rendered_algebra(
     assert q.project is None
     if order_var is not None:
         assert q.order_by == [("-" if order_desc else "") + "?" + order_var]
+
+
+def test_aggregates_group_by(spark, catalog):
+    """(COUNT(?x) AS ?n) ... GROUP BY — the serving-layer rollup (the
+    reference's nrEntries-style dataset statistics) plans as a hash
+    aggregate with map-side partial combine."""
+    q = select_text(
+        catalog,
+        "select ?d (count(?o) as ?n) { ?d ?p ?o } group by ?d order by ?d",
+    )
+    got = [(r["d"].rsplit("/", 1)[1], r["n"]) for r in q.collect()]
+    assert got == [("alpha", 8), ("beta", 9), ("gamma", 8)]
+    plan = plan_of(q)
+    assert "partial_count" in plan or "HashAggregate" in plan, plan[:2000]
+
+    # COUNT(*) / COUNT(DISTINCT) / MIN / MAX / SUM+cast
+    q2 = select_text(
+        catalog,
+        "select (count(*) as ?rows) (count(distinct ?d) as ?ds) "
+        "(min(?m) as ?lo) (max(?m) as ?hi) "
+        "{ ?d dcterms:modified ?m }",
+    )
+    r = q2.collect()[0]
+    assert (r["rows"], r["ds"]) == (3, 3)
+    assert r["lo"] == "2024-01-01T00:00:00Z" and r["hi"][:7] == "2024-09"
+
+    q3 = select_text(
+        catalog,
+        "select (sum(?tv) as ?s) (avg(?tv) as ?a) "
+        "{ ?d lso:transformationVersion ?tv }",
+    )
+    r = q3.collect()[0]
+    assert r["s"] == 12.0 and r["a"] == 4.0
+
+
+def test_aggregates_having(spark, catalog):
+    q = select_text(
+        catalog,
+        'select ?d (count(?o) as ?n) { ?d ?p ?o } '
+        "group by ?d having(?n > 8)",
+    )
+    got = [(r["d"], r["n"]) for r in q.collect()]
+    assert got == [(M.PREFIX_INSTANCE + "beta", 9)]
+
+
+def test_bare_group_by(spark, catalog):
+    q = select_text(catalog, "select ?p { ?s ?p ?o } group by ?p")
+    assert q.count() == q.distinct().count() > 3
+
+
+def test_aggregate_errors(spark, catalog):
+    with pytest.raises(SparqlSyntaxError, match="neither grouped"):
+        parse_select("select ?d ?p (count(?o) as ?n) { ?d ?p ?o } group by ?d")
+    with pytest.raises(SparqlSyntaxError, match="SELECT \\*"):
+        parse_select("select * { ?d ?p ?o } group by ?d")
+    with pytest.raises(SparqlSyntaxError, match="HAVING needs"):
+        parse_select("select ?d { ?d ?p ?o } having(?d > 1)")
+    with pytest.raises(SparqlSyntaxError, match="unknown aggregate"):
+        parse_select("select (median(?o) as ?x) { ?d ?p ?o }")
+    with pytest.raises(SparqlSyntaxError, match="collide"):
+        parse_select("select (count(?o) as ?d) { ?d ?p ?o } group by ?d")
+    with pytest.raises(SparqlSyntaxError, match="unbound"):
+        select_text(catalog, "select (count(?zz) as ?n) { ?d ?p ?o }")
