@@ -24,6 +24,16 @@ Endpoints::
     GET  /datasets         per-dataset manifest rollup, TTL-cached
                            (Rest.java:120-123 datasets cache analog)
     GET  /jobs             jobs.list_runs rollup (one row per run)
+    GET  /jobs/active      this process's in-flight submissions
+    POST /jobs/convert     {"input": <transcripts parquet>, "output": ...,
+                           "manifests": ..., "n_buckets": N, ...}
+                           run_transcripts_job on a worker thread
+                           (Rest.java /control/convertcomplete analog)
+    POST /jobs/cancel/ID   cancel a running submission via Spark's job
+                           group (Rest.java /control/stopconvert analog
+                           — safe: the manifest committed only finished
+                           buckets, so a resubmit resumes, Rest.java's
+                           own stop deletes unfinished datasets)
     GET  /triples?s=&p=&o=&dataset=&limit=   serve.match pattern read
     POST /sparql           {"query": "select ?d ?m {?d a qb:DataSet. ...}"}
                            textual SPARQL (sparql.select_text dialect), OR
@@ -77,6 +87,10 @@ class RestService:
         )
         self._datasets_cache: tuple[float, list] | None = None
         self._cache_lock = threading.Lock()
+        # in-flight job submissions: id → {state, group, thread, report}
+        self._jobs: dict[str, dict] = {}
+        self._jobs_lock = threading.Lock()
+        self._job_seq = 0
 
     # -- endpoint bodies (each returns a JSON-serializable value) ----------
 
@@ -84,6 +98,9 @@ class RestService:
         return {
             "datasets": "/datasets",
             "jobs": "/jobs",
+            "jobs_active": "/jobs/active",
+            "convert": "POST /jobs/convert",
+            "cancel": "POST /jobs/cancel/{id}",
             "triples": "/triples?s=&p=&o=&dataset=&limit=",
             "sparql": "POST /sparql",
             "health": "/health",
@@ -198,6 +215,92 @@ class RestService:
         return [r.asDict() for r in df.collect()]
 
 
+    # -- job control (Rest.java /control/* analog) --------------------------
+
+    def jobs_active(self) -> list:
+        with self._jobs_lock:
+            return [
+                {
+                    "job": jid,
+                    "state": e["state"],
+                    "kind": e["kind"],
+                    "report": e.get("report"),
+                    "error": e.get("error"),
+                }
+                for jid, e in sorted(self._jobs.items())
+            ]
+
+    def job_convert(self, body: dict) -> dict:
+        """Submit a convert run (Rest.java /control/convertcomplete —
+        there gated on manual mode; here every run is explicit). The
+        job runs ``run_transcripts_job`` on a worker thread inside its
+        own Spark job group so it is cancellable; resume semantics come
+        from the manifest store, exactly like the CLI path."""
+        for req in ("input", "output", "manifests"):
+            if not body.get(req):
+                raise _HttpError(400, f"body needs {req!r}")
+        with self._jobs_lock:
+            self._job_seq += 1
+            jid = f"j{self._job_seq:04d}"
+            group = f"rest-{jid}"
+            entry = {"state": "RUNNING", "kind": "convert", "group": group}
+            self._jobs[jid] = entry
+
+        def _run() -> None:
+            from .jobs import run_transcripts_job
+
+            sc = self.spark.sparkContext
+            # job-group is a thread-local property: every Spark job this
+            # worker thread launches is cancellable as one unit
+            sc.setJobGroup(group, f"rest convert {jid}", interruptOnCancel=True)
+            try:
+                transcripts = self.spark.read.parquet(body["input"])
+                report = run_transcripts_job(
+                    self.spark,
+                    transcripts,
+                    out_path=body["output"],
+                    manifest_path=body["manifests"],
+                    n_buckets=int(body.get("n_buckets", 64)),
+                    with_mentions=bool(body.get("with_mentions", True)),
+                    metrics_path=body.get("metrics"),
+                )
+                entry["report"] = {
+                    "run_id": report.run_id,
+                    "state": report.state,
+                    "pending": report.pending,
+                    "skipped": report.skipped,
+                    "converted_triples": report.converted_triples,
+                    "seconds": report.seconds,
+                }
+                entry["state"] = report.state
+            except Exception as e:  # noqa: BLE001 — surfaced via /jobs/active
+                if entry["state"] != "CANCELLED":
+                    entry["state"] = "FAILED"
+                    entry["error"] = f"{type(e).__name__}: {e}"[:500]
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+
+        t = threading.Thread(target=_run, daemon=True, name=group)
+        entry["thread"] = t
+        t.start()
+        return {"job": jid, "state": "RUNNING", "cancel": f"/jobs/cancel/{jid}"}
+
+    def job_cancel(self, jid: str) -> dict:
+        """Rest.java /control/stopconvert analog. Cancels the
+        submission's Spark job group; already-committed buckets stay in
+        the manifest, so a resubmit resumes instead of recomputing —
+        strictly safer than the reference's stop (which deletes
+        unfinished datasets)."""
+        with self._jobs_lock:
+            entry = self._jobs.get(jid)
+        if entry is None:
+            raise _HttpError(404, f"no job {jid!r}")
+        if entry["state"] == "RUNNING":
+            entry["state"] = "CANCELLED"
+            self.spark.sparkContext.cancelJobGroup(entry["group"])
+        return {"job": jid, "state": entry["state"]}
+
+
 class _HttpError(Exception):
     def __init__(self, status: int, message: str):
         self.status, self.message = status, message
@@ -233,6 +336,7 @@ def _make_handler(service: RestService):
                 "/health": lambda: {"ok": True},
                 "/datasets": service.datasets,
                 "/jobs": service.jobs,
+                "/jobs/active": service.jobs_active,
                 "/triples": lambda: service.triples_read(qs),
             }
             fn = routes.get(url.path)
@@ -243,16 +347,21 @@ def _make_handler(service: RestService):
 
         def do_POST(self) -> None:  # noqa: N802
             url = urlparse(self.path)
-            if url.path != "/sparql":
-                self._reply(404, {"error": f"no route {url.path}"})
-                return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 self._reply(400, {"error": "body must be JSON"})
                 return
-            self._dispatch(lambda: service.sparql(body))
+            if url.path == "/sparql":
+                self._dispatch(lambda: service.sparql(body))
+            elif url.path == "/jobs/convert":
+                self._dispatch(lambda: service.job_convert(body))
+            elif url.path.startswith("/jobs/cancel/"):
+                jid = url.path.rsplit("/", 1)[1]
+                self._dispatch(lambda: service.job_cancel(jid))
+            else:
+                self._reply(404, {"error": f"no route {url.path}"})
 
     return Handler
 

@@ -196,3 +196,82 @@ def test_sparql_endpoint_textual_query(rest_server):
         base + "/sparql", {"query": "select ?x { bind(1 as ?x) }"}
     )
     assert status == 400 and "error" in err
+
+
+def test_job_control_endpoints(rest_server, spark, tmp_path):
+    """POST /jobs/convert runs a manifest-resumable convert on a worker
+    thread (Rest.java /control/convertcomplete analog); a resubmit
+    resumes (all buckets skipped); /jobs/cancel transitions the state."""
+    import time as _time
+
+    from linkedspending_spark.transcripts import synth_transcripts_df
+
+    base, service = rest_server
+    inp = str(tmp_path / "transcripts")
+    synth_transcripts_df(service.spark, n_convs=6, base_turns=4).write.parquet(inp)
+    body = {
+        "input": inp,
+        "output": str(tmp_path / "out"),
+        "manifests": str(tmp_path / "manifests"),
+        "n_buckets": 4,
+    }
+    status, sub = _post(base + "/jobs/convert", body)
+    assert status == 200 and sub["state"] == "RUNNING"
+
+    def wait_done(jid, timeout=120):
+        for _ in range(timeout * 4):
+            _, active = _get(base + "/jobs/active")
+            e = next(a for a in active if a["job"] == jid)
+            if e["state"] != "RUNNING":
+                return e
+            _time.sleep(0.25)
+        raise AssertionError(f"job {jid} still RUNNING")
+
+    e = wait_done(sub["job"])
+    assert e["state"] == "FINISHED", e
+    assert e["report"]["converted_triples"] > 0
+    assert len(e["report"]["pending"]) == 4 and e["report"]["skipped"] == 0
+
+    # resubmit: manifest-driven resume -> nothing pending, nothing redone
+    status, sub2 = _post(base + "/jobs/convert", body)
+    e2 = wait_done(sub2["job"])
+    assert e2["state"] == "FINISHED"
+    assert e2["report"]["pending"] == [] and e2["report"]["skipped"] == 4
+    assert e2["report"]["converted_triples"] == 0
+
+    # cancel a finished job is a no-op report; unknown id is a 404
+    status, c = _post(base + "/jobs/cancel/" + sub["job"], {})
+    assert status == 200 and c["state"] == "FINISHED"
+    assert _post(base + "/jobs/cancel/nope", {})[0] == 404
+    # validation
+    assert _post(base + "/jobs/convert", {"input": inp})[0] == 400
+
+
+def test_job_cancel_running(rest_server, spark, tmp_path):
+    """Cancelling a RUNNING submission cancels its Spark job group and
+    the state lands CANCELLED (not FAILED) — the stopconvert analog."""
+    import time as _time
+
+    from linkedspending_spark.transcripts import synth_transcripts_df
+
+    base, service = rest_server
+    inp = str(tmp_path / "transcripts_big")
+    # enough work that the run is still in flight when the cancel lands
+    synth_transcripts_df(service.spark, n_convs=400, base_turns=12).write.parquet(inp)
+    body = {
+        "input": inp,
+        "output": str(tmp_path / "out"),
+        "manifests": str(tmp_path / "manifests"),
+        "n_buckets": 64,
+    }
+    _, sub = _post(base + "/jobs/convert", body)
+    _, c = _post(base + "/jobs/cancel/" + sub["job"], {})
+    for _ in range(240):
+        _, active = _get(base + "/jobs/active")
+        e = next(a for a in active if a["job"] == sub["job"])
+        if e["state"] != "RUNNING" and not e.get("thread_alive"):
+            break
+        _time.sleep(0.25)
+    # the cancel either won the race (CANCELLED) or the job had already
+    # finished — both are valid terminal states; FAILED would be a bug
+    assert e["state"] in ("CANCELLED", "FINISHED"), e
