@@ -43,7 +43,8 @@ Endpoints::
                            "unions": [[[[s,p,o],...], ...], ...],
                            "distinct": bool, "order_by": ["?v", "-?v"],
                            "limit": N}
-                           → serve.select_sparql solutions
+                           → serve.select_sparql solutions; pass
+                           "format": "w3c" for sparql-results+json
 """
 
 from __future__ import annotations
@@ -170,7 +171,7 @@ class RestService:
         )
         return [r.asDict() for r in df.limit(limit).collect()]
 
-    def sparql(self, body: dict) -> list:
+    def sparql(self, body: dict):
         if self.triples is None:
             raise _HttpError(404, "no triple table configured")
         if body.get("query"):  # textual SPARQL (Sparql.java:26-29 analog)
@@ -185,7 +186,14 @@ class RestService:
                 )
             except (SparqlSyntaxError, ValueError) as e:
                 raise _HttpError(400, str(e)) from e
-            return [r.asDict() for r in df.collect()]
+        else:
+            df = self._sparql_algebra(body)
+        rows = [r.asDict() for r in df.collect()]
+        if body.get("format") == "w3c":
+            return _w3c_results(df.columns, rows)
+        return rows
+
+    def _sparql_algebra(self, body: dict) -> DataFrame:
         patterns = body.get("patterns")
         if not patterns and not body.get("unions"):
             raise _HttpError(
@@ -212,8 +220,7 @@ class RestService:
             )
         except ValueError as e:
             raise _HttpError(400, str(e)) from e
-        return [r.asDict() for r in df.collect()]
-
+        return df
 
     # -- job control (Rest.java /control/* analog) --------------------------
 
@@ -299,6 +306,40 @@ class RestService:
             entry["state"] = "CANCELLED"
             self.spark.sparkContext.cancelJobGroup(entry["group"])
         return {"job": jid, "state": entry["state"]}
+
+
+def _w3c_results(cols: list, rows: list) -> dict:
+    """Solutions in the W3C ``application/sparql-results+json`` shape
+    (https://www.w3.org/TR/sparql11-results-json/) so stock SPARQL
+    client libraries can consume the endpoint. NULL = unbound = the
+    variable is omitted from the binding, per the spec. Term typing is
+    recovered from the value (the solution columns are lexical forms):
+    ``http(s)://`` → ``uri``, numbers (aggregates) → typed literals."""
+
+    def term(v):
+        if isinstance(v, bool):
+            return {"type": "literal", "value": str(v).lower(),
+                    "datatype": "http://www.w3.org/2001/XMLSchema#boolean"}
+        if isinstance(v, int):
+            return {"type": "literal", "value": str(v),
+                    "datatype": "http://www.w3.org/2001/XMLSchema#integer"}
+        if isinstance(v, float):
+            return {"type": "literal", "value": repr(v),
+                    "datatype": "http://www.w3.org/2001/XMLSchema#double"}
+        v = str(v)
+        if v.startswith(("http://", "https://")):
+            return {"type": "uri", "value": v}
+        return {"type": "literal", "value": v}
+
+    return {
+        "head": {"vars": list(cols)},
+        "results": {
+            "bindings": [
+                {k: term(v) for k, v in r.items() if v is not None}
+                for r in rows
+            ]
+        },
+    }
 
 
 class _HttpError(Exception):

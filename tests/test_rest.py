@@ -275,3 +275,36 @@ def test_job_cancel_running(rest_server, spark, tmp_path):
     # the cancel either won the race (CANCELLED) or the job had already
     # finished — both are valid terminal states; FAILED would be a bug
     assert e["state"] in ("CANCELLED", "FINISHED"), e
+
+
+def test_sparql_w3c_results_format(rest_server):
+    """format=w3c returns the W3C sparql-results+json shape: head.vars,
+    typed terms (uri vs literal), unbound variables omitted."""
+    base, _ = rest_server
+    status, res = _post(
+        base + "/sparql",
+        {
+            "query": "select ?d ?year { ?d a qb:DataSet "
+            "optional { ?d lso:refYear ?year } } limit 5",
+            "format": "w3c",
+        },
+    )
+    assert status == 200
+    assert res["head"]["vars"] == ["d", "year"]
+    bindings = res["results"]["bindings"]
+    assert bindings
+    for b in bindings:
+        assert b["d"]["type"] == "uri"
+        assert b["d"]["value"].startswith("http://")
+        if "year" in b:  # unbound -> omitted per the spec
+            assert b["year"]["type"] == "literal"
+    # aggregates come back as typed numeric literals
+    status, res = _post(
+        base + "/sparql",
+        {
+            "query": "select (count(*) as ?n) { ?s ?p ?o }",
+            "format": "w3c",
+        },
+    )
+    n = res["results"]["bindings"][0]["n"]
+    assert n["datatype"].endswith("integer") and int(n["value"]) > 0
