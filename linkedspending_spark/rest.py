@@ -175,9 +175,10 @@ class RestService:
         if self.triples is None:
             raise _HttpError(404, "no triple table configured")
         if body.get("query"):  # textual SPARQL (Sparql.java:26-29 analog)
-            from .sparql import SparqlSyntaxError, select_text
+            from .sparql import SparqlSyntaxError, parse_select, select_text
 
             try:
+                is_ask = parse_select(body["query"]).ask
                 df = select_text(
                     self.triples,
                     body["query"],
@@ -186,6 +187,11 @@ class RestService:
                 )
             except (SparqlSyntaxError, ValueError) as e:
                 raise _HttpError(400, str(e)) from e
+            if is_ask:
+                answer = bool(df.take(1))
+                if body.get("format") == "w3c":
+                    return {"head": {}, "boolean": answer}
+                return {"ask": answer}
         else:
             df = self._sparql_algebra(body)
         rows = [r.asDict() for r in df.collect()]
@@ -285,7 +291,10 @@ class RestService:
                     entry["state"] = "FAILED"
                     entry["error"] = f"{type(e).__name__}: {e}"[:500]
             finally:
-                sc.setLocalProperty("spark.jobGroup.id", None)
+                try:
+                    sc.setLocalProperty("spark.jobGroup.id", None)
+                except Exception:  # session already stopped (shutdown race)
+                    pass
 
         t = threading.Thread(target=_run, daemon=True, name=group)
         entry["thread"] = t

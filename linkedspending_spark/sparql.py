@@ -190,6 +190,7 @@ class ParsedQuery:
     order_by: list[str] = field(default_factory=list)
     limit: int | None = None
     project: list[str] | None = None  # None = SELECT *
+    ask: bool = False  # ASK query: solutions limited to 1; non-empty = true
     #: (func, var-or-None-for-*, distinct, alias) per SELECT aggregate
     aggregates: list[tuple[str, str | None, bool, str]] = field(
         default_factory=list
@@ -202,7 +203,7 @@ _AGG_FUNCS = {"count", "sum", "min", "max", "avg", "sample"}
 
 _UNSUPPORTED = {
     "graph", "service", "bind", "values", "minus", "exists",
-    "construct", "ask", "describe", "offset",
+    "construct", "describe", "offset",
 }
 
 
@@ -299,18 +300,41 @@ class _Parser:
 
     # -- filter translation -----------------------------------------------
 
+    #: SPARQL built-in → Spark SQL function with identical two/one-arg
+    #: semantics over string columns (the solution column type).
+    _FILTER_FUNCS = {
+        "regex": "regexp_like",
+        "ucase": "upper",
+        "lcase": "lower",
+        "strlen": "length",
+        "contains": "contains",
+        "strstarts": "startswith",
+        "strends": "endswith",
+        "substr": "substr",
+        "concat": "concat",
+        "abs": "abs",
+    }
+
     _FILTER_PIECE = re.compile(
         r"""
           (?P<lit>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
           (?:\s*\^\^\s*(?:<[^<>\s]*>|[A-Za-z_][\w-]*:[\w.-]*))?
         | (?P<uri><[^<>\s]*>)
         | (?P<pname>[A-Za-z_][\w-]*:(?:[\w-]+(?:\.[\w-]+)*)?)
+        | (?P<bound>\b[Bb][Oo][Uu][Nn][Dd]\s*\(\s*(?P<bvar>\?\w+)\s*\))
+        | (?P<func>\b[A-Za-z]+)(?=\s*\()
         | (?P<and>&&) | (?P<or>\|\|) | (?P<not>!(?!=))
         """,
         re.X,
     )
 
     def _translate_filter(self, raw: str) -> str:
+        """SPARQL expression → Spark SQL predicate: term substitution
+        (URIs / typed literals → string literals), &&/||/! → AND/OR/NOT,
+        BOUND(?x) → ?x IS NOT NULL, and the string built-ins (REGEX,
+        UCASE, STRSTARTS, ...) → their Spark SQL equivalents. Unknown
+        function names pass through — Spark's analyzer reports them."""
+
         def _sql_str(v: str) -> str:
             return "'" + v.replace("'", "''") + "'"
 
@@ -321,6 +345,13 @@ class _Parser:
                 return _sql_str(m.group("uri")[1:-1])
             if m.group("pname") is not None:
                 return _sql_str(self._expand(m.group("pname")))
+            if m.group("bound") is not None:
+                return f"({m.group('bvar')} IS NOT NULL)"
+            if m.group("func") is not None:
+                name = m.group("func").lower()
+                if name == "str":  # STR(?x): lexical form — already is
+                    return ""
+                return self._FILTER_FUNCS.get(name, m.group("func"))
             if m.group("and"):
                 return " AND "
             if m.group("or"):
@@ -345,8 +376,19 @@ class _Parser:
         word = self.lx.next_word()
         if word in _UNSUPPORTED:
             raise SparqlSyntaxError(f"{word.upper()} queries are not supported")
+        if word == "ask":  # ASK { ... }: any solution exists?
+            self.lx.next()
+            self.q.ask = True
+            if self.lx.next_word() == "where":
+                self.lx.next()
+            self._group_body()
+            if self.lx.peek()[0] != "eof":
+                raise SparqlSyntaxError(
+                    "ASK takes no solution modifiers"
+                )
+            return self.q
         if word != "select":
-            raise SparqlSyntaxError("query must start with SELECT")
+            raise SparqlSyntaxError("query must start with SELECT or ASK")
         self.lx.next()
         if self.lx.next_word() == "distinct":
             self.lx.next()
@@ -519,8 +561,8 @@ class _Parser:
         if self.lx.next_word() == "limit":
             self.lx.next()
             kind, text = self.lx.next()
-            if kind != "num" or "." in text:
-                raise SparqlSyntaxError("LIMIT needs an integer")
+            if kind != "num" or "." in text or int(text) < 0:
+                raise SparqlSyntaxError("LIMIT needs a non-negative integer")
             self.q.limit = int(text)
 
 
@@ -618,6 +660,10 @@ def select_text(
         manifest_path=manifest_path,
         stats=stats,
     )
+    if q.ask:
+        # ASK: Spark-lazy boolean — a ≤1-row DataFrame; non-empty = true.
+        # limit(1) means the scan stops at the first matching solution.
+        return df.limit(1)
     if q.aggregates or q.group_by:
         df = _aggregate(df, q)
     if q.project is not None:

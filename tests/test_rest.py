@@ -308,3 +308,16 @@ def test_sparql_w3c_results_format(rest_server):
     )
     n = res["results"]["bindings"][0]["n"]
     assert n["datatype"].endswith("integer") and int(n["value"]) > 0
+
+
+def test_sparql_ask_over_http(rest_server):
+    base, _ = rest_server
+    status, res = _post(
+        base + "/sparql", {"query": "ask { ?d a qb:DataSet }"}
+    )
+    assert status == 200 and res == {"ask": True}
+    status, res = _post(
+        base + "/sparql",
+        {"query": 'ask { ?d rdfs:label "no such label" }', "format": "w3c"},
+    )
+    assert status == 200 and res == {"head": {}, "boolean": False}

@@ -155,8 +155,8 @@ def test_limit_cap_guards_serving_path(spark, catalog):
 
 
 def test_parse_errors():
-    with pytest.raises(SparqlSyntaxError, match="ASK"):
-        parse_select("ask { ?s ?p ?o }")
+    with pytest.raises(SparqlSyntaxError, match="CONSTRUCT"):
+        parse_select("construct { ?s ?p ?o } where { ?s ?p ?o }")
     with pytest.raises(SparqlSyntaxError, match="not supported"):
         parse_select("select ?x { graph ?g { ?x ?p ?o } }")
     with pytest.raises(SparqlSyntaxError, match="unknown prefix"):
@@ -338,3 +338,50 @@ def test_aggregate_errors(spark, catalog):
         parse_select("select (count(?o) as ?d) { ?d ?p ?o } group by ?d")
     with pytest.raises(SparqlSyntaxError, match="unbound"):
         select_text(catalog, "select (count(?zz) as ?n) { ?d ?p ?o }")
+
+
+def test_filter_builtin_functions(spark, catalog):
+    """SPARQL filter built-ins map to Spark SQL equivalents: REGEX →
+    regexp_like, STRSTARTS → startswith, UCASE → upper, BOUND → IS NOT
+    NULL, STR → identity."""
+    q = select_text(
+        catalog,
+        'select ?n { ?d dcterms:identifier ?n filter(regex(?n, "^[ab]")) }',
+    )
+    assert sorted(r["n"] for r in q.collect()) == ["alpha", "beta"]
+
+    q = select_text(
+        catalog,
+        'select ?n { ?d dcterms:identifier ?n '
+        'filter(strstarts(ucase(?n), "GA")) }',
+    )
+    assert [r["n"] for r in q.collect()] == ["gamma"]
+
+    # BOUND over an optional variable keeps only solutions with a label
+    q = select_text(
+        catalog,
+        "select ?n ?l { ?d dcterms:identifier ?n "
+        "optional { ?d rdfs:label ?l } filter(bound(?l)) }",
+    )
+    assert [tuple(r) for r in q.collect()] == [("beta", "Beta dataset")]
+
+    q = select_text(
+        catalog,
+        'select ?n { ?d dcterms:identifier ?n filter(str(?n) = "beta") }',
+    )
+    assert [r["n"] for r in q.collect()] == ["beta"]
+
+
+def test_ask_queries(spark, catalog):
+    """ASK compiles to limit(1) over the solutions: non-empty = true."""
+    yes = select_text(catalog, "ask { ?d a qb:DataSet }")
+    assert yes.count() == 1
+    assert "limit" in plan_of(yes).lower() or yes.count() == 1
+    no = select_text(
+        catalog, 'ask where { ?d dcterms:identifier "omega" }'
+    )
+    assert no.count() == 0
+    with pytest.raises(SparqlSyntaxError, match="no solution modifiers"):
+        parse_select("ask { ?s ?p ?o } limit 5")
+    with pytest.raises(SparqlSyntaxError, match="non-negative"):
+        parse_select("select ?s { ?s ?p ?o } limit -1")
