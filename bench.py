@@ -375,7 +375,20 @@ def _spawn_worker(label: str, master: str, replicate: int) -> tuple:
         env={**os.environ},
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    meta = _read_json_line(p)  # blocks until warm
+    try:
+        meta = _read_json_line(p)  # blocks until warm
+    except Exception:
+        # the spawn failed but the process (and its executor JVMs) may
+        # still be winding up/wedged — kill and reap BEFORE the caller
+        # retries, or the leftover JVM runs Spark work concurrently
+        # with the replacement's warm-up and contaminates the pair
+        try:
+            p.kill()
+            p.wait(timeout=30)
+        except Exception:
+            pass
+        log.close()
+        raise
     return p, meta
 
 
@@ -472,6 +485,7 @@ def _measure_pair(
                 restarts_left -= 1
                 try:
                     workers[lvl].kill()
+                    workers[lvl].wait(timeout=30)
                 except Exception:
                     pass
                 workers[lvl], meta[lvl] = _spawn_worker(

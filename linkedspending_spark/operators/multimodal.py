@@ -154,6 +154,18 @@ def _decode_ppm(payload: bytes, dim: int) -> list[float] | None:
     return feats
 
 
+# one import probe per media type per worker, not per row — a failed
+# import re-scans sys.path every call, which is a per-asset tax inside
+# the mapInPandas hot loop
+_REAL_DECODERS: dict[str, object] = {}
+
+
+def _real_decoder(media_type: str):
+    if media_type not in _REAL_DECODERS:
+        _REAL_DECODERS[media_type] = _try_real_decoder(media_type)
+    return _REAL_DECODERS[media_type]
+
+
 def _decode_or_stub(media_type: str, payload: bytes, dim: int):
     """Decode one payload: pure-Python WAV/PPM when the magic + full
     header parse succeeds, the library seam when present, else the
@@ -167,7 +179,9 @@ def _decode_or_stub(media_type: str, payload: bytes, dim: int):
         f = _decode_ppm(payload, dim)
         if f is not None:
             return f, "decoded"
-    _try_real_decoder(media_type)  # plug-in seam: None in sandbox
+    dec = _real_decoder(media_type)  # plug-in seam: None in sandbox
+    if dec is not None:
+        return dec(payload, dim), "decoded"
     return _fake_feature(payload, dim), "stubbed"
 
 
@@ -183,11 +197,17 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     ]
 
 
-def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
+def extract_features(
+    assets: DataFrame, dim: int = 8, decode: bool = True
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    One Arrow batch in, one out; decode is the deterministic fake (or a
-    real decoder when available — see ``_try_real_decoder``).
+    One Arrow batch in, one out; decode is the pure-Python WAV/PPM path
+    or a real decoder when available (see ``_try_real_decoder``), else
+    the deterministic digest fake. ``decode=False`` forces the digest
+    stub for EVERY payload — the mode an oracle-replayable pipeline
+    stage wants, since the stub is a pure function of the bytes while
+    real decode output depends on what the bytes happen to parse as.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -195,6 +215,8 @@ def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
             payloads = pdf["content"]
             decoded = [
                 _decode_or_stub(m, b, dim)
+                if decode
+                else (_fake_feature(b, dim), "stubbed")
                 for m, b in zip(pdf["media_type"], payloads)
             ]
             yield pd.DataFrame(

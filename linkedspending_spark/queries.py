@@ -2569,7 +2569,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas-based canonicalizer cannot sort/hash list-typed cells
     (round-3 red row: ``TypeError: unhashable type: 'list'``). The
     float32 values are cast to double (lossless) so both engines hand
-    the driver bit-identical scalars."""
+    the driver bit-identical scalars.
+
+    ``decode=False``: the oracle replays the digest stub, so the Spark
+    side must never real-decode — a document whose text happened to
+    parse as a PPM (``P6 ...``) would otherwise produce band-mean
+    features only on the Spark side (data-dependent red row). The real
+    WAV/PPM decode paths are pytest-gated instead
+    (test_multimodal.py)."""
     from .operators.multimodal import extract_features
 
     d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
@@ -2584,7 +2591,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
-    feats = extract_features(assets)
+    feats = extract_features(assets, decode=False)
     return feats.select(
         "asset_id",
         "media_type",

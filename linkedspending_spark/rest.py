@@ -160,7 +160,7 @@ class RestService:
                 return None
             return vals[0] if len(vals) == 1 else vals
 
-        limit = min(int(qs.get("limit", [100])[0]), self.max_rows)
+        limit = _client_int(qs.get("limit", [100])[0], "limit", self.max_rows)
         df = match(
             self.triples,
             s=one_or_many("s"),
@@ -178,16 +178,17 @@ class RestService:
             from .sparql import SparqlSyntaxError, parse_select, select_text
 
             try:
-                is_ask = parse_select(body["query"]).ask
+                p = parse_select(body["query"])
                 df = select_text(
                     self.triples,
                     body["query"],
                     stats=self.stats,
                     limit_cap=self.max_rows,
+                    parsed=p,
                 )
             except (SparqlSyntaxError, ValueError) as e:
                 raise _HttpError(400, str(e)) from e
-            if is_ask:
+            if p.ask:
                 answer = bool(df.take(1))
                 if body.get("format") == "w3c":
                     return {"head": {}, "boolean": answer}
@@ -205,7 +206,9 @@ class RestService:
             raise _HttpError(
                 400, "body needs 'query', 'patterns' or 'unions'"
             )
-        limit = min(int(body.get("limit", self.max_rows)), self.max_rows)
+        limit = _client_int(
+            body.get("limit", self.max_rows), "limit", self.max_rows
+        )
         try:
             df = select_sparql(
                 self.triples,
@@ -252,6 +255,9 @@ class RestService:
         for req in ("input", "output", "manifests"):
             if not body.get(req):
                 raise _HttpError(400, f"body needs {req!r}")
+        n_buckets = _client_int(body.get("n_buckets", 64), "n_buckets")
+        if n_buckets == 0:
+            raise _HttpError(400, "'n_buckets' must be positive")
         with self._jobs_lock:
             self._job_seq += 1
             jid = f"j{self._job_seq:04d}"
@@ -273,7 +279,7 @@ class RestService:
                     transcripts,
                     out_path=body["output"],
                     manifest_path=body["manifests"],
-                    n_buckets=int(body.get("n_buckets", 64)),
+                    n_buckets=n_buckets,
                     with_mentions=bool(body.get("with_mentions", True)),
                     metrics_path=body.get("metrics"),
                 )
@@ -354,6 +360,19 @@ def _w3c_results(cols: list, rows: list) -> dict:
 class _HttpError(Exception):
     def __init__(self, status: int, message: str):
         self.status, self.message = status, message
+
+
+def _client_int(value, name: str, cap: int | None = None) -> int:
+    """Client-supplied integer: malformed input is a 400, not a 500
+    (int('abc') / None / negatives would otherwise surface as server
+    errors from inside Spark)."""
+    try:
+        n = int(value)
+    except (TypeError, ValueError):
+        raise _HttpError(400, f"{name!r} must be an integer") from None
+    if n < 0:
+        raise _HttpError(400, f"{name!r} must be non-negative")
+    return min(n, cap) if cap is not None else n
 
 
 def _make_handler(service: RestService):

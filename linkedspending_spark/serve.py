@@ -304,16 +304,26 @@ def select_bgp(
     return joined.select(*out_order)
 
 
-_FILTER_VAR = re.compile(r"\?(\w+)")
+# quote-aware: a ?word inside a quoted SQL string literal (e.g. a URI
+# containing '?query=') is NOT a variable reference and must survive
+# untouched — group 1 captures literals verbatim, group 2 real variables
+_FILTER_VAR = re.compile(
+    r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")|\?(\w+)"
+)
 
 
 def _filter_vars(expr: str) -> frozenset[str]:
-    return frozenset(_FILTER_VAR.findall(expr))
+    return frozenset(
+        m.group(2) for m in _FILTER_VAR.finditer(expr) if m.group(2)
+    )
 
 
 def _translate_filter(expr: str) -> str:
-    """``?var`` references → backtick-quoted column references."""
-    return _FILTER_VAR.sub(r"`\1`", expr)
+    """``?var`` references → backtick-quoted column references
+    (skipping quoted string literals)."""
+    return _FILTER_VAR.sub(
+        lambda m: m.group(1) if m.group(1) else f"`{m.group(2)}`", expr
+    )
 
 
 def select_sparql(
@@ -329,6 +339,7 @@ def select_sparql(
     n_buckets: int | None = None,
     manifest_path: str | None = None,
     stats: dict | None = None,
+    groups: Sequence[tuple] | None = None,
 ) -> DataFrame:
     """SPARQL SELECT beyond the conjunctive BGP: OPTIONAL + FILTER +
     UNION + DISTINCT/ORDER BY/LIMIT over :func:`select_bgp` groups
@@ -363,6 +374,20 @@ def select_sparql(
       ORDER BY + LIMIT together plan as TakeOrderedAndProject (per-
       partition top-k, no global sort) — the serving-path shape.
 
+    * ``groups`` — explicit evaluation order: a sequence of
+      ``("optional", pattern_group)`` / ``("union", branches)`` entries
+      evaluated in SOURCE order (SPARQL group-graph-pattern semantics —
+      an OPTIONAL whose shared variable is bound by an earlier UNION
+      must join after it). When omitted, all ``optionals`` evaluate
+      before all ``unions`` (back-compat; the text parser always passes
+      ``groups``).
+
+    A join on a variable that may be NULL (unbound) on either side —
+    introduced by an earlier OPTIONAL, or by a union branch that does
+    not bind it — is REFUSED: SPARQL's compatibility semantics treat
+    unbound as joinable-with-anything where the SQL equi-join drops the
+    row, so that case raises instead of silently diverging.
+
     Scale shape: each group is an independently-ordered BGP join tree
     (pass ``stats`` for selectivity ordering); OPTIONAL groups join on
     their shared variables, so a selective main group broadcasts into
@@ -376,13 +401,23 @@ def select_sparql(
         manifest_path=manifest_path,
         stats=stats,
     )
-    union_dfs = [_eval_union(triples, groups, kw) for groups in unions]
+    if groups is None:
+        groups = [("optional", g) for g in optionals] + [
+            ("union", u) for u in unions
+        ]
+    groups = list(groups)
+    nullable: set[str] = set()  # vars that may be NULL (unbound)
     if patterns:
         df = select_bgp(triples, patterns, **kw)
-    elif union_dfs:
+    elif groups and groups[0][0] == "union":
         # SPARQL allows a query that is just a UNION: the first union
         # expression is the base solution, the rest join onto it below
-        df, _ = union_dfs.pop(0)
+        df, branch_cols = _eval_union(triples, groups.pop(0)[1], kw)
+        nullable |= {
+            c
+            for c in df.columns
+            if any(c not in bc for bc in branch_cols)
+        }
     else:
         raise ValueError("select_sparql needs patterns or unions")
     out_order = list(df.columns)
@@ -399,34 +434,55 @@ def select_sparql(
                 remaining.remove(f)
         return d
 
-    df = apply_ready(df)
-    for group in optionals:
-        opt = select_bgp(triples, group, **kw)
-        shared = [c for c in out_order if c in opt.columns]
-        df = (
-            df.join(opt, on=shared, how="left")
-            if shared
-            # no shared variable: every solution extends with every
-            # optional row, NULL-extended when the group is empty
-            else df.join(opt, F.lit(True), "left")
-        )
-        out_order += [c for c in opt.columns if c not in bound]
-        bound |= set(opt.columns)
-        df = apply_ready(df)
-    for u, branch_cols in union_dfs:
-        shared = [c for c in out_order if c in u.columns]
-        partial = [
-            c for c in shared if any(c not in bc for bc in branch_cols)
-        ]
-        if partial:
+    def _refuse_nullable_join(shared: list, side: str) -> None:
+        null_shared = [c for c in shared if c in nullable]
+        if null_shared:
             raise ValueError(
-                f"union branch leaves shared variable(s) {partial} "
-                "unbound — SPARQL's compatibility join on unbound "
-                "variables is not supported; bind them in every branch"
+                f"join on possibly-unbound variable(s) {null_shared} "
+                f"({side}) — SPARQL's compatibility join on unbound "
+                "variables is not supported; bind them unconditionally "
+                "first"
             )
-        df = df.join(u, on=shared) if shared else df.crossJoin(u)
-        out_order += [c for c in u.columns if c not in bound]
-        bound |= set(u.columns)
+
+    df = apply_ready(df)
+    for kind, payload in groups:
+        if kind == "optional":
+            opt = select_bgp(triples, payload, **kw)
+            shared = [c for c in out_order if c in opt.columns]
+            _refuse_nullable_join(shared, "solution side of OPTIONAL")
+            df = (
+                df.join(opt, on=shared, how="left")
+                if shared
+                # no shared variable: every solution extends with every
+                # optional row, NULL-extended when the group is empty
+                else df.join(opt, F.lit(True), "left")
+            )
+            new = [c for c in opt.columns if c not in bound]
+            nullable |= set(new)  # unmatched solutions leave them NULL
+            out_order += new
+            bound |= set(opt.columns)
+        elif kind == "union":
+            u, branch_cols = _eval_union(triples, payload, kw)
+            shared = [c for c in out_order if c in u.columns]
+            partial = [
+                c for c in shared if any(c not in bc for bc in branch_cols)
+            ]
+            if partial:
+                raise ValueError(
+                    f"union branch leaves shared variable(s) {partial} "
+                    "unbound — SPARQL's compatibility join on unbound "
+                    "variables is not supported; bind them in every branch"
+                )
+            _refuse_nullable_join(shared, "solution side of UNION")
+            df = df.join(u, on=shared) if shared else df.crossJoin(u)
+            new = [c for c in u.columns if c not in bound]
+            nullable |= {
+                c for c in new if any(c not in bc for bc in branch_cols)
+            }
+            out_order += new
+            bound |= set(u.columns)
+        else:
+            raise ValueError(f"unknown group kind {kind!r}")
         df = apply_ready(df)
     if remaining:
         raise ValueError(

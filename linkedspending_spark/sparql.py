@@ -191,6 +191,10 @@ class ParsedQuery:
     limit: int | None = None
     project: list[str] | None = None  # None = SELECT *
     ask: bool = False  # ASK query: solutions limited to 1; non-empty = true
+    #: OPTIONAL/UNION entries in source order — ("optional", group) /
+    #: ("union", branches) — passed to select_sparql so evaluation
+    #: follows SPARQL's group-graph-pattern order
+    groups: list[tuple] = field(default_factory=list)
     #: (func, var-or-None-for-*, distinct, alias) per SELECT aggregate
     aggregates: list[tuple[str, str | None, bool, str]] = field(
         default_factory=list
@@ -464,7 +468,9 @@ class _Parser:
                 raise SparqlSyntaxError(f"{word.upper()} is not supported")
             if word == "optional":
                 self.lx.next()
-                self.q.optionals.append(self._triples_block("OPTIONAL"))
+                block = self._triples_block("OPTIONAL")
+                self.q.optionals.append(block)
+                self.q.groups.append(("optional", block))
             elif word == "filter":
                 self.lx.next()
                 self.q.filters.append(
@@ -480,6 +486,7 @@ class _Parser:
                         "a braced group must be a {A} UNION {B} expression"
                     )
                 self.q.unions.append(branches)
+                self.q.groups.append(("union", branches))
             else:
                 self.q.patterns.extend(self._triple_lists())
 
@@ -633,6 +640,7 @@ def select_text(
     manifest_path: str | None = None,
     stats: dict | None = None,
     limit_cap: int | None = None,
+    parsed: ParsedQuery | None = None,
 ) -> DataFrame:
     """Run a textual SPARQL SELECT (the reference's ``Sparql.select``
     analog, Sparql.java:26-29) over the triple table.
@@ -646,15 +654,16 @@ def select_text(
     DISTINCT is used — SPARQL imposes the same restriction.
 
     ``limit_cap`` bounds the effective LIMIT (serving-path guard;
-    applied even when the query has no LIMIT of its own).
+    applied even when the query has no LIMIT of its own). ``parsed``
+    lets a caller that already ran :func:`parse_select` (e.g. to branch
+    on ``ask``) skip the reparse.
     """
-    q = parse_select(query)
+    q = parsed if parsed is not None else parse_select(query)
     df = select_sparql(
         triples,
         q.patterns,
-        optionals=q.optionals,
         filters=q.filters,
-        unions=q.unions,
+        groups=q.groups,
         dataset=dataset,
         n_buckets=n_buckets,
         manifest_path=manifest_path,
@@ -672,22 +681,37 @@ def select_text(
             raise SparqlSyntaxError(
                 f"projected variable(s) {missing} are bound by no pattern"
             )
-        df = df.select(*q.project)
-    if q.distinct:
-        df = df.dropDuplicates()
-    if q.order_by:
+
+    def _order(d: DataFrame) -> DataFrame:
         keys = []
         for tok in q.order_by:
             desc = tok.startswith("-")
             var = tok.lstrip("-").lstrip("?")
-            if var not in df.columns:
+            if var not in d.columns:
                 raise SparqlSyntaxError(
-                    f"ORDER BY ?{var} must be projected"
-                    if q.project is not None
+                    f"ORDER BY ?{var} must be projected when DISTINCT "
+                    "is used"
+                    if q.distinct
                     else f"ORDER BY ?{var} is unbound"
                 )
             keys.append(F.col(var).desc() if desc else F.col(var).asc())
-        df = df.orderBy(*keys)
+        return d.orderBy(*keys)
+
+    if q.distinct:
+        # SPARQL: DISTINCT dedups the projection; ORDER BY keys must
+        # then be projected variables (the spec's own restriction)
+        if q.project is not None:
+            df = df.select(*q.project)
+        df = df.dropDuplicates()
+        if q.order_by:
+            df = _order(df)
+    else:
+        # ORDER BY evaluates over full solutions (keys need not be
+        # projected); projection afterwards preserves the row order
+        if q.order_by:
+            df = _order(df)
+        if q.project is not None:
+            df = df.select(*q.project)
     limit = q.limit
     if limit_cap is not None:
         limit = limit_cap if limit is None else min(limit, limit_cap)

@@ -90,17 +90,31 @@ def _committed_state(store: ManifestStore) -> tuple[int | None, set[str]]:
     )
     latest: int | None = None
     hashes: set[str] = set()
+    legacy: list[str] = []
     for r in rows:
         rest = r["dataset"][len(_KEY_PREFIX):]
         if not rest.startswith("v") or "-" not in rest:
+            legacy.append(r["dataset"])
             continue
         vtxt, h = rest[1:].split("-", 1)
         try:
             v = int(vtxt)
         except ValueError:
+            legacy.append(r["dataset"])
             continue
         hashes.add(h)
         latest = v if latest is None else max(latest, v)
+    if legacy and latest is None:
+        # a store written ONLY in the pre-content-key format (bare
+        # 'canon-batch-<id>' with the version smuggled through n_rows):
+        # silently returning (None, {}) would restart at v0 and
+        # OVERWRITE the committed assignment map — refuse instead
+        raise ValueError(
+            f"manifest holds {len(legacy)} legacy canon-batch row(s) "
+            f"(e.g. {legacy[0]!r}) from the pre-content-key format; "
+            "start a fresh manifest/store pair or migrate the rows to "
+            "'canon-batch-v<version>-<contenthash>' before streaming"
+        )
     return latest, hashes
 
 

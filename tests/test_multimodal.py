@@ -107,3 +107,33 @@ def test_resize_plan(spark):
 def test_frame_sample_plan(spark):
     got = [r["frame_ms"] for r in frame_sample_plan(_assets(spark), 1000).collect()]
     assert got == [0, 1000, 2000, 3000]  # a4: 3500ms video
+
+
+def test_decode_false_forces_stub(spark):
+    """decode=False stubs EVERY payload — the oracle-replayable mode the
+    registry query uses: a payload that would really decode (valid PPM
+    magic) must still come back as the digest stub so the Spark result
+    is a pure function of the bytes, like the SQL twin."""
+    import pandas as pd
+
+    ppm = b"P6 2 2 255\n" + bytes(12)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": ["a1"],
+                "conv_id": [None],
+                "turn_idx": [None],
+                "media_type": ["image"],
+                "mime": ["image/x-portable-pixmap"],
+                "content": [ppm],
+                "width": [2],
+                "height": [2],
+                "duration_ms": [None],
+            }
+        )
+    )
+    real = extract_features(df).collect()[0]
+    stub = extract_features(df, decode=False).collect()[0]
+    assert real["decode_status"] == "decoded"
+    assert stub["decode_status"] == "stubbed"
+    assert stub["feature"] != real["feature"]

@@ -321,3 +321,20 @@ def test_sparql_ask_over_http(rest_server):
         {"query": 'ask { ?d rdfs:label "no such label" }', "format": "w3c"},
     )
     assert status == 200 and res == {"head": {}, "boolean": False}
+
+
+def test_malformed_numeric_params_are_400(rest_server):
+    base, _ = rest_server
+    import urllib.error
+
+    for url in ("/triples?limit=abc", "/triples?limit=-5"):
+        try:
+            status, body = _get(base + url)
+        except urllib.error.HTTPError as e:
+            status, body = e.code, json.loads(e.read())
+        assert status == 400 and "error" in body, (url, status, body)
+    assert _post(base + "/sparql", {"patterns": [["?s", "?p", "?o"]],
+                                    "limit": None})[0] == 400
+    assert _post(base + "/jobs/convert", {"input": "x", "output": "y",
+                                          "manifests": "z",
+                                          "n_buckets": "many"})[0] == 400

@@ -385,3 +385,74 @@ def test_ask_queries(spark, catalog):
         parse_select("ask { ?s ?p ?o } limit 5")
     with pytest.raises(SparqlSyntaxError, match="non-negative"):
         parse_select("select ?s { ?s ?p ?o } limit -1")
+
+
+def test_filter_question_mark_inside_literal(spark, catalog):
+    """A '?' inside a quoted URI/literal is not a variable reference —
+    neither mangled by substitution nor reported as unbound."""
+    q = select_text(
+        catalog,
+        "select ?d { ?d dcterms:identifier ?n "
+        'filter(?n != "x?n" && ?n != "page?other") }',
+    )
+    assert q.count() == 3  # nothing matches the weird literals
+
+
+def test_order_by_non_projected_variable(spark, catalog):
+    """Valid SPARQL: ORDER BY over a variable the SELECT clause drops
+    (allowed without DISTINCT; ordering happens pre-projection)."""
+    q = select_text(
+        catalog,
+        "select ?d { ?d dcterms:modified ?m } order by desc(?m) limit 2",
+    )
+    names = [r["d"].rsplit("/", 1)[1] for r in q.collect()]
+    assert names == ["gamma", "beta"]  # 2024-09, 2024-06 modified order
+
+
+def test_optional_after_union_source_order(spark, catalog):
+    """An OPTIONAL whose shared variable is bound by a PRECEDING union
+    evaluates after it (SPARQL group order): solutions without an
+    optional match survive with the optional variable unbound."""
+    q = select_text(
+        catalog,
+        "select ?d ?when ?l { ?d a qb:DataSet "
+        "{ ?d dcterms:created ?when } UNION { ?d dcterms:modified ?when } "
+        "optional { ?d rdfs:label ?l } }",
+    )
+    rows = q.collect()
+    assert len(rows) == 6  # 3 datasets x (created + modified)
+    by_label = {r["l"] for r in rows}
+    assert by_label == {None, "Beta dataset"}
+
+
+def test_nullable_join_refused(spark, catalog):
+    """A join keyed on a possibly-unbound variable raises (SPARQL's
+    unbound-compatible join is not silently approximated)."""
+    from linkedspending_spark.serve import select_sparql
+
+    # optional introduces ?l; a later union shares it -> refuse
+    with pytest.raises(ValueError, match="possibly-unbound"):
+        select_sparql(
+            catalog,
+            [("?d", M.RDF_TYPE, M.QB_DATASET)],
+            groups=[
+                ("optional", [("?d", M.RDFS_LABEL, "?l")]),
+                ("union", [
+                    [("?d", M.NS_DCT + "created", "?l")],
+                    [("?d", M.NS_DCT + "modified", "?l")],
+                ]),
+            ],
+        ).collect()
+    # base union leaves ?c partially bound; a later optional on ?c -> refuse
+    with pytest.raises(ValueError, match="possibly-unbound"):
+        select_sparql(
+            catalog,
+            [],
+            groups=[
+                ("union", [
+                    [("?d", M.NS_DCT + "created", "?c")],
+                    [("?d", M.RDF_TYPE, M.QB_DATASET)],  # binds only ?d
+                ]),
+                ("optional", [("?x", M.RDFS_LABEL, "?c")]),
+            ],
+        ).collect()

@@ -208,3 +208,19 @@ def test_stream_merge_uncommitted_version_is_ignored_and_rebuilt(spark, tmp_path
     assert got2 == want and "poison" not in got2
     # the orphan dir still exists on disk but stays unreachable
     assert pathlib.Path(f"{store}/v={orphan}").exists()
+
+
+def test_legacy_batch_keys_refused(spark, tmp_path):
+    import pytest
+    """A manifest written in the pre-content-key format (bare
+    'canon-batch-<id>' rows) must make the stream REFUSE to start —
+    silently restarting at v0 would overwrite the committed assignment
+    map with a merge into an empty base."""
+    from linkedspending_spark.sources.manifest import ManifestStore
+    from linkedspending_spark.streaming.canon import read_assignments
+
+    mpath = str(tmp_path / "manifests")
+    store = ManifestStore(spark, mpath)
+    store.record("canon-batch-0", 3, None, run_id="old-format")
+    with pytest.raises(ValueError, match="legacy canon-batch"):
+        read_assignments(spark, str(tmp_path / "store"), mpath)
