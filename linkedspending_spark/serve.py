@@ -375,12 +375,15 @@ def select_sparql(
       partition top-k, no global sort) — the serving-path shape.
 
     * ``groups`` — explicit evaluation order: a sequence of
-      ``("optional", pattern_group)`` / ``("union", branches)`` entries
-      evaluated in SOURCE order (SPARQL group-graph-pattern semantics —
-      an OPTIONAL whose shared variable is bound by an earlier UNION
-      must join after it). When omitted, all ``optionals`` evaluate
-      before all ``unions`` (back-compat; the text parser always passes
-      ``groups``).
+      ``("optional", pattern_group)`` / ``("union", branches)`` /
+      ``("values", (var_names, rows))`` entries evaluated in SOURCE
+      order (SPARQL group-graph-pattern semantics — an OPTIONAL whose
+      shared variable is bound by an earlier UNION must join after it).
+      When omitted, all ``optionals`` evaluate before all ``unions``
+      (back-compat; the text parser always passes ``groups``). A
+      VALUES block becomes a VALUES-literal LocalTableScan inner-joined
+      on its shared variables — inline data never launches a Spark job
+      to build, and a small VALUES side broadcast-prunes the join.
 
     A join on a variable that may be NULL (unbound) on either side —
     introduced by an earlier OPTIONAL, or by a union branch that does
@@ -418,8 +421,14 @@ def select_sparql(
             for c in df.columns
             if any(c not in bc for bc in branch_cols)
         }
+    elif groups and groups[0][0] == "values":
+        names, rows = groups.pop(0)[1]
+        df = _values_df(triples.sparkSession, names, rows)
+        nullable |= {
+            n for i, n in enumerate(names) if any(r[i] is None for r in rows)
+        }
     else:
-        raise ValueError("select_sparql needs patterns or unions")
+        raise ValueError("select_sparql needs patterns, a union or values")
     out_order = list(df.columns)
     bound = set(out_order)
     remaining = list(filters)
@@ -481,6 +490,31 @@ def select_sparql(
             }
             out_order += new
             bound |= set(u.columns)
+        elif kind == "values":
+            names, rows = payload
+            v = _values_df(triples.sparkSession, names, rows)
+            shared = [c for c in out_order if c in v.columns]
+            undef_shared = [
+                c
+                for c in shared
+                if any(r[names.index(c)] is None for r in rows)
+            ]
+            if undef_shared:
+                raise ValueError(
+                    f"VALUES leaves shared variable(s) {undef_shared} "
+                    "UNDEF in some row — SPARQL's compatibility join on "
+                    "unbound variables is not supported"
+                )
+            _refuse_nullable_join(shared, "solution side of VALUES")
+            df = df.join(v, on=shared) if shared else df.crossJoin(v)
+            new = [c for c in v.columns if c not in bound]
+            nullable |= {
+                c
+                for c in new
+                if any(r[names.index(c)] is None for r in rows)
+            }
+            out_order += new
+            bound |= set(v.columns)
         else:
             raise ValueError(f"unknown group kind {kind!r}")
         df = apply_ready(df)
@@ -504,6 +538,24 @@ def select_sparql(
     if limit is not None:
         df = df.limit(limit)
     return df
+
+
+def _values_df(spark: SparkSession, names: Sequence[str], rows) -> DataFrame:
+    """Inline VALUES data as a VALUES-literal LocalTableScan (one
+    ``spark.sql`` — no parallelize job per block, the same idiom as the
+    broadcast dictionaries; see sources/dictionaries.py). UNDEF → NULL
+    (SPARQL unbound)."""
+
+    def lit(v) -> str:
+        if v is None:
+            return "CAST(NULL AS STRING)"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    body = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in rows
+    )
+    cols = ", ".join(f"`{n}`" for n in names)
+    return spark.sql(f"SELECT * FROM (VALUES {body}) AS t({cols})")
 
 
 def _eval_union(

@@ -34,6 +34,9 @@ evaluates):
   string literals, ``?var`` references stay for ``select_sparql`` to
   bind. Comparisons run over lexical forms (the column type).
 * ``{ A } UNION { B }`` (each branch a triple-pattern group).
+* ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (..) (..) }`` inline data
+  (UNDEF → unbound), joined in source order as a VALUES-literal
+  LocalTableScan.
 * Aggregates: ``SELECT (COUNT(?x) AS ?n) ?g ... GROUP BY ?g
   HAVING(...)`` with COUNT / COUNT(DISTINCT ?x) / COUNT(*) / SUM / AVG
   / MIN / MAX / SAMPLE. SUM/AVG cast the lexical form to double (SPARQL
@@ -42,7 +45,7 @@ evaluates):
 * ``ORDER BY [ASC(?v)|DESC(?v)|?v]...`` and ``LIMIT n``.
 
 Out of scope (raise, never misparse): property paths, subqueries,
-GRAPH/SERVICE/BIND/VALUES, blank-node syntax.
+GRAPH/SERVICE/BIND, blank-node syntax.
 
 Scale shape: the parser only *front-ends* ``select_sparql`` — every
 pattern is still a pushed-down scan under the stats-ordered join tree,
@@ -206,7 +209,7 @@ class ParsedQuery:
 _AGG_FUNCS = {"count", "sum", "min", "max", "avg", "sample"}
 
 _UNSUPPORTED = {
-    "graph", "service", "bind", "values", "minus", "exists",
+    "graph", "service", "bind", "minus", "exists",
     "construct", "describe", "offset",
 }
 
@@ -476,6 +479,9 @@ class _Parser:
                 self.q.filters.append(
                     self._translate_filter(self.lx.raw_parens())
                 )
+            elif word == "values":
+                self.lx.next()
+                self.q.groups.append(("values", self._values_clause()))
             elif text == "{":
                 branches = [self._triples_block("a UNION branch")]
                 while self.lx.next_word() == "union":
@@ -489,6 +495,57 @@ class _Parser:
                 self.q.groups.append(("union", branches))
             else:
                 self.q.patterns.extend(self._triple_lists())
+
+    def _values_row_term(self) -> str | None:
+        """One VALUES data term: constant or UNDEF (→ None = unbound)."""
+        if self.lx.next_word() == "undef":
+            self.lx.next()
+            return None
+        kind, text = self.lx.peek()
+        if kind == "var":
+            raise SparqlSyntaxError("VALUES data must be constants or UNDEF")
+        return self._term()
+
+    def _values_clause(self) -> tuple[list[str], list[tuple]]:
+        """``VALUES ?x { t... }`` or ``VALUES (?x ?y) { (t t) ... }``."""
+        single = self.lx.peek()[0] == "var"
+        if single:
+            names = [self.lx.next()[1][1:]]
+        else:
+            self.lx.expect_punct("(")
+            names = []
+            while self.lx.peek()[0] == "var":
+                names.append(self.lx.next()[1][1:])
+            self.lx.expect_punct(")")
+            if not names:
+                raise SparqlSyntaxError("VALUES needs at least one ?var")
+        self.lx.expect_punct("{")
+        rows: list[tuple] = []
+        while True:
+            kind, text = self.lx.peek()
+            if text == "}":
+                self.lx.next()
+                break
+            if kind == "eof":
+                raise SparqlSyntaxError("unterminated VALUES block")
+            if single:
+                rows.append((self._values_row_term(),))
+            else:
+                self.lx.expect_punct("(")
+                row = []
+                while self.lx.peek()[1] != ")":
+                    if self.lx.peek()[0] == "eof":
+                        raise SparqlSyntaxError("unterminated VALUES row")
+                    row.append(self._values_row_term())
+                self.lx.next()
+                if len(row) != len(names):
+                    raise SparqlSyntaxError(
+                        f"VALUES row arity {len(row)} != {len(names)} vars"
+                    )
+                rows.append(tuple(row))
+        if not rows:
+            raise SparqlSyntaxError("VALUES needs at least one data row")
+        return names, rows
 
     def _aggregate_spec(self) -> str:
         """``(FUNC([DISTINCT] ?v | *) AS ?alias)`` — returns the alias."""

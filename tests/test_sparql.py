@@ -456,3 +456,62 @@ def test_nullable_join_refused(spark, catalog):
                 ("optional", [("?x", M.RDFS_LABEL, "?c")]),
             ],
         ).collect()
+
+
+def test_values_clause(spark, catalog):
+    """VALUES: inline parameter binding — single- and multi-var forms,
+    UNDEF handling, leading-VALUES base, and the LocalTableScan shape
+    (no Spark job launches to build inline data)."""
+    q = select_text(
+        catalog,
+        'select ?d ?n { values ?n { "alpha" "gamma" } '
+        "?d dcterms:identifier ?n }",
+    )
+    got = sorted(r["n"] for r in q.collect())
+    assert got == ["alpha", "gamma"]
+    assert "LocalTableScan" in plan_of(q)
+
+    # multi-var: constrains pairs, not each var independently
+    q = select_text(
+        catalog,
+        "select ?d ?n ?m { ?d dcterms:identifier ?n . "
+        "?d dcterms:modified ?m "
+        'values (?n ?m) { ("alpha" "2024-01-01T00:00:00Z") '
+        '("beta" "1999-01-01T00:00:00Z") } }',
+    )
+    assert [r["n"] for r in q.collect()] == ["alpha"]  # beta pair is wrong
+
+    # VALUES as the leading group (no base patterns)
+    q = select_text(
+        catalog,
+        'select ?n ?d { values ?n { "beta" } ?d dcterms:identifier ?n }',
+    )
+    assert [tuple(r) for r in q.collect()] == [
+        ("beta", M.PREFIX_INSTANCE + "beta")
+    ]
+
+    # UNDEF on a non-shared var comes through as NULL (unbound)
+    q = select_text(
+        catalog,
+        "select ?n ?tag { ?d dcterms:identifier ?n "
+        'values (?n ?tag) { ("alpha" "x") ("beta" UNDEF) } }',
+    )
+    assert sorted(map(tuple, q.collect()), key=str) == [
+        ("alpha", "x"), ("beta", None),
+    ]
+
+    # UNDEF on a SHARED var would need the compatibility join -> refuse
+    with pytest.raises(ValueError, match="UNDEF"):
+        select_text(
+            catalog,
+            "select ?n { ?d dcterms:identifier ?n "
+            'values ?n { "alpha" UNDEF } }',
+        ).collect()
+
+    # parse errors
+    with pytest.raises(SparqlSyntaxError, match="arity"):
+        parse_select('select ?a { values (?a ?b) { ("x") } }')
+    with pytest.raises(SparqlSyntaxError, match="constants or UNDEF"):
+        parse_select("select ?a { values ?a { ?b } }")
+    with pytest.raises(SparqlSyntaxError, match="data row"):
+        parse_select("select ?a { values ?a { } }")
