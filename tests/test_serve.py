@@ -581,5 +581,5 @@ def test_select_sparql_union_order_by(spark):
         select_sparql(t, base, unions=[[[("?d", "created", "?w")]]])
     with pytest.raises(ValueError, match="unbound"):
         select_sparql(t, base, order_by=["?nope"])
-    with pytest.raises(ValueError, match="patterns or unions"):
+    with pytest.raises(ValueError, match="needs patterns"):
         select_sparql(t, [])
