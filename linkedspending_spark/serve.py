@@ -326,6 +326,34 @@ def _translate_filter(expr: str) -> str:
     )
 
 
+def _translate_filter_mapped(expr: str, mapping: dict[str, str]) -> str:
+    """Like :func:`_translate_filter` but renaming variables through
+    *mapping* first (used to point OPTIONAL-scoped filters at the
+    renamed right side of the left join)."""
+    return _FILTER_VAR.sub(
+        lambda m: m.group(1)
+        if m.group(1)
+        else f"`{mapping.get(m.group(2), m.group(2))}`",
+        expr,
+    )
+
+
+def _optional_payload(payload) -> tuple[list[tuple], list[str]]:
+    """An ``("optional", ...)`` group payload is either a plain pattern
+    group (back-compat) or ``(patterns, filters)`` with group-scoped
+    FILTER expressions. Distinguished structurally: a pattern group's
+    first element is an ``(s, p, o)`` term tuple (strings), the new
+    form's first element is the pattern LIST."""
+    if (
+        isinstance(payload, tuple)
+        and len(payload) == 2
+        and isinstance(payload[0], (list, tuple))
+        and (not payload[0] or not isinstance(payload[0][0], str))
+    ):
+        return list(payload[0]), list(payload[1])
+    return list(payload), []
+
+
 def select_sparql(
     triples: DataFrame,
     patterns: Sequence[tuple],
@@ -375,10 +403,14 @@ def select_sparql(
       partition top-k, no global sort) — the serving-path shape.
 
     * ``groups`` — explicit evaluation order: a sequence of
-      ``("optional", pattern_group)`` / ``("union", branches)`` /
-      ``("values", (var_names, rows))`` entries evaluated in SOURCE
+      ``("optional", pattern_group | (pattern_group, filters))`` /
+      ``("union", branches)`` / ``("values", (var_names, rows))`` /
+      ``("bind", (sql_expr, var))`` entries evaluated in SOURCE
       order (SPARQL group-graph-pattern semantics — an OPTIONAL whose
       shared variable is bound by an earlier UNION must join after it).
+      An optional group's own ``filters`` join the LEFT JOIN's ON
+      condition (SPARQL LeftJoin(Ω1, Ω2, expr)): unmatched solutions
+      are kept NULL-extended, unlike a solution-level filter.
       When omitted, all ``optionals`` evaluate before all ``unions``
       (back-compat; the text parser always passes ``groups``). A
       VALUES block becomes a VALUES-literal LocalTableScan inner-joined
@@ -427,8 +459,15 @@ def select_sparql(
         nullable |= {
             n for i, n in enumerate(names) if any(r[i] is None for r in rows)
         }
+    elif groups and groups[0][0] == "bind":
+        # a query that starts with BIND: base = the single empty
+        # solution (SPARQL's Join(BGP(), ...) identity) — one row, no
+        # columns; the bind branch below adds the variable
+        df = triples.sparkSession.range(1).drop("id")
     else:
-        raise ValueError("select_sparql needs patterns, a union or values")
+        raise ValueError(
+            "select_sparql needs patterns, a union, values or a bind"
+        )
     out_order = list(df.columns)
     bound = set(out_order)
     remaining = list(filters)
@@ -456,17 +495,58 @@ def select_sparql(
     df = apply_ready(df)
     for kind, payload in groups:
         if kind == "optional":
-            opt = select_bgp(triples, payload, **kw)
+            opt_patterns, opt_filters = _optional_payload(payload)
+            opt = select_bgp(triples, opt_patterns, **kw)
             shared = [c for c in out_order if c in opt.columns]
             _refuse_nullable_join(shared, "solution side of OPTIONAL")
-            df = (
-                df.join(opt, on=shared, how="left")
-                if shared
-                # no shared variable: every solution extends with every
-                # optional row, NULL-extended when the group is empty
-                else df.join(opt, F.lit(True), "left")
-            )
             new = [c for c in opt.columns if c not in bound]
+            if opt_filters:
+                # SPARQL LeftJoin(Ω1, Ω2, expr): the group-scoped filter
+                # is part of the join CONDITION — a solution whose
+                # optional match fails it is KEPT and NULL-extended,
+                # where a solution-level (post-join) filter would drop
+                # it. Rename the optional side so the condition can name
+                # both sides unambiguously; NULL/type-error → false is
+                # SQL's join-condition rule too, matching SPARQL.
+                ren = {c: f"__opt__{c}" for c in opt.columns}
+                opt_r = opt.select(
+                    *[F.col(c).alias(ren[c]) for c in opt.columns]
+                )
+                cond = F.lit(True)
+                for c in shared:
+                    cond = cond & (F.col(c) == F.col(ren[c]))
+                for raw in opt_filters:
+                    vs = _filter_vars(raw)
+                    unknown = sorted(
+                        v for v in vs
+                        if v not in bound and v not in opt.columns
+                    )
+                    if unknown:
+                        raise ValueError(
+                            "FILTER inside OPTIONAL references "
+                            f"variable(s) {unknown} bound by neither the "
+                            "solution nor the optional group"
+                        )
+                    # vars the optional binds read from the renamed right
+                    # side; outer-only vars read from the solution (for
+                    # shared vars both sides are equal under the join)
+                    cond = cond & F.expr(
+                        _translate_filter_mapped(
+                            raw,
+                            {v: ren[v] for v in vs if v in ren},
+                        )
+                    )
+                df = df.join(opt_r, cond, "left").select(
+                    *out_order, *[F.col(ren[c]).alias(c) for c in new]
+                )
+            else:
+                df = (
+                    df.join(opt, on=shared, how="left")
+                    if shared
+                    # no shared variable: every solution extends with
+                    # every optional row, NULL-extended when empty
+                    else df.join(opt, F.lit(True), "left")
+                )
             nullable |= set(new)  # unmatched solutions leave them NULL
             out_order += new
             bound |= set(opt.columns)
@@ -515,6 +595,27 @@ def select_sparql(
             }
             out_order += new
             bound |= set(v.columns)
+        elif kind == "bind":
+            # BIND(expr AS ?v): evaluate in source order over the
+            # solution so far — a narrow projection, no shuffle
+            sql_expr, name = payload
+            if name in bound:
+                raise ValueError(
+                    f"BIND would rebind already-bound variable ?{name} "
+                    "(SPARQL forbids it)"
+                )
+            missing = sorted(
+                v for v in _filter_vars(sql_expr) if v not in bound
+            )
+            if missing:
+                raise ValueError(
+                    f"BIND expression references unbound variable(s) "
+                    f"{missing}"
+                )
+            df = df.withColumn(name, F.expr(_translate_filter(sql_expr)))
+            nullable.add(name)  # the expression may evaluate to NULL
+            out_order.append(name)
+            bound.add(name)
         else:
             raise ValueError(f"unknown group kind {kind!r}")
         df = apply_ready(df)

@@ -26,13 +26,27 @@ evaluates):
   Objects match on the stored *lexical form* (the triple table keeps
   ``o`` as the lexical value with ``o_kind``/``o_datatype`` metadata,
   model.py:98-105), so ``"true"^^xsd:boolean`` matches ``o = 'true'``.
-* ``OPTIONAL { ... }`` groups (triples only — a FILTER scoped inside an
-  OPTIONAL has different semantics than a solution-level filter and is
-  refused rather than silently moved).
+* ``OPTIONAL { ... }`` groups, including FILTERs scoped inside the
+  OPTIONAL — those become part of the left join's ON condition
+  (SPARQL ``LeftJoin(Ω1, Ω2, expr)``): solutions whose optional match
+  fails the filter are KEPT and NULL-extended, where a solution-level
+  filter would drop them. Nested OPTIONAL/UNION stay refused.
 * ``FILTER( expr )`` — translated to a Spark SQL predicate: ``&&``/
   ``||``/``!`` become AND/OR/NOT, URIs and (typed) literals become
   string literals, ``?var`` references stay for ``select_sparql`` to
-  bind. Comparisons run over lexical forms (the column type).
+  bind. Comparison semantics follow the operand's FORM, not always the
+  lexical string: a quoted literal compares lexically against the
+  string column, but an unquoted numeric literal (``FILTER(?n > 5)``)
+  makes Spark coerce the string column to a number — numerically,
+  which is CLOSER to SPARQL's typed comparison than a lexical compare
+  would be (pinned in tests; do not "fix" it away). Unknown function
+  names and ``xsd:type(?x)`` cast syntax are rejected at translate
+  time (a clean 400 on the REST path, not an analyzer 500).
+* ``BIND(expr AS ?v)`` — the expression (same translator as FILTER)
+  is evaluated in source order and bound to a new variable.
+* ``SELECT (expr AS ?v)`` — non-aggregate projection expressions,
+  applied after grouping (expressions may reference aggregate
+  aliases and grouped variables).
 * ``{ A } UNION { B }`` (each branch a triple-pattern group).
 * ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (..) (..) }`` inline data
   (UNDEF → unbound), joined in source order as a VALUES-literal
@@ -42,10 +56,13 @@ evaluates):
   / MIN / MAX / SAMPLE. SUM/AVG cast the lexical form to double (SPARQL
   numeric aggregation over typed literals); MIN/MAX compare lexical
   forms (ISO dates order correctly; zero-padded numbers do too).
-* ``ORDER BY [ASC(?v)|DESC(?v)|?v]...`` and ``LIMIT n``.
+* ``ORDER BY [ASC(?v)|DESC(?v)|?v]...``, ``LIMIT n`` and ``OFFSET n``
+  (either order). NOTE: OFFSET paging is only stable under a total
+  ORDER BY — an unordered offset walks an arbitrary (plan-dependent)
+  solution order, same as SQL.
 
 Out of scope (raise, never misparse): property paths, subqueries,
-GRAPH/SERVICE/BIND, blank-node syntax.
+GRAPH/SERVICE/MINUS, blank-node syntax.
 
 Scale shape: the parser only *front-ends* ``select_sparql`` — every
 pattern is still a pushed-down scan under the stats-ordered join tree,
@@ -192,10 +209,12 @@ class ParsedQuery:
     distinct: bool = False
     order_by: list[str] = field(default_factory=list)
     limit: int | None = None
+    offset: int | None = None
     project: list[str] | None = None  # None = SELECT *
     ask: bool = False  # ASK query: solutions limited to 1; non-empty = true
-    #: OPTIONAL/UNION entries in source order — ("optional", group) /
-    #: ("union", branches) — passed to select_sparql so evaluation
+    #: OPTIONAL/UNION/BIND entries in source order — ("optional",
+    #: (patterns, filters)) / ("union", branches) / ("bind",
+    #: (sql_expr, var)) — passed to select_sparql so evaluation
     #: follows SPARQL's group-graph-pattern order
     groups: list[tuple] = field(default_factory=list)
     #: (func, var-or-None-for-*, distinct, alias) per SELECT aggregate
@@ -204,13 +223,15 @@ class ParsedQuery:
     )
     group_by: list[str] = field(default_factory=list)
     having: list[str] = field(default_factory=list)
+    #: (translated-sql-expr, alias) per non-aggregate SELECT expression
+    select_exprs: list[tuple[str, str]] = field(default_factory=list)
 
 
 _AGG_FUNCS = {"count", "sum", "min", "max", "avg", "sample"}
 
 _UNSUPPORTED = {
-    "graph", "service", "bind", "minus", "exists",
-    "construct", "describe", "offset",
+    "graph", "service", "minus", "exists",
+    "construct", "describe",
 }
 
 
@@ -282,6 +303,38 @@ class _Parser:
                 )
             out.extend(self._triple_lists())
 
+    def _optional_block(self) -> tuple[list[tuple], list[str]]:
+        """An ``OPTIONAL { tp... FILTER(e)... }`` group: triple patterns
+        plus group-scoped FILTERs. The filters become the left join's ON
+        condition (SPARQL LeftJoin semantics — serve.select_sparql), NOT
+        solution-level filters. Nested OPTIONAL/UNION stay refused."""
+        self.lx.expect_punct("{")
+        pats: list[tuple] = []
+        filts: list[str] = []
+        while True:
+            kind, text = self.lx.peek()
+            if text == "}":
+                self.lx.next()
+                break
+            if kind == "eof":
+                raise SparqlSyntaxError("unterminated OPTIONAL group")
+            word = self.lx.next_word()
+            if word == "filter":
+                self.lx.next()
+                filts.append(self._translate_filter(self.lx.raw_parens()))
+            elif word in ("optional", "union") or text == "{":
+                raise SparqlSyntaxError(
+                    f"{word or 'nested group'} inside OPTIONAL is not "
+                    "supported"
+                )
+            else:
+                pats.extend(self._triple_lists())
+        if not pats:
+            raise SparqlSyntaxError(
+                "OPTIONAL needs at least one triple pattern"
+            )
+        return pats, filts
+
     def _triple_lists(self) -> list[tuple]:
         """One subject's predicate-object lists: ``s p o, o2; p2 o3 .``"""
         out: list[tuple] = []
@@ -320,6 +373,11 @@ class _Parser:
         "substr": "substr",
         "concat": "concat",
         "abs": "abs",
+        # identical name + semantics in Spark SQL (IF/COALESCE: SPARQL's
+        # error-as-NULL maps to SQL NULL; IN is the SQL operator)
+        "in": "IN",
+        "if": "if",
+        "coalesce": "coalesce",
     }
 
     _FILTER_PIECE = re.compile(
@@ -340,17 +398,31 @@ class _Parser:
         (URIs / typed literals → string literals), &&/||/! → AND/OR/NOT,
         BOUND(?x) → ?x IS NOT NULL, and the string built-ins (REGEX,
         UCASE, STRSTARTS, ...) → their Spark SQL equivalents. Unknown
-        function names pass through — Spark's analyzer reports them."""
+        function names and ``xsd:type(?x)`` cast syntax are rejected
+        HERE, at translate time — the REST path turns that into a 400
+        with the offending name, instead of a 500 from Spark's analyzer
+        at collect()."""
 
         def _sql_str(v: str) -> str:
             return "'" + v.replace("'", "''") + "'"
 
+        def _followed_by_paren(m: re.Match) -> bool:
+            rest = m.string[m.end():]
+            return rest.lstrip()[:1] == "("
+
         def sub(m: re.Match) -> str:
             if m.group("lit") is not None:
                 return _sql_str(_unescape(m.group("lit")[1:-1]))
-            if m.group("uri") is not None:
-                return _sql_str(m.group("uri")[1:-1])
-            if m.group("pname") is not None:
+            if m.group("uri") is not None or m.group("pname") is not None:
+                if _followed_by_paren(m):
+                    raise SparqlSyntaxError(
+                        f"cast syntax {m.group().strip()}(...) is not "
+                        "supported (comparisons run over lexical forms; "
+                        "unquoted numeric literals already compare "
+                        "numerically)"
+                    )
+                if m.group("uri") is not None:
+                    return _sql_str(m.group("uri")[1:-1])
                 return _sql_str(self._expand(m.group("pname")))
             if m.group("bound") is not None:
                 return f"({m.group('bvar')} IS NOT NULL)"
@@ -358,7 +430,14 @@ class _Parser:
                 name = m.group("func").lower()
                 if name == "str":  # STR(?x): lexical form — already is
                     return ""
-                return self._FILTER_FUNCS.get(name, m.group("func"))
+                if name not in self._FILTER_FUNCS:
+                    raise SparqlSyntaxError(
+                        f"unknown aggregate or built-in function {name!r} "
+                        f"(supported built-ins: "
+                        f"{sorted(self._FILTER_FUNCS)} + BOUND/STR; "
+                        f"aggregates belong in the SELECT clause)"
+                    )
+                return self._FILTER_FUNCS[name]
             if m.group("and"):
                 return " AND "
             if m.group("or"):
@@ -410,7 +489,7 @@ class _Parser:
                 if kind == "var":
                     proj.append(self.lx.next()[1][1:])
                 elif text == "(":
-                    proj.append(self._aggregate_spec())
+                    proj.append(self._select_paren_spec())
                 else:
                     break
             if not proj:
@@ -425,8 +504,9 @@ class _Parser:
                 f"trailing input at {self.lx.peek()[1]!r}"
             )
         q = self.q
+        expr_aliases = [a for _, a in q.select_exprs]
         if q.aggregates or q.group_by:
-            aliases = [a for _, _, _, a in q.aggregates]
+            aliases = [a for _, _, _, a in q.aggregates] + expr_aliases
             if len(set(aliases)) != len(aliases):
                 raise SparqlSyntaxError("duplicate aggregate alias")
             clash = set(aliases) & set(q.group_by)
@@ -453,8 +533,11 @@ class _Parser:
                 raise SparqlSyntaxError(
                     "SELECT DISTINCT with aggregation is not supported"
                 )
-        elif q.having:
-            raise SparqlSyntaxError("HAVING needs GROUP BY or aggregates")
+        else:
+            if q.having:
+                raise SparqlSyntaxError("HAVING needs GROUP BY or aggregates")
+            if len(set(expr_aliases)) != len(expr_aliases):
+                raise SparqlSyntaxError("duplicate SELECT expression alias")
         return q
 
     def _group_body(self) -> None:
@@ -471,13 +554,25 @@ class _Parser:
                 raise SparqlSyntaxError(f"{word.upper()} is not supported")
             if word == "optional":
                 self.lx.next()
-                block = self._triples_block("OPTIONAL")
-                self.q.optionals.append(block)
-                self.q.groups.append(("optional", block))
+                pats, filts = self._optional_block()
+                self.q.optionals.append(pats)
+                self.q.groups.append(("optional", (pats, filts)))
             elif word == "filter":
                 self.lx.next()
                 self.q.filters.append(
                     self._translate_filter(self.lx.raw_parens())
+                )
+            elif word == "bind":
+                self.lx.next()
+                raw = self.lx.raw_parens()
+                m = re.search(r"\s+[Aa][Ss]\s+\?(\w+)\s*$", raw)
+                if m is None:
+                    raise SparqlSyntaxError(
+                        "BIND needs the form (expression AS ?var)"
+                    )
+                self.q.groups.append(
+                    ("bind",
+                     (self._translate_filter(raw[: m.start()]), m.group(1)))
                 )
             elif word == "values":
                 self.lx.next()
@@ -547,41 +642,42 @@ class _Parser:
             raise SparqlSyntaxError("VALUES needs at least one data row")
         return names, rows
 
-    def _aggregate_spec(self) -> str:
-        """``(FUNC([DISTINCT] ?v | *) AS ?alias)`` — returns the alias."""
-        self.lx.expect_punct("(")
-        kind, func = self.lx.next()
-        func = func.lower()
-        if kind != "word" or func not in _AGG_FUNCS:
+    _AGG_SPEC = re.compile(
+        r"(?is)^\s*(count|sum|min|max|avg|sample)\s*"
+        r"\(\s*(distinct\s+)?(\?\w+|\*)\s*\)\s+as\s+\?(\w+)\s*$"
+    )
+
+    def _select_paren_spec(self) -> str:
+        """One parenthesized SELECT item — ``(FUNC([DISTINCT] ?v|*) AS
+        ?alias)`` aggregate, or ``(expr AS ?alias)`` projection
+        expression (translated like a FILTER body). Returns the alias."""
+        raw = self.lx.raw_parens()
+        if re.match(r"(?is)^\s*(count|sum|min|max|avg|sample)\s*\(", raw):
+            m = self._AGG_SPEC.match(raw)
+            if m is None:
+                raise SparqlSyntaxError(
+                    f"malformed aggregate ({raw.strip()}) — expected "
+                    "FUNC([DISTINCT] ?var | *) AS ?alias"
+                )
+            func, dist, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
+            if arg == "*" and func != "count":
+                raise SparqlSyntaxError(f"{func.upper()} needs a ?var")
+            if dist and func != "count":
+                raise SparqlSyntaxError(
+                    f"DISTINCT inside {func.upper()} is not supported"
+                )
+            var = None if arg == "*" else arg[1:]
+            self.q.aggregates.append((func, var, dist, m.group(4)))
+            return m.group(4)
+        m = re.search(r"\s+[Aa][Ss]\s+\?(\w+)\s*$", raw)
+        if m is None:
             raise SparqlSyntaxError(
-                f"unknown aggregate {func!r} (supported: "
-                f"{sorted(_AGG_FUNCS)})"
+                "SELECT (...) needs an aggregate or 'expression AS ?alias'"
             )
-        self.lx.expect_punct("(")
-        dist = False
-        if self.lx.next_word() == "distinct":
-            self.lx.next()
-            dist = True
-        kind, arg = self.lx.next()
-        if kind == "var":
-            var: str | None = arg[1:]
-        elif arg == "*" and func == "count":
-            var = None
-        else:
-            raise SparqlSyntaxError(
-                f"{func.upper()} needs a ?var"
-                + (" or *" if func == "count" else "")
-            )
-        self.lx.expect_punct(")")
-        if self.lx.next_word() != "as":
-            raise SparqlSyntaxError("aggregate needs AS ?alias")
-        self.lx.next()
-        kind, alias = self.lx.next()
-        if kind != "var":
-            raise SparqlSyntaxError("AS needs a ?alias")
-        self.lx.expect_punct(")")
-        self.q.aggregates.append((func, var, dist, alias[1:]))
-        return alias[1:]
+        self.q.select_exprs.append(
+            (self._translate_filter(raw[: m.start()]), m.group(1))
+        )
+        return m.group(1)
 
     def _solution_modifiers(self) -> None:
         if self.lx.next_word() == "group":
@@ -622,12 +718,26 @@ class _Parser:
                 any_key = True
             if not any_key:
                 raise SparqlSyntaxError("ORDER BY needs at least one key")
-        if self.lx.next_word() == "limit":
-            self.lx.next()
-            kind, text = self.lx.next()
-            if kind != "num" or "." in text or int(text) < 0:
-                raise SparqlSyntaxError("LIMIT needs a non-negative integer")
-            self.q.limit = int(text)
+        while True:  # LIMIT / OFFSET, either order, each at most once
+            word = self.lx.next_word()
+            if word == "limit" and self.q.limit is None:
+                self.lx.next()
+                kind, text = self.lx.next()
+                if kind != "num" or "." in text or int(text) < 0:
+                    raise SparqlSyntaxError(
+                        "LIMIT needs a non-negative integer"
+                    )
+                self.q.limit = int(text)
+            elif word == "offset" and self.q.offset is None:
+                self.lx.next()
+                kind, text = self.lx.next()
+                if kind != "num" or "." in text or int(text) < 0:
+                    raise SparqlSyntaxError(
+                        "OFFSET needs a non-negative integer"
+                    )
+                self.q.offset = int(text)
+            else:
+                break
 
 
 def parse_select(query: str) -> ParsedQuery:
@@ -732,6 +842,26 @@ def select_text(
         return df.limit(1)
     if q.aggregates or q.group_by:
         df = _aggregate(df, q)
+    if q.select_exprs:
+        from .serve import _filter_vars, _translate_filter as _vars_to_cols
+
+        for sql, alias in q.select_exprs:
+            missing = sorted(
+                v for v in _filter_vars(sql) if v not in df.columns
+            )
+            if missing:
+                raise SparqlSyntaxError(
+                    f"SELECT expression for ?{alias} references "
+                    f"variable(s) {missing} that are "
+                    + ("neither grouped nor aggregated"
+                       if (q.aggregates or q.group_by)
+                       else "bound by no pattern")
+                )
+            if alias in df.columns:
+                raise SparqlSyntaxError(
+                    f"SELECT expression alias ?{alias} is already bound"
+                )
+            df = df.withColumn(alias, F.expr(_vars_to_cols(sql)))
     if q.project is not None:
         missing = [v for v in q.project if v not in df.columns]
         if missing:
@@ -772,6 +902,12 @@ def select_text(
     limit = q.limit
     if limit_cap is not None:
         limit = limit_cap if limit is None else min(limit, limit_cap)
+    if q.offset:
+        # OFFSET before LIMIT: skip q.offset solutions, then take limit
+        # (LIMIT/OFFSET slice semantics; limit_cap bounds the ROWS
+        # RETURNED, so it caps the limit, never the skip). Stable paging
+        # requires ORDER BY — documented above.
+        df = df.offset(q.offset)
     if limit is not None:
         df = df.limit(limit)
     return df

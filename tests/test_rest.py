@@ -191,11 +191,24 @@ def test_sparql_endpoint_textual_query(rest_server):
     # syntax error -> 400 with the parser's message
     status, err = _post(base + "/sparql", {"query": "select ?x"})
     assert status == 400 and "error" in err
-    # unsupported form -> 400, not a 500
+    # unsupported form -> 400, not a 500 (BIND is supported now; MINUS
+    # and unknown filter built-ins stay loud refusals)
     status, err = _post(
-        base + "/sparql", {"query": "select ?x { bind(1 as ?x) }"}
+        base + "/sparql", {"query": "select ?x { minus { ?x ?p ?o } }"}
     )
     assert status == 400 and "error" in err
+    status, err = _post(
+        base + "/sparql",
+        {"query": 'select ?x { ?x ?p ?o filter(langMatches(?o, "en")) }'},
+    )
+    assert status == 400 and "unknown aggregate or" in err["error"]
+    # BIND runs: the expression lands in the solutions
+    status, sols = _post(
+        base + "/sparql",
+        {"query": 'select ?d ?u { ?d a qb:DataSet bind(ucase(?d) as ?u) }'
+                  " limit 2"},
+    )
+    assert status == 200 and all(s["u"] == s["d"].upper() for s in sols)
 
 
 def test_job_control_endpoints(rest_server, spark, tmp_path):

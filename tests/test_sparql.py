@@ -163,12 +163,20 @@ def test_parse_errors():
         parse_select("select ?x { ?x nope:y ?z }")
     with pytest.raises(SparqlSyntaxError, match="bare word"):
         parse_select("select ?x { ?x ?p true }")
-    with pytest.raises(SparqlSyntaxError, match="inside OPTIONAL"):
+    # FILTER inside OPTIONAL is supported, but a pattern-free OPTIONAL
+    # (just a filter) is degenerate and refused
+    with pytest.raises(SparqlSyntaxError, match="at least one triple"):
         parse_select("select ?x { optional { filter(?x > 1) } }")
+    with pytest.raises(SparqlSyntaxError, match="inside OPTIONAL"):
+        parse_select(
+            "select ?x { optional { ?x ?p ?o optional { ?x ?q ?z } } }"
+        )
     with pytest.raises(SparqlSyntaxError, match="UNION"):
         parse_select("select ?x { { ?x ?p ?o } }")  # lone braced group
     with pytest.raises(SparqlSyntaxError, match="trailing"):
-        parse_select("select ?x { ?x ?p ?o } offset 5")
+        parse_select("select ?x { ?x ?p ?o } offset 5 offset 6")
+    with pytest.raises(SparqlSyntaxError, match="OFFSET needs"):
+        parse_select("select ?x { ?x ?p ?o } offset -1")
 
 
 def test_execution_errors(spark, catalog):
@@ -515,3 +523,166 @@ def test_values_clause(spark, catalog):
         parse_select("select ?a { values ?a { ?b } }")
     with pytest.raises(SparqlSyntaxError, match="data row"):
         parse_select("select ?a { values ?a { } }")
+
+
+# --- round 5: FILTER-in-OPTIONAL, BIND, SELECT exprs, OFFSET -------------
+
+
+def test_optional_scoped_filter_left_join_semantics(spark, catalog):
+    """FILTER inside OPTIONAL is the left join's ON condition (SPARQL
+    LeftJoin(Ω1, Ω2, expr)): a solution whose optional match FAILS the
+    filter is kept NULL-extended — a solution-level (post-join) filter
+    would drop it. Both shapes pinned side by side."""
+    in_optional = select_text(
+        catalog,
+        "select ?n ?tv { ?d dcterms:identifier ?n "
+        'optional { ?d lso:transformationVersion ?tv filter(?tv > "3") } }',
+    )
+    got = {r["n"]: r["tv"] for r in in_optional.collect()}
+    # alpha's tv="3" fails the filter -> row KEPT, tv unbound
+    assert got == {"alpha": None, "beta": "4", "gamma": "5"}
+
+    post_filter = select_text(
+        catalog,
+        "select ?n ?tv { ?d dcterms:identifier ?n "
+        "optional { ?d lso:transformationVersion ?tv } "
+        'filter(?tv > "3") }',
+    )
+    # the solution-level filter drops alpha entirely (NULL -> false)
+    got2 = {r["n"]: r["tv"] for r in post_filter.collect()}
+    assert got2 == {"beta": "4", "gamma": "5"}
+
+
+def test_optional_filter_references_outer_variable(spark, catalog):
+    """An OPTIONAL-scoped filter may reference solution-side variables:
+    it still gates only the MATCH, never the solution row."""
+    q = select_text(
+        catalog,
+        "select ?n ?tv { ?d dcterms:identifier ?n "
+        "optional { ?d lso:transformationVersion ?tv "
+        'filter(?n != "beta") } }',
+    )
+    got = {r["n"]: r["tv"] for r in q.collect()}
+    assert got == {"alpha": "3", "beta": None, "gamma": "5"}
+
+
+def test_optional_filter_unknown_variable_refused(spark, catalog):
+    with pytest.raises(ValueError, match="neither the solution"):
+        select_text(
+            catalog,
+            "select ?n { ?d dcterms:identifier ?n "
+            'optional { ?d rdfs:label ?l filter(?zz = "x") } }',
+        )
+
+
+def test_bind_expression(spark, catalog):
+    q = select_text(
+        catalog,
+        "select ?n ?year { ?d dcterms:identifier ?n . "
+        "?d dcterms:created ?c . bind(substr(?c, 1, 4) as ?year) }",
+    )
+    got = {r["n"]: r["year"] for r in q.collect()}
+    assert got == {"alpha": "2023", "beta": "2023", "gamma": "2023"}
+
+    # BIND result is usable by a later solution-level FILTER
+    q = select_text(
+        catalog,
+        "select ?n { ?d dcterms:identifier ?n . ?d dcterms:created ?c . "
+        'bind(substr(?c, 6, 2) as ?month) filter(?month = "06") }',
+    )
+    assert [r["n"] for r in q.collect()] == ["beta"]
+
+    # leading BIND: base is the single empty solution
+    q = select_text(catalog, 'select ?x { bind("k" as ?x) }')
+    assert [r["x"] for r in q.collect()] == ["k"]
+
+    with pytest.raises(ValueError, match="rebind"):
+        select_text(
+            catalog,
+            "select ?n { ?d dcterms:identifier ?n "
+            'bind("x" as ?n) }',
+        )
+    with pytest.raises(ValueError, match="unbound"):
+        select_text(
+            catalog,
+            "select ?n ?y { ?d dcterms:identifier ?n "
+            "bind(ucase(?zz) as ?y) }",
+        )
+    with pytest.raises(SparqlSyntaxError, match="AS"):
+        parse_select('select ?x { bind("k") }')
+
+
+def test_select_expressions(spark, catalog):
+    q = select_text(
+        catalog,
+        "select ?n (substr(?m, 1, 4) as ?year) "
+        "{ ?d dcterms:identifier ?n . ?d dcterms:modified ?m } order by ?n",
+    )
+    assert [tuple(r) for r in q.collect()] == [
+        ("alpha", "2024"), ("beta", "2024"), ("gamma", "2024"),
+    ]
+
+    # expression over a GROUP BY variable next to an aggregate
+    q = select_text(
+        catalog,
+        "select ?d (count(?o) as ?cnt) (ucase(?d) as ?loud) "
+        "{ ?d ?p ?o } group by ?d order by ?d limit 1",
+    )
+    r = q.collect()[0]
+    assert r["loud"] == r["d"].upper() and r["cnt"] == 8
+
+    with pytest.raises(SparqlSyntaxError, match="neither grouped"):
+        select_text(
+            catalog,
+            "select ?d (count(?o) as ?cnt) (ucase(?p) as ?loud) "
+            "{ ?d ?p ?o } group by ?d",
+        )
+    with pytest.raises(SparqlSyntaxError, match="aggregate or"):
+        parse_select("select (?a ?b) { ?a ?p ?b }")
+
+
+def test_offset_paging(spark, catalog):
+    """OFFSET under a total ORDER BY pages the solution set exactly
+    once; an offset past the end is empty; cap still bounds rows."""
+    base = "select ?n { ?d dcterms:identifier ?n } order by ?n"
+    pages = [
+        [r["n"] for r in
+         select_text(catalog, f"{base} limit 1 offset {k}").collect()]
+        for k in range(4)
+    ]
+    assert pages == [["alpha"], ["beta"], ["gamma"], []]
+    assert [
+        r["n"] for r in
+        select_text(catalog, f"{base} offset 1 limit 2").collect()
+    ] == ["beta", "gamma"]
+    # limit_cap caps rows RETURNED, never the skip
+    assert [
+        r["n"] for r in
+        select_text(catalog, f"{base} offset 2", limit_cap=5).collect()
+    ] == ["gamma"]
+
+
+def test_unknown_builtin_and_cast_rejected_at_parse_time():
+    with pytest.raises(SparqlSyntaxError, match="unknown aggregate or"):
+        parse_select(
+            'select ?x { ?x ?p ?o filter(langMatches(?o, "en")) }'
+        )
+    with pytest.raises(SparqlSyntaxError, match="unknown aggregate or"):
+        parse_select("select ?x { ?x ?p ?o filter(datatype(?o) = ?x) }")
+    with pytest.raises(SparqlSyntaxError, match="cast syntax"):
+        parse_select("select ?x { ?x ?p ?o filter(xsd:integer(?o) > 3) }")
+
+
+def test_filter_numeric_vs_lexical_comparison(spark):
+    """Pinned semantic split (do not 'fix' either side away): a QUOTED
+    literal compares lexically against the string column; an UNQUOTED
+    numeric literal makes Spark coerce the column and compare
+    numerically — closer to SPARQL's typed comparison."""
+    t = spark.createDataFrame(
+        [("s1", "http://p", "9", "x"), ("s2", "http://p", "10", "x")],
+        "s string, p string, o string, dataset string",
+    )
+    numeric = select_text(t, "select ?s { ?s ?p ?v filter(?v > 9) }")
+    assert [r["s"] for r in numeric.collect()] == ["s2"]  # 10 > 9
+    lexical = select_text(t, 'select ?s { ?s ?p ?v filter(?v > "9") }')
+    assert lexical.count() == 0  # "10" < "9" lexically, "9" = "9"
