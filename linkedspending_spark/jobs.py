@@ -51,6 +51,11 @@ def bucket_of(conv_id_col, n_buckets: int):
     return F.pmod(F.xxhash64(conv_id_col), F.lit(n_buckets)).cast("int")
 
 
+class JobCancelled(RuntimeError):
+    """Raised inside a job runner when its ``should_stop`` hook fires
+    at a phase boundary; the report's state is already CANCELLED."""
+
+
 def run_transcripts_job(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -64,6 +69,7 @@ def run_transcripts_job(
     metrics_path: str | None = None,
     currencies: DataFrame | None = None,
     countries: DataFrame | None = None,
+    should_stop=None,
 ) -> JobReport:
     """Convert all not-yet-done buckets of ``transcripts`` and materialize.
 
@@ -72,6 +78,14 @@ def run_transcripts_job(
     per-stage lineage rows (A5 analog) next to the manifests.
     ``currencies``/``countries`` override the built-in mention
     dictionaries (e.g. the packaged full ISO tables or a user TSV).
+
+    ``should_stop`` — optional zero-arg callable polled at phase
+    boundaries (a Spark-level cancelJobGroup only interrupts jobs
+    RUNNING at that instant; a cancel landing between jobs would
+    otherwise be a no-op). When it returns true BEFORE the write phase
+    the run raises :class:`JobCancelled` with state CANCELLED; once the
+    write has committed, the manifest record still completes — the
+    committed data must be resumable, never orphaned silently.
     """
     from .sources.metrics import MetricsStore
 
@@ -80,6 +94,12 @@ def run_transcripts_job(
     report = JobReport(run_id=new_run_id(), n_buckets=n_buckets)
     t0 = time.time()
     report.state = "RUNNING"
+
+    def _check_cancel() -> None:
+        if should_stop is not None and should_stop():
+            report.state = "CANCELLED"
+            raise JobCancelled(f"run {report.run_id} cancelled")
+
     try:
         # resume correctness guard: bucket ids are only comparable across
         # runs when n_buckets matches — a silent mismatch would make the
@@ -109,6 +129,7 @@ def run_transcripts_job(
         report.pending = pending
         report.skipped = n_buckets - len(pending)
         if pending:
+            _check_cancel()  # last pre-write boundary (see docstring)
             todo = bucketed.where(F.col("bucket").isin(pending))
             triples = convert_transcripts(
                 spark,
@@ -172,6 +193,8 @@ def run_transcripts_job(
                     },
                 )
         report.state = "FINISHED"
+    except JobCancelled:
+        raise  # state already CANCELLED
     except Exception:
         if report.state != "FAILED":
             report.state = "FAILED"

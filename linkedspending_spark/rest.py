@@ -107,6 +107,15 @@ class RestService:
             "health": "/health",
         }
 
+    def _bounded_rows(self, df: DataFrame, limit: int | None = None) -> list:
+        """THE single point where a DataFrame crosses into driver memory
+        for an HTTP response. Every endpoint collects through here, so
+        no endpoint can return more than ``max_rows`` rows regardless of
+        a crafted body — the bound is applied AT the collect, not left
+        to each route's own discipline (pytest-gated)."""
+        n = self.max_rows if limit is None else min(limit, self.max_rows)
+        return [r.asDict() for r in df.limit(n).collect()]
+
     def datasets(self) -> list:
         """Per-dataset manifest rollup with the reference's TTL cache
         (Rest.java:37-40,123: datasetsLastFetched + DATASETS_TTL)."""
@@ -121,7 +130,7 @@ class RestService:
             raise _HttpError(404, "no manifest store configured")
         from .sources.manifest import ManifestStore
 
-        rows = (
+        out = self._bounded_rows(
             ManifestStore(self.spark, self.manifest_path)
             .read()
             .where(~F.col("dataset").startswith("__"))
@@ -134,10 +143,7 @@ class RestService:
                 F.count(F.lit(1)).alias("n_commits"),
             )
             .orderBy("dataset")
-            .limit(self.max_rows)
-            .collect()
         )
-        out = [r.asDict() for r in rows]
         with self._cache_lock:
             self._datasets_cache = (time.monotonic(), out)
         return out
@@ -147,8 +153,9 @@ class RestService:
             raise _HttpError(404, "no manifest store configured")
         from .jobs import list_runs
 
-        df = list_runs(self.spark, self.manifest_path, self.metrics_path)
-        return [r.asDict() for r in df.limit(self.max_rows).collect()]
+        return self._bounded_rows(
+            list_runs(self.spark, self.manifest_path, self.metrics_path)
+        )
 
     def triples_read(self, qs: dict) -> list:
         if self.triples is None:
@@ -169,11 +176,14 @@ class RestService:
             dataset=qs.get("dataset", [None])[0],
             manifest_path=self.manifest_path,
         )
-        return [r.asDict() for r in df.limit(limit).collect()]
+        return self._bounded_rows(df, limit)
 
     def sparql(self, body: dict):
         if self.triples is None:
             raise _HttpError(404, "no triple table configured")
+        # W3C output types each binding from the data: with_kinds threads
+        # o_kind/o_datatype/o_lang through as <v>__kind companions
+        w3c = body.get("format") == "w3c"
         if body.get("query"):  # textual SPARQL (Sparql.java:26-29 analog)
             from .sparql import SparqlSyntaxError, parse_select, select_text
 
@@ -185,22 +195,23 @@ class RestService:
                     stats=self.stats,
                     limit_cap=self.max_rows,
                     parsed=p,
+                    with_kinds=w3c,
                 )
             except (SparqlSyntaxError, ValueError) as e:
                 raise _HttpError(400, str(e)) from e
             if p.ask:
                 answer = bool(df.take(1))
-                if body.get("format") == "w3c":
+                if w3c:
                     return {"head": {}, "boolean": answer}
                 return {"ask": answer}
         else:
-            df = self._sparql_algebra(body)
-        rows = [r.asDict() for r in df.collect()]
-        if body.get("format") == "w3c":
+            df = self._sparql_algebra(body, with_kinds=w3c)
+        rows = self._bounded_rows(df)
+        if w3c:
             return _w3c_results(df.columns, rows)
         return rows
 
-    def _sparql_algebra(self, body: dict) -> DataFrame:
+    def _sparql_algebra(self, body: dict, with_kinds: bool = False) -> DataFrame:
         patterns = body.get("patterns")
         if not patterns and not body.get("unions"):
             raise _HttpError(
@@ -226,6 +237,7 @@ class RestService:
                 order_by=body.get("order_by", []),
                 limit=limit,
                 stats=self.stats,
+                with_kinds=with_kinds,
             )
         except ValueError as e:
             raise _HttpError(400, str(e)) from e
@@ -265,12 +277,20 @@ class RestService:
             entry = {"state": "RUNNING", "kind": "convert", "group": group}
             self._jobs[jid] = entry
 
+        def _cancelled() -> bool:
+            with self._jobs_lock:
+                return entry["state"] == "CANCELLED"
+
         def _run() -> None:
-            from .jobs import run_transcripts_job
+            from .jobs import JobCancelled, run_transcripts_job
 
             sc = self.spark.sparkContext
             # job-group is a thread-local property: every Spark job this
-            # worker thread launches is cancellable as one unit
+            # worker thread launches is cancellable as one unit. A cancel
+            # can also land BETWEEN Spark jobs (cancelJobGroup only
+            # interrupts jobs running at that instant), so the runner
+            # additionally polls should_stop at phase boundaries, and
+            # the success path below never overwrites a CANCELLED state.
             sc.setJobGroup(group, f"rest convert {jid}", interruptOnCancel=True)
             try:
                 transcripts = self.spark.read.parquet(body["input"])
@@ -282,20 +302,26 @@ class RestService:
                     n_buckets=n_buckets,
                     with_mentions=bool(body.get("with_mentions", True)),
                     metrics_path=body.get("metrics"),
+                    should_stop=_cancelled,
                 )
-                entry["report"] = {
-                    "run_id": report.run_id,
-                    "state": report.state,
-                    "pending": report.pending,
-                    "skipped": report.skipped,
-                    "converted_triples": report.converted_triples,
-                    "seconds": report.seconds,
-                }
-                entry["state"] = report.state
+                with self._jobs_lock:
+                    entry["report"] = {
+                        "run_id": report.run_id,
+                        "state": report.state,
+                        "pending": report.pending,
+                        "skipped": report.skipped,
+                        "converted_triples": report.converted_triples,
+                        "seconds": report.seconds,
+                    }
+                    if entry["state"] != "CANCELLED":
+                        entry["state"] = report.state
+            except JobCancelled:
+                pass  # state already CANCELLED by job_cancel
             except Exception as e:  # noqa: BLE001 — surfaced via /jobs/active
-                if entry["state"] != "CANCELLED":
-                    entry["state"] = "FAILED"
-                    entry["error"] = f"{type(e).__name__}: {e}"[:500]
+                with self._jobs_lock:
+                    if entry["state"] != "CANCELLED":
+                        entry["state"] = "FAILED"
+                        entry["error"] = f"{type(e).__name__}: {e}"[:500]
             finally:
                 try:
                     sc.setLocalProperty("spark.jobGroup.id", None)
@@ -315,23 +341,39 @@ class RestService:
         unfinished datasets)."""
         with self._jobs_lock:
             entry = self._jobs.get(jid)
-        if entry is None:
-            raise _HttpError(404, f"no job {jid!r}")
-        if entry["state"] == "RUNNING":
-            entry["state"] = "CANCELLED"
+            if entry is None:
+                raise _HttpError(404, f"no job {jid!r}")
+            cancel_now = entry["state"] == "RUNNING"
+            if cancel_now:
+                entry["state"] = "CANCELLED"
+            state = entry["state"]
+        if cancel_now:
+            # outside the lock: Spark RPC; the worker also polls the
+            # CANCELLED state at phase boundaries (should_stop hook)
             self.spark.sparkContext.cancelJobGroup(entry["group"])
-        return {"job": jid, "state": entry["state"]}
+        return {"job": jid, "state": state}
 
 
 def _w3c_results(cols: list, rows: list) -> dict:
     """Solutions in the W3C ``application/sparql-results+json`` shape
     (https://www.w3.org/TR/sparql11-results-json/) so stock SPARQL
     client libraries can consume the endpoint. NULL = unbound = the
-    variable is omitted from the binding, per the spec. Term typing is
-    recovered from the value (the solution columns are lexical forms):
-    ``http(s)://`` → ``uri``, numbers (aggregates) → typed literals."""
+    variable is omitted from the binding, per the spec.
 
-    def term(v):
+    Term typing comes from the DATA when the solution carries
+    ``<v>__kind``/``<v>__datatype``/``<v>__lang`` companion columns
+    (the triple table's own ``o_kind`` metadata, threaded through by
+    ``with_kinds`` — so a literal whose lexical form is a URL is still
+    a ``literal``, and a typed literal keeps its datatype / language
+    tag). Aggregates and expressions are typed by their Python result
+    type. Only a value with NO metadata (VALUES/BIND-born variables on
+    the algebra path) falls back to the ``http(s)://`` prefix
+    heuristic."""
+    from .serve import _is_companion
+
+    var_cols = [c for c in cols if not _is_companion(c)]
+
+    def term(v, kind=None, datatype=None, lang=None):
         if isinstance(v, bool):
             return {"type": "literal", "value": str(v).lower(),
                     "datatype": "http://www.w3.org/2001/XMLSchema#boolean"}
@@ -342,18 +384,34 @@ def _w3c_results(cols: list, rows: list) -> dict:
             return {"type": "literal", "value": repr(v),
                     "datatype": "http://www.w3.org/2001/XMLSchema#double"}
         v = str(v)
-        if v.startswith(("http://", "https://")):
+        if kind == "uri":
+            return {"type": "uri", "value": v}
+        if kind == "literal":
+            out = {"type": "literal", "value": v}
+            if datatype:
+                out["datatype"] = datatype
+            if lang:
+                out["xml:lang"] = lang
+            return out
+        if v.startswith(("http://", "https://")):  # no metadata: heuristic
             return {"type": "uri", "value": v}
         return {"type": "literal", "value": v}
 
+    def binding(r: dict) -> dict:
+        return {
+            k: term(
+                r[k],
+                r.get(k + "__kind"),
+                r.get(k + "__datatype"),
+                r.get(k + "__lang"),
+            )
+            for k in var_cols
+            if r.get(k) is not None
+        }
+
     return {
-        "head": {"vars": list(cols)},
-        "results": {
-            "bindings": [
-                {k: term(v) for k, v in r.items() if v is not None}
-                for r in rows
-            ]
-        },
+        "head": {"vars": var_cols},
+        "results": {"bindings": [binding(r) for r in rows]},
     }
 
 

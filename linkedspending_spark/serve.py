@@ -135,6 +135,18 @@ def _is_var(term) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+#: companion-column suffixes carried per variable under ``with_kinds``
+_KIND_SUFFIXES = ("__kind", "__datatype", "__lang")
+
+
+def _is_companion(col: str) -> bool:
+    return col.endswith(_KIND_SUFFIXES)
+
+
+def _companions_of(var: str, columns) -> list[str]:
+    return [c for c in (var + s for s in _KIND_SUFFIXES) if c in columns]
+
+
 def bgp_stats(triples: DataFrame) -> dict:
     """One-time cardinality statistics for :func:`select_bgp` ordering.
 
@@ -223,6 +235,7 @@ def select_bgp(
     n_buckets: int | None = None,
     manifest_path: str | None = None,
     stats: dict | None = None,
+    with_kinds: bool = False,
 ) -> DataFrame:
     """Basic-graph-pattern (conjunctive) select — Sparql.java:40-53 analog.
 
@@ -252,6 +265,16 @@ def select_bgp(
     becomes an in-scan equality filter; an all-constant pattern acts
     as an existence gate on the whole result (its empty/non-empty
     scan cross-joined at one row).
+
+    ``with_kinds=True`` additionally carries each variable's RDF term
+    typing as companion columns ``<v>__kind`` / ``<v>__datatype`` /
+    ``<v>__lang``: read from the triple table's own ``o_kind``/
+    ``o_datatype``/``o_lang`` metadata when the variable binds at the
+    object position, constant ``uri`` when it binds at subject/
+    predicate position (those are URIs by RDF construction). The W3C
+    results serializer types bindings from these instead of guessing
+    from the lexical form. Variable names may not end in ``__kind``/
+    ``__datatype``/``__lang`` under this flag (reserved; raises).
     """
     if not patterns:
         raise ValueError("select_bgp needs at least one pattern")
@@ -282,9 +305,29 @@ def select_bgp(
                     if v not in out_order:
                         out_order.append(v)
         if first_col:
-            proj = df.select(
-                *[F.col(c).alias(v) for v, c in first_col.items()]
-            )
+            cols = [F.col(c).alias(v) for v, c in first_col.items()]
+            if with_kinds:
+                for v, c in first_col.items():
+                    if _is_companion(v):
+                        raise ValueError(
+                            f"variable ?{v} ends in a reserved companion "
+                            "suffix (__kind/__datatype/__lang) — rename "
+                            "it or drop with_kinds"
+                        )
+                    if c == "o":  # typing metadata travels with the term
+                        cols += [
+                            F.col("o_kind").alias(f"{v}__kind"),
+                            F.col("o_datatype").alias(f"{v}__datatype"),
+                            F.col("o_lang").alias(f"{v}__lang"),
+                        ]
+                    else:  # s/p-position terms are URIs by construction
+                        cols += [
+                            F.lit("uri").alias(f"{v}__kind"),
+                            F.lit(None).cast("string")
+                            .alias(f"{v}__datatype"),
+                            F.lit(None).cast("string").alias(f"{v}__lang"),
+                        ]
+            proj = df.select(*cols)
         else:  # all-constant pattern: 1-row/0-row existence gate
             proj = df.limit(1).select(F.lit(1).alias(f"__exists_{pat_i}"))
         cost = (
@@ -299,8 +342,19 @@ def select_bgp(
     for i in order[1:]:
         vs, df, _ = plans[i]
         shared = sorted(vs & bound)
+        if with_kinds and shared:
+            # the joined prefix already carries companions for shared
+            # vars — drop the right side's copies (same term, and the
+            # join keys are the var columns only)
+            df = df.drop(
+                *[c for v in shared for c in _companions_of(v, df.columns)]
+            )
         joined = joined.join(df, on=shared) if shared else joined.crossJoin(df)
         bound = bound | vs
+    if with_kinds:
+        out_order = out_order + [
+            c for v in out_order for c in _companions_of(v, joined.columns)
+        ]
     return joined.select(*out_order)
 
 
@@ -368,6 +422,7 @@ def select_sparql(
     manifest_path: str | None = None,
     stats: dict | None = None,
     groups: Sequence[tuple] | None = None,
+    with_kinds: bool = False,
 ) -> DataFrame:
     """SPARQL SELECT beyond the conjunctive BGP: OPTIONAL + FILTER +
     UNION + DISTINCT/ORDER BY/LIMIT over :func:`select_bgp` groups
@@ -429,13 +484,30 @@ def select_sparql(
     every optional instead of re-scanning the corpus. UNION branches
     are independent pushed-down scans — Spark unions are plan-level
     (no shuffle, no materialization).
+
+    ``with_kinds=True`` threads each variable's RDF term typing through
+    as ``<v>__kind``/``<v>__datatype``/``<v>__lang`` companion columns
+    (see :func:`select_bgp`); joins still key on the variable columns
+    only. Variables bound only by VALUES or BIND carry no companions
+    (consumers fall back per-binding). Note DISTINCT then dedups by
+    TERM identity (lexical form + kind + datatype + lang) — the more
+    SPARQL-faithful reading.
     """
     kw = dict(
         dataset=dataset,
         n_buckets=n_buckets,
         manifest_path=manifest_path,
         stats=stats,
+        with_kinds=with_kinds,
     )
+
+    def _join_vars(cols) -> list[str]:
+        """Join keys: shared VARIABLE columns (never companions)."""
+        return [
+            c
+            for c in out_order
+            if c in cols and not (with_kinds and _is_companion(c))
+        ]
     if groups is None:
         groups = [("optional", g) for g in optionals] + [
             ("union", u) for u in unions
@@ -497,7 +569,16 @@ def select_sparql(
         if kind == "optional":
             opt_patterns, opt_filters = _optional_payload(payload)
             opt = select_bgp(triples, opt_patterns, **kw)
-            shared = [c for c in out_order if c in opt.columns]
+            shared = _join_vars(opt.columns)
+            if with_kinds and shared:
+                # prefix already carries the shared vars' companions
+                opt = opt.drop(
+                    *[
+                        c
+                        for v in shared
+                        for c in _companions_of(v, opt.columns)
+                    ]
+                )
             _refuse_nullable_join(shared, "solution side of OPTIONAL")
             new = [c for c in opt.columns if c not in bound]
             if opt_filters:
@@ -552,7 +633,11 @@ def select_sparql(
             bound |= set(opt.columns)
         elif kind == "union":
             u, branch_cols = _eval_union(triples, payload, kw)
-            shared = [c for c in out_order if c in u.columns]
+            shared = _join_vars(u.columns)
+            if with_kinds and shared:
+                u = u.drop(
+                    *[c for v in shared for c in _companions_of(v, u.columns)]
+                )
             partial = [
                 c for c in shared if any(c not in bc for bc in branch_cols)
             ]
@@ -573,7 +658,7 @@ def select_sparql(
         elif kind == "values":
             names, rows = payload
             v = _values_df(triples.sparkSession, names, rows)
-            shared = [c for c in out_order if c in v.columns]
+            shared = _join_vars(v.columns)
             undef_shared = [
                 c
                 for c in shared

@@ -808,6 +808,7 @@ def select_text(
     stats: dict | None = None,
     limit_cap: int | None = None,
     parsed: ParsedQuery | None = None,
+    with_kinds: bool = False,
 ) -> DataFrame:
     """Run a textual SPARQL SELECT (the reference's ``Sparql.select``
     analog, Sparql.java:26-29) over the triple table.
@@ -824,6 +825,14 @@ def select_text(
     applied even when the query has no LIMIT of its own). ``parsed``
     lets a caller that already ran :func:`parse_select` (e.g. to branch
     on ``ask``) skip the reparse.
+
+    ``with_kinds=True`` threads RDF term typing through as
+    ``<v>__kind``/``<v>__datatype``/``<v>__lang`` companion columns
+    (see :func:`~linkedspending_spark.serve.select_sparql`); the
+    projection keeps each projected variable's companions. Aggregation
+    drops them (aggregate values are typed by their OWN result type —
+    counts/sums are numeric, MIN/MAX return lexical forms), and
+    variables born in BIND/SELECT expressions or VALUES carry none.
     """
     q = parsed if parsed is not None else parse_select(query)
     df = select_sparql(
@@ -835,6 +844,7 @@ def select_text(
         n_buckets=n_buckets,
         manifest_path=manifest_path,
         stats=stats,
+        with_kinds=with_kinds,
     )
     if q.ask:
         # ASK: Spark-lazy boolean — a ≤1-row DataFrame; non-empty = true.
@@ -884,11 +894,24 @@ def select_text(
             keys.append(F.col(var).desc() if desc else F.col(var).asc())
         return d.orderBy(*keys)
 
+    def _project(d: DataFrame) -> DataFrame:
+        # keep each projected variable's typing companions (with_kinds)
+        from .serve import _companions_of
+
+        cols: list[str] = []
+        for v in q.project:
+            cols.append(v)
+            if with_kinds:
+                cols += _companions_of(v, d.columns)
+        return d.select(*cols)
+
     if q.distinct:
         # SPARQL: DISTINCT dedups the projection; ORDER BY keys must
-        # then be projected variables (the spec's own restriction)
+        # then be projected variables (the spec's own restriction).
+        # Under with_kinds the companions participate — dedup by TERM
+        # identity, the SPARQL-faithful reading.
         if q.project is not None:
-            df = df.select(*q.project)
+            df = _project(df)
         df = df.dropDuplicates()
         if q.order_by:
             df = _order(df)
@@ -898,7 +921,7 @@ def select_text(
         if q.order_by:
             df = _order(df)
         if q.project is not None:
-            df = df.select(*q.project)
+            df = _project(df)
     limit = q.limit
     if limit_cap is not None:
         limit = limit_cap if limit is None else min(limit, limit_cap)

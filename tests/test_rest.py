@@ -351,3 +351,165 @@ def test_malformed_numeric_params_are_400(rest_server):
     assert _post(base + "/jobs/convert", {"input": "x", "output": "y",
                                           "manifests": "z",
                                           "n_buckets": "many"})[0] == 400
+
+
+# --- round 5: data-driven W3C typing, single bounding choke point ---------
+
+
+@pytest.fixture(scope="module")
+def typed_server(spark):
+    """A tiny triple table with adversarial typing: a literal whose
+    lexical form IS a URL, a genuine URI object, a typed numeric, and a
+    language-tagged label — plus max_rows=3 to gate the choke point."""
+    rows = [
+        # s, p, o, o_kind, o_datatype, o_lang, dataset
+        ("http://ex/d1", M.RDFS_LABEL, "http://looks-like-a-uri.example/x",
+         "literal", None, "en", "t"),
+        ("http://ex/d1", M.RDF_TYPE, M.QB_DATASET, "uri", None, None, "t"),
+        ("http://ex/d1", "http://ex/num", "42", "literal",
+         M.NS_XSD + "integer", None, "t"),
+        ("http://ex/d2", M.RDFS_LABEL, "plain words", "literal",
+         None, None, "t"),
+        ("http://ex/d2", M.RDF_TYPE, M.QB_DATASET, "uri", None, None, "t"),
+        ("http://ex/d3", M.RDF_TYPE, M.QB_DATASET, "uri", None, None, "t"),
+        ("http://ex/d4", M.RDF_TYPE, M.QB_DATASET, "uri", None, None, "t"),
+    ]
+    triples = spark.createDataFrame(
+        rows,
+        "s string, p string, o string, o_kind string, o_datatype string, "
+        "o_lang string, dataset string",
+    )
+    service = RestService(spark, triples=triples, max_rows=3, with_stats=False)
+    server = make_server(service)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+    yield f"http://127.0.0.1:{port}", service
+    server.shutdown()
+
+
+def test_w3c_typing_from_data_not_heuristic(typed_server):
+    """W3C bindings are typed from o_kind/o_datatype/o_lang: a literal
+    that CONTAINS a URL stays `literal` (the old prefix heuristic would
+    mistype it `uri`), a URI object is `uri`, a typed numeric carries
+    its datatype, a tagged label its xml:lang."""
+    base, _ = typed_server
+    status, res = _post(
+        base + "/sparql",
+        {"query": 'select ?o { <http://ex/d1> ?p ?o }', "format": "w3c"},
+    )
+    assert status == 200
+    assert res["head"]["vars"] == ["o"]  # companions never leak out
+    by_val = {b["o"]["value"]: b["o"] for b in res["results"]["bindings"]}
+    url_lit = by_val["http://looks-like-a-uri.example/x"]
+    assert url_lit["type"] == "literal" and url_lit["xml:lang"] == "en"
+    assert by_val[M.QB_DATASET]["type"] == "uri"
+    num = by_val["42"]
+    assert num["type"] == "literal"
+    assert num["datatype"] == M.NS_XSD + "integer"
+
+    # subject-position variables are uri by construction
+    status, res = _post(
+        base + "/sparql",
+        {"query": "select ?d { ?d a qb:DataSet } limit 2", "format": "w3c"},
+    )
+    assert all(
+        b["d"]["type"] == "uri" for b in res["results"]["bindings"]
+    )
+
+    # aggregates: typed by their own result type (integer count)
+    status, res = _post(
+        base + "/sparql",
+        {"query": "select (count(*) as ?n) { ?s ?p ?o }", "format": "w3c"},
+    )
+    n = res["results"]["bindings"][0]["n"]
+    assert n["datatype"].endswith("integer") and n["value"] == "7"
+
+
+def test_w3c_typing_via_optional_and_union(typed_server):
+    """Companion columns survive OPTIONAL left joins and UNION branches."""
+    base, _ = typed_server
+    status, res = _post(
+        base + "/sparql",
+        {
+            "query": "select ?d ?l { ?d a qb:DataSet "
+                     "optional { ?d rdfs:label ?l } } order by ?d",
+            "format": "w3c",
+        },
+    )
+    assert status == 200
+    bindings = res["results"]["bindings"]
+    assert len(bindings) == 3  # max_rows=3 caps d1..d4
+    b1 = next(b for b in bindings if b["d"]["value"].endswith("d1"))
+    assert b1["l"]["type"] == "literal" and b1["l"]["xml:lang"] == "en"
+    b3 = next(b for b in bindings if b["d"]["value"].endswith("d3"))
+    assert "l" not in b3  # unbound optional omitted per spec
+
+
+def test_no_endpoint_exceeds_max_rows(typed_server, rest_server):
+    """The single bounding choke point: no endpoint returns more than
+    max_rows rows, whatever the body or query string claims."""
+    base, service = typed_server
+    assert service.max_rows == 3
+    # GET /triples with a crafted limit
+    status, rows = _get(base + "/triples?limit=999999")
+    assert status == 200 and len(rows) == 3
+    # POST /sparql algebra with a crafted limit
+    status, sols = _post(
+        base + "/sparql",
+        {"patterns": [["?s", "?p", "?o"]], "limit": 999999},
+    )
+    assert status == 200 and len(sols) == 3
+    # POST /sparql textual with its own huge LIMIT and an OFFSET
+    status, sols = _post(
+        base + "/sparql", {"query": "select ?s { ?s ?p ?o } limit 999999"}
+    )
+    assert status == 200 and len(sols) == 3
+    # textual without any LIMIT at all
+    status, sols = _post(base + "/sparql", {"query": "select ?s {?s ?p ?o}"})
+    assert status == 200 and len(sols) == 3
+    # /datasets and /jobs go through the same choke point (bigger
+    # fixture server: its max_rows=500 >= row count, so just shape)
+    rbase, rservice = rest_server
+    assert len(_get(rbase + "/datasets")[1]) <= rservice.max_rows
+    assert len(_get(rbase + "/jobs")[1]) <= rservice.max_rows
+
+
+def test_offset_paging_walks_solutions_exactly_once(typed_server):
+    """OFFSET + ORDER BY pages the full solution set: union of pages =
+    the set, no row twice (REST-level walk per VERDICT item 2)."""
+    base, _ = typed_server
+    seen = []
+    for k in range(0, 9, 2):
+        status, sols = _post(
+            base + "/sparql",
+            {"query": "select ?d { ?d a qb:DataSet } "
+                      f"order by ?d limit 2 offset {k}"},
+        )
+        assert status == 200
+        seen += [s["d"] for s in sols]
+        if not sols:
+            break
+    assert seen == sorted(seen) and len(seen) == len(set(seen)) == 4
+
+
+def test_job_cancel_hook_stops_between_stages(spark, tmp_path):
+    """run_transcripts_job's should_stop hook fires at the pre-write
+    phase boundary: state CANCELLED, JobCancelled raised, nothing
+    committed to the manifest."""
+    from linkedspending_spark.jobs import JobCancelled, run_transcripts_job
+    from linkedspending_spark.sources.manifest import ManifestStore
+    from linkedspending_spark.transcripts import synth_transcripts_df
+
+    t = synth_transcripts_df(spark, n_convs=4, base_turns=3)
+    mpath = str(tmp_path / "m")
+    with pytest.raises(JobCancelled):
+        run_transcripts_job(
+            spark,
+            t,
+            out_path=str(tmp_path / "out"),
+            manifest_path=mpath,
+            n_buckets=4,
+            should_stop=lambda: True,
+        )
+    # nothing was recorded: a resubmit starts from zero, cleanly
+    assert ManifestStore(spark, mpath).read().count() == 0
