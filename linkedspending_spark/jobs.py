@@ -70,6 +70,7 @@ def run_transcripts_job(
     currencies: DataFrame | None = None,
     countries: DataFrame | None = None,
     should_stop=None,
+    run_id: str | None = None,
 ) -> JobReport:
     """Convert all not-yet-done buckets of ``transcripts`` and materialize.
 
@@ -86,20 +87,54 @@ def run_transcripts_job(
     the run raises :class:`JobCancelled` with state CANCELLED; once the
     write has committed, the manifest record still completes — the
     committed data must be resumable, never orphaned silently.
+
+    ``run_id`` — caller-minted id (e.g. the REST binding, so the
+    history is addressable before the report exists); default a fresh
+    :func:`new_run_id`.
+
+    With ``metrics_path`` the run additionally persists its lifecycle
+    TRANSITIONS (Job.java:244-306 per-job history + the
+    EventNotification feed analog) as ``stage='history'`` rows:
+    submitted → resume_resolved → [write_start → write_end] → finished
+    | failed | cancelled — readable after any restart via
+    :func:`job_history`.
     """
     from .sources.metrics import MetricsStore
 
     store = ManifestStore(spark, manifest_path)
     metrics = MetricsStore(spark, metrics_path) if metrics_path else None
-    report = JobReport(run_id=new_run_id(), n_buckets=n_buckets)
+    report = JobReport(run_id=run_id or new_run_id(), n_buckets=n_buckets)
     t0 = time.time()
     report.state = "RUNNING"
+
+    def _event(seq: int, name: str, detail: str | None = None) -> None:
+        # Lifecycle history is telemetry with two hard properties: it
+        # must SURVIVE cancellation (the trail of a cancelled run is the
+        # whole point) and it must never be job-fatal. The tiny parquet
+        # append is a Spark job, so it is written OUTSIDE the caller's
+        # cancellable job group (a cancelJobGroup landing mid-event
+        # would otherwise kill the history write itself), and any
+        # failure is swallowed.
+        if metrics is None:
+            return
+        sc = spark.sparkContext
+        group = sc.getLocalProperty("spark.jobGroup.id")
+        try:
+            if group is not None:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+            metrics.event(report.run_id, seq, name, detail)
+        except Exception:
+            pass
+        finally:
+            if group is not None:
+                sc.setLocalProperty("spark.jobGroup.id", group)
 
     def _check_cancel() -> None:
         if should_stop is not None and should_stop():
             report.state = "CANCELLED"
             raise JobCancelled(f"run {report.run_id} cancelled")
 
+    _event(0, "submitted", f"n_buckets={n_buckets}")
     try:
         # resume correctness guard: bucket ids are only comparable across
         # runs when n_buckets matches — a silent mismatch would make the
@@ -128,8 +163,14 @@ def run_transcripts_job(
         )
         report.pending = pending
         report.skipped = n_buckets - len(pending)
+        _event(
+            1,
+            "resume_resolved",
+            f"pending={len(pending)} skipped={report.skipped}",
+        )
         if pending:
             _check_cancel()  # last pre-write boundary (see docstring)
+            _event(2, "write_start", f"buckets={len(pending)}")
             todo = bucketed.where(F.col("bucket").isin(pending))
             triples = convert_transcripts(
                 spark,
@@ -179,6 +220,7 @@ def run_transcripts_job(
                 rows.append((BUCKETS_SENTINEL, n_buckets, None))
             store.record_many(rows, run_id=report.run_id, version=version)
             report.converted_triples = sum(by_bucket.values())
+            _event(3, "write_end", f"triples={report.converted_triples}")
             if metrics:
                 from .sources.metrics import jvm_memory_metrics
 
@@ -196,11 +238,18 @@ def run_transcripts_job(
     except JobCancelled:
         raise  # state already CANCELLED
     except Exception:
-        if report.state != "FAILED":
+        if should_stop is not None and should_stop():
+            # a cancelJobGroup kill lands as a generic Py4J error from
+            # the interrupted action — the history trail should still
+            # read "cancelled", not "failed"
+            report.state = "CANCELLED"
+        elif report.state != "FAILED":
             report.state = "FAILED"
         raise
     finally:
         report.seconds = time.time() - t0
+        # terminal transition (_event never raises: see its contract)
+        _event(4, report.state.lower(), f"seconds={report.seconds:.3f}")
     return report
 
 
@@ -456,3 +505,27 @@ def list_runs(
     manifest = ManifestStore(spark, manifest_path).read()
     metrics = MetricsStore(spark, metrics_path).read() if metrics_path else None
     return list_runs_df(manifest, metrics)
+
+
+def job_history(
+    spark: SparkSession, metrics_path: str, run_id: str
+) -> DataFrame:
+    """One run's full lifecycle transition trail (Job.java:244-306 job
+    history / NewsFeedWriter event-feed analog), in order: the
+    ``stage='history'`` rows the runners persist. Survives restarts —
+    it reads the on-disk metrics store, not process state. Columns:
+    (run_id, seq, event, detail, ts)."""
+    from .sources.metrics import MetricsStore
+
+    m = MetricsStore(spark, metrics_path).read()
+    return (
+        m.where((F.col("stage") == "history") & (F.col("run_id") == run_id))
+        .select(
+            "run_id",
+            F.col("value").cast("int").alias("seq"),
+            F.col("key").alias("event"),
+            F.col("dataset").alias("detail"),
+            F.round("ts", 3).alias("ts"),
+        )
+        .orderBy("seq", "ts")
+    )

@@ -47,23 +47,53 @@ FEATURE_SCHEMA = (
 
 
 def _try_real_decoder(media_type: str):
-    """Return a real decoder when the library exists — STUB in sandbox.
+    """Return a decode CALLABLE ``(payload, dim) -> list[float] | None``
+    when the library exists, else None — the plug-in seam for
+    heavyweight codecs (JPEG/PNG via PIL, compressed audio via
+    soundfile). Uncompressed container formats — RIFF/WAVE PCM and PPM
+    P6 — are decoded by the dependency-free pure-Python paths below and
+    never reach this seam. A raising seam (or a callable that raises on
+    a payload) degrades to the digest stub instead of failing the
+    mapInPandas task — see ``_real_decoder`` / ``_decode_or_stub``."""
+    if media_type == "image":
+        try:  # pragma: no cover - lib absent in sandbox
+            from PIL import Image
+        except ImportError:
+            return None
 
-    This is the plug-in seam for heavyweight codecs (JPEG/PNG via PIL,
-    compressed audio via soundfile). Uncompressed container formats —
-    RIFF/WAVE PCM and PPM P6 — are decoded by the dependency-free pure
-    Python paths below and never reach this seam."""
-    try:  # pragma: no cover - libs absent in sandbox
-        if media_type == "image":
-            from PIL import Image  # noqa: F401
+        def _pil_decode(payload: bytes, dim: int):  # pragma: no cover
+            import io
 
-            raise NotImplementedError("wire PIL decode here at deployment")
-        if media_type == "audio":
-            import soundfile  # noqa: F401
+            img = Image.open(io.BytesIO(payload)).convert("L")
+            img = img.resize((dim, 1))
+            return [p / 255.0 for p in img.getdata()]
 
-            raise NotImplementedError("wire soundfile decode here at deployment")
-    except ImportError:
-        return None
+        return _pil_decode
+    if media_type == "audio":
+        try:  # pragma: no cover - lib absent in sandbox
+            import soundfile
+        except ImportError:
+            return None
+
+        def _sf_decode(payload: bytes, dim: int):  # pragma: no cover
+            import io
+
+            data, _rate = soundfile.read(io.BytesIO(payload))
+            if getattr(data, "ndim", 1) > 1:
+                data = data.mean(axis=1)
+            n = len(data)
+            if n == 0:
+                return None
+            return [
+                float(
+                    (sum(s * s for s in data[i * n // dim : (i + 1) * n // dim])
+                     / max(1, len(data[i * n // dim : (i + 1) * n // dim])))
+                    ** 0.5
+                )
+                for i in range(dim)
+            ]
+
+        return _sf_decode
     return None
 
 
@@ -161,15 +191,24 @@ _REAL_DECODERS: dict[str, object] = {}
 
 
 def _real_decoder(media_type: str):
+    """Cached seam lookup: a seam that RAISES while building is cached
+    as None (one log-free degradation per executor, not a per-batch
+    task failure)."""
     if media_type not in _REAL_DECODERS:
-        _REAL_DECODERS[media_type] = _try_real_decoder(media_type)
+        try:
+            _REAL_DECODERS[media_type] = _try_real_decoder(media_type)
+        except Exception:  # broken plug-in: degrade to the stub, cached
+            _REAL_DECODERS[media_type] = None
     return _REAL_DECODERS[media_type]
 
 
 def _decode_or_stub(media_type: str, payload: bytes, dim: int):
     """Decode one payload: pure-Python WAV/PPM when the magic + full
     header parse succeeds, the library seam when present, else the
-    deterministic digest stub.  Returns (feature, decode_status)."""
+    deterministic digest stub.  Returns (feature, decode_status). A
+    seam callable that raises or returns None on a payload falls back
+    to the stub for THAT payload — a decode failure is per-row data,
+    never a task failure."""
     payload = payload or b""
     if media_type == "audio":
         f = _decode_wav(payload, dim)
@@ -181,7 +220,12 @@ def _decode_or_stub(media_type: str, payload: bytes, dim: int):
             return f, "decoded"
     dec = _real_decoder(media_type)  # plug-in seam: None in sandbox
     if dec is not None:
-        return dec(payload, dim), "decoded"
+        try:
+            f = dec(payload, dim)
+        except Exception:
+            f = None
+        if f is not None and len(f) == dim:
+            return [float(x) for x in f], "decoded"
     return _fake_feature(payload, dim), "stubbed"
 
 

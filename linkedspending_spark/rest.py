@@ -102,6 +102,7 @@ class RestService:
             "jobs_active": "/jobs/active",
             "convert": "POST /jobs/convert",
             "cancel": "POST /jobs/cancel/{id}",
+            "history": "/jobs/history/{run_id}",
             "triples": "/triples?s=&p=&o=&dataset=&limit=",
             "sparql": "POST /sparql",
             "health": "/health",
@@ -252,11 +253,33 @@ class RestService:
                     "job": jid,
                     "state": e["state"],
                     "kind": e["kind"],
+                    "run_id": e.get("run_id"),
+                    # a CANCELLED state flips at cancel time; the worker
+                    # may still be unwinding — this says when it is done
+                    "thread_alive": (
+                        e.get("thread") is not None and e["thread"].is_alive()
+                    ),
                     "report": e.get("report"),
                     "error": e.get("error"),
                 }
                 for jid, e in sorted(self._jobs.items())
             ]
+
+    def job_history(self, run_id: str) -> list:
+        """GET /jobs/history/{run_id}: the run's persisted lifecycle
+        transition trail (jobs.job_history — Job.java:244-306 history +
+        NewsFeedWriter feed analog). Reads the service's configured
+        metrics store, so it survives process restarts."""
+        if self.metrics_path is None:
+            raise _HttpError(404, "no metrics store configured")
+        from .jobs import job_history
+
+        rows = self._bounded_rows(
+            job_history(self.spark, self.metrics_path, run_id)
+        )
+        if not rows:
+            raise _HttpError(404, f"no history for run {run_id!r}")
+        return rows
 
     def job_convert(self, body: dict) -> dict:
         """Submit a convert run (Rest.java /control/convertcomplete —
@@ -270,11 +293,22 @@ class RestService:
         n_buckets = _client_int(body.get("n_buckets", 64), "n_buckets")
         if n_buckets == 0:
             raise _HttpError(400, "'n_buckets' must be positive")
+        from .sources.manifest import new_run_id
+
+        # minted HERE so the lifecycle history (GET /jobs/history/{run})
+        # is addressable from the submit response onward, across restarts
+        run_id = new_run_id()
+        metrics_path = body.get("metrics", self.metrics_path)
         with self._jobs_lock:
             self._job_seq += 1
             jid = f"j{self._job_seq:04d}"
             group = f"rest-{jid}"
-            entry = {"state": "RUNNING", "kind": "convert", "group": group}
+            entry = {
+                "state": "RUNNING",
+                "kind": "convert",
+                "group": group,
+                "run_id": run_id,
+            }
             self._jobs[jid] = entry
 
         def _cancelled() -> bool:
@@ -301,8 +335,9 @@ class RestService:
                     manifest_path=body["manifests"],
                     n_buckets=n_buckets,
                     with_mentions=bool(body.get("with_mentions", True)),
-                    metrics_path=body.get("metrics"),
+                    metrics_path=metrics_path,
                     should_stop=_cancelled,
+                    run_id=run_id,
                 )
                 with self._jobs_lock:
                     entry["report"] = {
@@ -331,7 +366,13 @@ class RestService:
         t = threading.Thread(target=_run, daemon=True, name=group)
         entry["thread"] = t
         t.start()
-        return {"job": jid, "state": "RUNNING", "cancel": f"/jobs/cancel/{jid}"}
+        return {
+            "job": jid,
+            "state": "RUNNING",
+            "run_id": run_id,
+            "cancel": f"/jobs/cancel/{jid}",
+            "history": f"/jobs/history/{run_id}",
+        }
 
     def job_cancel(self, jid: str) -> dict:
         """Rest.java /control/stopconvert analog. Cancels the
@@ -467,6 +508,9 @@ def _make_handler(service: RestService):
                 "/triples": lambda: service.triples_read(qs),
             }
             fn = routes.get(url.path)
+            if fn is None and url.path.startswith("/jobs/history/"):
+                run_id = url.path[len("/jobs/history/"):]
+                fn = lambda: service.job_history(run_id)  # noqa: E731
             if fn is None:
                 self._reply(404, {"error": f"no route {url.path}"})
             else:

@@ -43,6 +43,15 @@ class MetricsStore:
             "append"
         ).parquet(self.path)
 
+    def event(
+        self, run_id: str, seq: int, event: str, detail: str | None = None
+    ) -> None:
+        """One job lifecycle transition (Job.java:244-306 history analog):
+        stored as a ``stage='history'`` metrics row — key = event name,
+        value = sequence number (total order within the run; ``ts``
+        breaks ties), dataset = free-form detail."""
+        self.record(run_id, "history", {event: seq}, dataset=detail)
+
     def read(self) -> DataFrame:
         if not os.listdir(self.path):
             return self.spark.createDataFrame([], METRICS_SCHEMA)

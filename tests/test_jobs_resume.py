@@ -145,3 +145,45 @@ def test_list_runs_summarizes_real_jobs(spark, tmp_path):
     # no-op resume run records no partition rows -> still one run listed
     run_transcripts_job(spark, t, out, man, n_buckets=8, metrics_path=met)
     assert list_runs(spark, man).count() == 1
+
+
+def test_job_history_transition_trail(spark, tmp_path):
+    """Lifecycle history (Job.java:244-306 per-job history analog): a
+    run with a metrics store persists its transition trail — readable
+    after a 'restart' (a fresh store handle over the parquet), ordered,
+    and distinct per run kind: full convert, no-op resume, cancelled."""
+    from linkedspending_spark.jobs import JobCancelled, job_history
+
+    t = synth_transcripts_df(spark, n_convs=10, base_turns=4, seed=3)
+    out, man, met = str(tmp_path / "o"), str(tmp_path / "m"), str(tmp_path / "met")
+    r1 = run_transcripts_job(spark, t, out, man, n_buckets=8, metrics_path=met)
+    trail = job_history(spark, met, r1.run_id).collect()
+    assert [r["event"] for r in trail] == [
+        "submitted", "resume_resolved", "write_start", "write_end", "finished",
+    ]
+    assert [r["seq"] for r in trail] == [0, 1, 2, 3, 4]
+    assert trail[0]["detail"] == "n_buckets=8"
+    assert f"triples={r1.converted_triples}" == trail[3]["detail"]
+
+    # no-op resume: no write phase in the trail
+    r2 = run_transcripts_job(spark, t, out, man, n_buckets=8, metrics_path=met)
+    trail2 = job_history(spark, met, r2.run_id).collect()
+    assert [r["event"] for r in trail2] == [
+        "submitted", "resume_resolved", "finished",
+    ]
+    assert trail2[1]["detail"] == "pending=0 skipped=8"
+
+    # cancelled pre-write: terminal event is 'cancelled', and the trail
+    # is addressable by the CALLER-minted run_id before any report exists
+    with pytest.raises(JobCancelled):
+        run_transcripts_job(
+            spark, t, str(tmp_path / "o2"), str(tmp_path / "m2"),
+            n_buckets=8, metrics_path=met, should_stop=lambda: True,
+            run_id="run-hist-cancel",
+        )
+    trail3 = job_history(spark, met, "run-hist-cancel").collect()
+    assert [r["event"] for r in trail3] == [
+        "submitted", "resume_resolved", "cancelled",
+    ]
+    # unknown run -> empty (the REST layer turns this into a 404)
+    assert job_history(spark, met, "nope").count() == 0

@@ -137,3 +137,43 @@ def test_decode_false_forces_stub(spark):
     assert real["decode_status"] == "decoded"
     assert stub["decode_status"] == "stubbed"
     assert stub["feature"] != real["feature"]
+
+
+def test_decoder_seam_degrades_not_fails(monkeypatch):
+    """The plug-in seam can be broken three ways — a raising builder, a
+    callable that raises on a payload, a callable returning the wrong
+    shape — and every one degrades to the digest stub (cached where it
+    is a seam-level failure), never a task failure."""
+    from linkedspending_spark.operators import multimodal as mm
+
+    def _raise_builder(_m):
+        raise RuntimeError("broken plug-in")
+
+    monkeypatch.setattr(mm, "_try_real_decoder", _raise_builder)
+    mm._REAL_DECODERS.clear()
+    f, status = mm._decode_or_stub("video", b"xyz", 4)
+    assert status == "stubbed" and len(f) == 4
+    assert mm._REAL_DECODERS["video"] is None  # failure cached, one probe
+
+    mm._REAL_DECODERS.clear()
+    monkeypatch.setattr(
+        mm, "_try_real_decoder", lambda m: (lambda p, d: [0.5] * d)
+    )
+    f, status = mm._decode_or_stub("video", b"xyz", 4)
+    assert status == "decoded" and f == [0.5] * 4
+
+    mm._REAL_DECODERS.clear()
+
+    def _bad_payload(_p, _d):
+        raise ValueError("bad payload")
+
+    monkeypatch.setattr(mm, "_try_real_decoder", lambda m: _bad_payload)
+    f, status = mm._decode_or_stub("video", b"xyz", 4)
+    assert status == "stubbed" and len(f) == 4
+
+    mm._REAL_DECODERS.clear()
+    monkeypatch.setattr(
+        mm, "_try_real_decoder", lambda m: (lambda p, d: [0.1])  # wrong dim
+    )
+    assert mm._decode_or_stub("video", b"xyz", 4)[1] == "stubbed"
+    mm._REAL_DECODERS.clear()

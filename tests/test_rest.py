@@ -513,3 +513,71 @@ def test_job_cancel_hook_stops_between_stages(spark, tmp_path):
         )
     # nothing was recorded: a resubmit starts from zero, cleanly
     assert ManifestStore(spark, mpath).read().count() == 0
+
+
+def test_job_history_endpoint_survives_restart(rest_server, spark, tmp_path):
+    """GET /jobs/history/{run_id} (Job.java history + NewsFeedWriter
+    feed analog): a cancelled REST convert leaves its full transition
+    trail in the metrics store, readable from a FRESH service instance
+    (process-restart analog) via the run_id returned at submit time."""
+    import time as _time
+
+    from linkedspending_spark.transcripts import synth_transcripts_df
+
+    base, service = rest_server
+    inp = str(tmp_path / "transcripts_hist")
+    synth_transcripts_df(service.spark, n_convs=200, base_turns=10).write.parquet(inp)
+    met = str(tmp_path / "metrics_hist")
+    body = {
+        "input": inp,
+        "output": str(tmp_path / "out"),
+        "manifests": str(tmp_path / "manifests"),
+        "n_buckets": 32,
+        "metrics": met,
+    }
+    _, sub = _post(base + "/jobs/convert", body)
+    assert sub["run_id"] and sub["history"] == f"/jobs/history/{sub['run_id']}"
+    _post(base + "/jobs/cancel/" + sub["job"], {})
+    for _ in range(240):
+        _, active = _get(base + "/jobs/active")
+        e = next(a for a in active if a["job"] == sub["job"])
+        # CANCELLED flips at cancel time; wait for the worker to finish
+        # unwinding (terminal history event written in its finally)
+        if e["state"] != "RUNNING" and not e["thread_alive"]:
+            break
+        _time.sleep(0.25)
+    assert e["state"] in ("CANCELLED", "FINISHED"), e
+    assert e["run_id"] == sub["run_id"] and not e["thread_alive"]
+
+    # "restart": a brand-new service over the same metrics store — the
+    # trail is on disk, not process state
+    fresh = RestService(service.spark, metrics_path=met, with_stats=False)
+    server2 = make_server(fresh)
+    threading.Thread(target=server2.serve_forever, daemon=True).start()
+    base2 = f"http://127.0.0.1:{server2.server_address[1]}"
+    try:
+        status, trail = _get(base2 + sub["history"])
+        assert status == 200 and trail
+        events = [r["event"] for r in trail]
+        assert events[0] == "submitted"
+        assert [r["seq"] for r in trail] == sorted(r["seq"] for r in trail)
+        # terminal event matches the job's terminal state
+        assert events[-1] == e["state"].lower()
+        if e["state"] == "CANCELLED":
+            assert "finished" not in events
+        # unknown run is a 404, not an empty 200
+        status, err = _get_err(base2 + "/jobs/history/nope")
+        assert status == 404 and "no history" in err["error"]
+    finally:
+        server2.shutdown()
+    # a service without a metrics store 404s the whole route
+    status, err = _get_err(base + "/jobs/history/" + sub["run_id"])
+    assert status == 404 and "metrics" in err["error"]
+
+
+def _get_err(url: str):
+    try:
+        with urllib.request.urlopen(url, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
