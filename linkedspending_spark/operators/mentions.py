@@ -333,25 +333,70 @@ _LANG_STOPWORDS: dict[str, set[str]] = {
 _LANG_TOKEN_CLASS = "a-zà-öø-ÿĀ-ɏа-яё"
 _LANG_SPLIT_RE = f"[^{_LANG_TOKEN_CLASS}]+"
 
+# Script-class profiles, checked BEFORE the stopword profiles: languages
+# whose script is (near-)unique need no function-word list — a
+# character-RANGE share identifies them (and stopword lists would need
+# segmentation for CJK anyway).  Dict order is the first-max-wins
+# tie-break order, mirrored by the oracle CASE chain.  Kana → ja and
+# Han → zh: kanji-only Japanese text classifies zh (documented
+# heuristic limit; real Japanese prose is kana-heavy).  Ranges are BMP
+# codepoint intervals rendered as LITERAL character classes so the SAME
+# string drives Python ``re`` and DuckDB RE2.
+_SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
+    "zh": ((0x4E00, 0x9FFF), (0x3400, 0x4DBF)),  # Han + ext A
+    "ja": ((0x3040, 0x309F), (0x30A0, 0x30FF)),  # hiragana + katakana
+    "ko": ((0xAC00, 0xD7AF), (0x1100, 0x11FF)),  # hangul + jamo
+    "ar": ((0x0600, 0x06FF), (0x0750, 0x077F)),  # arabic + supplement
+    "he": ((0x0590, 0x05FF),),                   # hebrew
+    "el": ((0x0370, 0x03FF), (0x1F00, 0x1FFF)),  # greek + extended
+    "hi": ((0x0900, 0x097F),),                   # devanagari
+}
+_SCRIPT_CLASSES: dict[str, str] = {
+    code: "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in ranges)
+    for code, ranges in _SCRIPT_RANGES.items()
+}
+# a script wins when its codepoints are >= NUM/DEN of ALL codepoints in
+# the text (spaces and ASCII punctuation included in the denominator) —
+# integer cross-multiplication, so DuckDB replays it exactly
+_SCRIPT_SHARE_NUM, _SCRIPT_SHARE_DEN = 3, 10
+
 
 def make_language_id(spark: SparkSession):
-    """pandas UDF: text → best-guess language code by stopword share.
+    """pandas UDF: text → best-guess language code, scripts first.
 
-    The EstimateDataSetLanguages analog (A9) as an n-gram/stopword
-    heuristic over 18 language profiles; returns 'und' when no profile
-    scores > 0.  Scores are SIZE-NORMALIZED (distinct-token overlap ÷
-    profile size) compared by exact integer cross-multiplication —
-    n_i*|S_j| vs n_j*|S_i| — so the DuckDB oracle can replay the
-    comparison without float ties (first max wins in profile order).
+    The EstimateDataSetLanguages analog (A9), two tiers:
+
+    1. SCRIPT classes (``_SCRIPT_RANGES``: CJK, Arabic, Hebrew, Greek,
+       Devanagari) — the script with the most codepoints wins (first
+       max in dict order) when it covers ≥ 3/10 of ALL codepoints.
+       Character-range share, no segmentation or stopwords needed.
+    2. Otherwise the 18 STOPWORD profiles; 'und' when nothing scores.
+       Scores are SIZE-NORMALIZED (distinct-token overlap ÷ profile
+       size) compared by exact integer cross-multiplication —
+       n_i*|S_j| vs n_j*|S_i|.
+
+    Every comparison is integer-exact, so the DuckDB oracle replays both
+    tiers verbatim (queries._sql_lang_counts), no float ties.
     """
     bc = spark.sparkContext.broadcast(_LANG_STOPWORDS)
+    bc_scripts = spark.sparkContext.broadcast(list(_SCRIPT_CLASSES.items()))
+    num, den = _SCRIPT_SHARE_NUM, _SCRIPT_SHARE_DEN
 
     @F.pandas_udf(T.StringType())
     def lang_id(texts: pd.Series) -> pd.Series:
         profiles = bc.value
         split = re.compile(_LANG_SPLIT_RE)
+        script_res = [(c, re.compile(f"[{cls}]")) for c, cls in bc_scripts.value]
 
         def classify(t: str) -> str:
+            if t:
+                best_s, best_n = None, 0
+                for code, rx in script_res:
+                    n = len(rx.findall(t))
+                    if n > best_n:  # first max wins in dict order
+                        best_s, best_n = code, n
+                if best_s is not None and den * best_n >= num * len(t):
+                    return best_s
             toks = set(split.split(t.lower()))
             best, best_n, best_size = "und", 0, 1
             for lang, stops in profiles.items():

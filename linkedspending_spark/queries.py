@@ -2442,13 +2442,24 @@ def _sql_lang_counts() -> str:
     """Shared CTE: per-doc distinct-token overlap counts per language,
     classified by the size-normalized first-max-wins rule.
 
-    Replays ``mentions.make_language_id`` exactly: the Python loop keeps
-    lang_i iff n_i > 0, n_i/|S_i| beats every EARLIER profile strictly
-    and every LATER profile non-strictly — which a CASE chain in profile
-    order expresses as ``n_i > 0 AND n_i*|S_j| >= n_j*|S_i| for all
-    j > i`` (first branch to fire is the Python winner; all-integer
-    cross-multiplication, no float ties)."""
-    from .operators.mentions import _LANG_SPLIT_RE, _LANG_STOPWORDS
+    Replays ``mentions.make_language_id`` exactly, both tiers. Script
+    tier first: branch i fires iff its codepoint count is > 0, >= every
+    LATER script's count (first max wins in dict order) and covers
+    >= NUM/DEN of all codepoints — all-integer. Then the stopword tier:
+    the Python loop keeps lang_i iff n_i > 0, n_i/|S_i| beats every
+    EARLIER profile strictly and every LATER profile non-strictly —
+    which a CASE chain in profile order expresses as ``n_i > 0 AND
+    n_i*|S_j| >= n_j*|S_i| for all j > i`` (first branch to fire is the
+    Python winner; all-integer cross-multiplication, no float ties).
+    The script character classes are the SAME literal strings the
+    Python regex compiles (mentions._SCRIPT_CLASSES)."""
+    from .operators.mentions import (
+        _LANG_SPLIT_RE,
+        _LANG_STOPWORDS,
+        _SCRIPT_CLASSES,
+        _SCRIPT_SHARE_DEN,
+        _SCRIPT_SHARE_NUM,
+    )
 
     langs = list(_LANG_STOPWORDS)
     sizes = {lang: len(ws) for lang, ws in _LANG_STOPWORDS.items()}
@@ -2458,7 +2469,20 @@ def _sql_lang_counts() -> str:
         )
         for lang, ws in _LANG_STOPWORDS.items()
     )
+    scripts = list(_SCRIPT_CLASSES)
+    script_counts = ", ".join(
+        f"length(text) - length(regexp_replace(text, '[{cls}]', '', 'g'))"
+        f" AS s_{code}"
+        for code, cls in _SCRIPT_CLASSES.items()
+    )
     branches = []
+    for i, si in enumerate(scripts):
+        conds = (
+            [f"s_{si} > 0"]
+            + [f"s_{si} >= s_{sj}" for sj in scripts[i + 1:]]
+            + [f"{_SCRIPT_SHARE_DEN} * s_{si} >= {_SCRIPT_SHARE_NUM} * len_t"]
+        )
+        branches.append(f"    WHEN {' AND '.join(conds)} THEN '{si}'")
     for i, li in enumerate(langs):
         conds = [f"n_{li} > 0"] + [
             f"n_{li} * {sizes[lj]} >= n_{lj} * {sizes[li]}"
@@ -2468,11 +2492,12 @@ def _sql_lang_counts() -> str:
     case = "\n".join(branches)
     return f"""
 t AS (
-  SELECT doc_id, source,
+  SELECT doc_id, source, length(text) AS len_t, {script_counts},
          list_distinct(string_split_regex(lower(text), '{_LANG_SPLIT_RE}')) AS toks
   FROM documents
 ), c AS (
-  SELECT doc_id, source, {counts} FROM t
+  SELECT doc_id, source, len_t, {', '.join('s_' + s for s in scripts)},
+         {counts} FROM t
 ), classified AS (
   SELECT doc_id, source, CASE
 {case}

@@ -83,14 +83,14 @@ def test_language_id(spark):
 def test_language_id_non_latin_and_extended(spark):
     """Round-3 VERDICT item 5: the 18-profile classifier must handle
     non-Latin scripts — Cyrillic tokenizes and classifies as 'ru',
-    unprofiled scripts (Greek) fall through to 'und' rather than
-    mis-tokenizing, and Latin-Extended letters (Polish ę/ż, Turkish ç/ı)
-    survive the shared token alphabet."""
+    Greek now lands on the script tier ('el', round-5), and
+    Latin-Extended letters (Polish ę/ż, Turkish ç/ı) survive the
+    shared token alphabet."""
     lang = make_language_id(spark)
     df = spark.createDataFrame(
         [
             ("и вот он сказал что это не так как по плану",),  # ru
-            ("το καλό είναι εδώ και τώρα",),  # el: no profile -> und
+            ("το καλό είναι εδώ και τώρα",),  # el: script tier (round-5)
             ("nie wiem jak to się stało ale jest dobrze po wszystkim",),  # pl
             ("bu çok daha iyi bir gün ve ne güzel olarak başladı",),  # tr
             ("yang ini dari dalam dan akan pada untuk itu",),  # id
@@ -98,7 +98,31 @@ def test_language_id_non_latin_and_extended(spark):
         "text string",
     )
     got = [r["l"] for r in df.select(lang("text").alias("l")).collect()]
-    assert got == ["ru", "und", "pl", "tr", "id"]
+    assert got == ["ru", "el", "pl", "tr", "id"]
+
+
+def test_language_id_script_classes(spark):
+    """Round-4 VERDICT item 4: script-class profiles in FRONT of the
+    stopword tier — CJK / Arabic / Hebrew / Greek / Devanagari classify
+    by codepoint-range share (no stopwords, no segmentation); a stray
+    foreign word below the 3/10 share falls through to the stopword
+    tier; kana beats Han inside mixed Japanese prose."""
+    lang = make_language_id(spark)
+    rows = [
+        ("这是一个中文文本的例子，用于测试。", "zh"),
+        ("これは日本語のテキストです。", "ja"),  # kana-heavy: ja, not zh
+        ("이것은 한국어 텍스트입니다.", "ko"),
+        ("هذا نص باللغة العربية للاختبار هنا.", "ar"),
+        ("זהו טקסט בעברית לבדיקה כאן עכשיו.", "he"),
+        ("αυτό είναι ένα ελληνικό κείμενο εδώ.", "el"),
+        ("यह परीक्षण के लिए हिंदी पाठ है।", "hi"),
+        # one Greek word in English prose: 2/27 < 3/10 -> stopword tier
+        ("the α decay rate is on the chart", "en"),
+        ("", "und"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r["l"] for r in df.select(lang("text").alias("l")).collect()]
+    assert got == [want for _, want in rows]
 
 
 def test_join_path_matches_regex_path_at_10k_vocab(spark):
@@ -137,3 +161,43 @@ def test_join_path_matches_regex_path_at_10k_vocab(spark):
     # generous bound: vocabulary-size-independent text work must not
     # degrade into the regex path's O(vocab x positions) scan
     assert join_secs < 60, join_secs
+
+
+def test_language_id_script_tier_duckdb_parity(spark, tmp_path):
+    """The script tier must stay bit-identical between the pandas UDF
+    and the generated DuckDB CASE chain (the driver's sf tables carry
+    no non-Latin text, so this fixture is the tier's parity gate)."""
+    import duckdb
+
+    from linkedspending_spark.queries import SQL_LANG_ID
+
+    texts = [
+        "这是一个中文文本的例子，用于测试。",
+        "これは日本語のテキストです。",
+        "이것은 한국어 텍스트입니다.",
+        "هذا نص باللغة العربية للاختبار هنا.",
+        "זהו טקסט בעברית לבדיקה כאן עכשיו.",
+        "αυτό είναι ένα ελληνικό κείμενο εδώ.",
+        "यह परीक्षण के लिए हिंदी पाठ है।",
+        "the α decay rate is on the chart",
+        "der hund ist mit dem ball und das ist gut",
+        "και τα λοιπά etc etc etc etc etc",  # mixed: below 3/10 Greek
+        "",
+    ]
+    rows = [(f"d{i}", "s", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    lang = make_language_id(spark)
+    got = {
+        r["doc_id"]: r["l"]
+        for r in df.select("doc_id", lang("text").alias("l")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = dict(con.execute(SQL_LANG_ID).fetchall())
+    assert got == want
+    assert got["d0"] == "zh" and got["d5"] == "el" and got["d10"] == "und"
