@@ -53,9 +53,12 @@ evaluates):
   LocalTableScan.
 * Aggregates: ``SELECT (COUNT(?x) AS ?n) ?g ... GROUP BY ?g
   HAVING(...)`` with COUNT / COUNT(DISTINCT ?x) / COUNT(*) / SUM / AVG
-  / MIN / MAX / SAMPLE. SUM/AVG cast the lexical form to double (SPARQL
-  numeric aggregation over typed literals); MIN/MAX compare lexical
-  forms (ISO dates order correctly; zero-padded numbers do too).
+  / MIN / MAX / SAMPLE. SUM aggregates as long when every operand's
+  lexical form is an integer (→ ``xsd:integer``, SPARQL 1.1), else as
+  double — decided per query by a narrow pre-scan; AVG casts to double
+  (SPARQL says ``xsd:decimal`` for integers — documented divergence);
+  MIN/MAX compare lexical forms (ISO dates order correctly;
+  zero-padded numbers do too).
 * ``ORDER BY [ASC(?v)|DESC(?v)|?v]...``, ``LIMIT n`` and ``OFFSET n``
   (either order). NOTE: OFFSET paging is only stable under a total
   ORDER BY — an unordered offset walks an arbitrary (plan-dependent)
@@ -750,15 +753,45 @@ def parse_select(query: str) -> ParsedQuery:
 def _aggregate(df: DataFrame, q: ParsedQuery) -> DataFrame:
     """GROUP BY + aggregates over the solution set. Plans as a hash
     aggregate with map-side partial combine (the groupBy shuffle moves
-    per-group partials, not solutions) — the right 100-TB shape. SUM /
-    AVG cast the lexical form to double (non-numeric → NULL, ignored by
-    the aggregate, matching SPARQL's error-drop); MIN/MAX/SAMPLE stay
-    on the lexical string."""
+    per-group partials, not solutions) — the right 100-TB shape.
+
+    SUM types like SPARQL 1.1: when EVERY operand's lexical form is an
+    integer, the sum aggregates as long (→ ``xsd:integer`` in the W3C
+    output); any non-integer lexical form makes the whole query's SUM
+    over that variable a double. Decided by ONE narrow pre-scan job
+    over the sum variables (the ivf count+max(abs) idiom) — per QUERY,
+    not per group (documented approximation: SPARQL types each group's
+    sum separately). AVG casts to double (SPARQL says ``xsd:decimal``
+    for integer operands — documented divergence). Non-numeric lexical
+    forms → NULL, ignored by the aggregate, matching SPARQL's
+    error-drop; MIN/MAX/SAMPLE stay on the lexical string."""
     missing = [v for v in q.group_by if v not in df.columns]
     if missing:
         raise SparqlSyntaxError(
             f"GROUP BY variable(s) {missing} are bound by no pattern"
         )
+    sum_vars = sorted({
+        var
+        for func, var, _, _ in q.aggregates
+        if func == "sum" and var is not None and var in df.columns
+    })
+    int_sum: set[str] = set()
+    if sum_vars:
+        # numeric operands only: a non-numeric lexical form is DROPPED
+        # (error-drop, see below), so it must not demote the sum type
+        checks = df.agg(
+            *(
+                F.count(F.col(v).try_cast("double")).alias(f"__n_{v}")
+                for v in sum_vars
+            ),
+            *(
+                F.count(F.col(v).try_cast("long")).alias(f"__l_{v}")
+                for v in sum_vars
+            ),
+        ).first()
+        int_sum = {
+            v for v in sum_vars if checks[f"__n_{v}"] == checks[f"__l_{v}"]
+        }
     aggs = []
     for func, var, dist, alias in q.aggregates:
         if var is not None and var not in df.columns:
@@ -772,8 +805,13 @@ def _aggregate(df: DataFrame, q: ParsedQuery) -> DataFrame:
                 expr = F.count_distinct(F.col(var))
             else:
                 expr = F.count(F.col(var))
+        elif func == "sum" and var in int_sum:
+            expr = F.sum(F.col(var).try_cast("long"))
         elif func in ("sum", "avg"):
-            col = F.col(var).cast("double")
+            # try_cast, not cast: under ANSI a non-numeric lexical form
+            # must DROP from the aggregate (SPARQL error-drop), not
+            # throw from inside codegen
+            col = F.col(var).try_cast("double")
             expr = F.sum(col) if func == "sum" else F.avg(col)
         elif func == "min":
             expr = F.min(F.col(var))

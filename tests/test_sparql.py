@@ -315,7 +315,29 @@ def test_aggregates_group_by(spark, catalog):
         "{ ?d lso:transformationVersion ?tv }",
     )
     r = q3.collect()[0]
-    assert r["s"] == 12.0 and r["a"] == 4.0
+    # all-integer lexical forms: SUM is xsd:integer (SPARQL 1.1), not
+    # 12.0 — the pre-scan typing; AVG stays double (documented)
+    assert r["s"] == 12 and isinstance(r["s"], int)
+    assert r["a"] == 4.0 and isinstance(r["a"], float)
+
+
+def test_sum_integer_vs_decimal_typing(spark):
+    """SUM over all-integer lexical forms comes back long; ONE decimal
+    operand anywhere flips that variable's SUM to double for the whole
+    query (per-query pre-scan, documented approximation of SPARQL's
+    per-group typing). Non-numeric operands are dropped, not poisoned."""
+    def t(*objs):
+        return spark.createDataFrame(
+            [(f"s{i}", "http://x/v", o, "d") for i, o in enumerate(objs)],
+            "s string, p string, o string, dataset string",
+        )
+
+    q = "select (sum(?v) as ?s) { ?x <http://x/v> ?v }"
+    r = select_text(t("7", "5", "x"), q).collect()[0]
+    assert r["s"] == 12 and isinstance(r["s"], int)
+
+    r = select_text(t("7", "5.5"), q).collect()[0]
+    assert r["s"] == 12.5 and isinstance(r["s"], float)
 
 
 def test_aggregates_having(spark, catalog):
