@@ -372,11 +372,38 @@ def _filter_vars(expr: str) -> frozenset[str]:
     )
 
 
+# ?var <cmp> number / number <cmp> ?var (quote-aware): the variable is
+# compared NUMERICALLY via try_cast, so a row whose lexical form is not
+# a number DROPS from the solution (SPARQL's expression-error semantics)
+# instead of throwing CAST_INVALID_INPUT out of ANSI codegen — one
+# malformed triple must not 500 the whole query.
+_NUM_LIT = r"-?\d+(?:\.\d+)?"
+_CMP_OP = r"(?:<=|>=|!=|<|>|=)"
+_VAR_CMP_NUM = re.compile(
+    rf"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")"
+    rf"|\?(\w+)(\s*{_CMP_OP}\s*)({_NUM_LIT})(?![\w.])"
+    rf"|(?<![\w.?])({_NUM_LIT})(\s*{_CMP_OP}\s*)\?(\w+)"
+)
+
+
+def _numeric_compare_pass(expr: str) -> str:
+    def sub(m: re.Match) -> str:
+        if m.group(1) is not None:
+            return m.group(1)
+        if m.group(2) is not None:
+            return f"try_cast(?{m.group(2)} as double){m.group(3)}{m.group(4)}"
+        return f"{m.group(5)}{m.group(6)}try_cast(?{m.group(7)} as double)"
+
+    return _VAR_CMP_NUM.sub(sub, expr)
+
+
 def _translate_filter(expr: str) -> str:
     """``?var`` references → backtick-quoted column references
-    (skipping quoted string literals)."""
+    (skipping quoted string literals); numeric comparisons go through
+    :func:`_numeric_compare_pass` (malformed values drop, not throw)."""
     return _FILTER_VAR.sub(
-        lambda m: m.group(1) if m.group(1) else f"`{m.group(2)}`", expr
+        lambda m: m.group(1) if m.group(1) else f"`{m.group(2)}`",
+        _numeric_compare_pass(expr),
     )
 
 
@@ -388,7 +415,7 @@ def _translate_filter_mapped(expr: str, mapping: dict[str, str]) -> str:
         lambda m: m.group(1)
         if m.group(1)
         else f"`{mapping.get(m.group(2), m.group(2))}`",
-        expr,
+        _numeric_compare_pass(expr),
     )
 
 

@@ -37,9 +37,11 @@ evaluates):
   bind. Comparison semantics follow the operand's FORM, not always the
   lexical string: a quoted literal compares lexically against the
   string column, but an unquoted numeric literal (``FILTER(?n > 5)``)
-  makes Spark coerce the string column to a number — numerically,
-  which is CLOSER to SPARQL's typed comparison than a lexical compare
-  would be (pinned in tests; do not "fix" it away). Unknown function
+  compares numerically via ``try_cast`` — which is CLOSER to SPARQL's
+  typed comparison than a lexical compare would be, and a row whose
+  lexical form is not a number DROPS from the solution (SPARQL's
+  expression-error semantics) instead of throwing from ANSI codegen
+  (pinned in tests; do not "fix" either away). Unknown function
   names and ``xsd:type(?x)`` cast syntax are rejected at translate
   time (a clean 400 on the REST path, not an analyzer 500).
 * ``BIND(expr AS ?v)`` — the expression (same translator as FILTER)

@@ -708,3 +708,28 @@ def test_filter_numeric_vs_lexical_comparison(spark):
     assert [r["s"] for r in numeric.collect()] == ["s2"]  # 10 > 9
     lexical = select_text(t, 'select ?s { ?s ?p ?v filter(?v > "9") }')
     assert lexical.count() == 0  # "10" < "9" lexically, "9" = "9"
+
+
+def test_filter_numeric_drops_malformed_rows(spark):
+    """SPARQL expression-error semantics: a numeric FILTER over a row
+    whose lexical form is not a number DROPS that row — it must not
+    throw CAST_INVALID_INPUT out of ANSI codegen (one malformed triple
+    would otherwise 500 the whole /sparql request). Both operand
+    orders; quoted strings that LOOK numeric still compare lexically."""
+    t = spark.createDataFrame(
+        [
+            ("s1", "http://p", "10", "x"),
+            ("s2", "http://p", "not-a-number", "x"),
+            ("s3", "http://p", "7", "x"),
+        ],
+        "s string, p string, o string, dataset string",
+    )
+    got = select_text(t, "select ?s { ?s ?p ?v filter(?v > 9) }").collect()
+    assert [r["s"] for r in got] == ["s1"]
+    got = select_text(t, "select ?s { ?s ?p ?v filter(9 >= ?v) }").collect()
+    assert [r["s"] for r in got] == ["s3"]
+    # a ?var=... inside a quoted literal is data, not a comparison
+    got = select_text(
+        t, 'select ?s { ?s ?p ?v filter(?v != "q?page=3") }'
+    ).collect()
+    assert len(got) == 3
