@@ -507,6 +507,27 @@ def list_runs(
     return list_runs_df(manifest, metrics)
 
 
+def recent_history(spark: SparkSession, metrics_path: str) -> DataFrame:
+    """All runs' lifecycle transitions, newest first — the cross-run
+    event feed (EventNotificationContainer / the commented-out
+    NewsFeedWriter.java RSS analog). Same rows as :func:`job_history`
+    without the run filter; callers bound the collect."""
+    from .sources.metrics import MetricsStore
+
+    m = MetricsStore(spark, metrics_path).read()
+    return (
+        m.where(F.col("stage") == "history")
+        .select(
+            "run_id",
+            F.col("value").cast("int").alias("seq"),
+            F.col("key").alias("event"),
+            F.col("dataset").alias("detail"),
+            F.round("ts", 3).alias("ts"),
+        )
+        .orderBy(F.col("ts").desc(), F.col("seq").desc())
+    )
+
+
 def job_history(
     spark: SparkSession, metrics_path: str, run_id: str
 ) -> DataFrame:

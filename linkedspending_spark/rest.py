@@ -34,7 +34,14 @@ Endpoints::
                            — safe: the manifest committed only finished
                            buckets, so a resubmit resumes, Rest.java's
                            own stop deletes unfinished datasets)
+    GET  /jobs/history/ID  one run's persisted lifecycle transition
+                           trail (Job.java:244-306 history analog)
+    GET  /feed             RSS 2.0 of recent job events across runs
+                           (NewsFeedWriter.java / EventNotification
+                           analog)
     GET  /triples?s=&p=&o=&dataset=&limit=   serve.match pattern read
+    GET  /sparql?query=    W3C SPARQL-protocol GET binding; response is
+                           application/sparql-results+json
     POST /sparql           {"query": "select ?d ?m {?d a qb:DataSet. ...}"}
                            textual SPARQL (sparql.select_text dialect), OR
                            the JSON algebra form:
@@ -103,8 +110,9 @@ class RestService:
             "convert": "POST /jobs/convert",
             "cancel": "POST /jobs/cancel/{id}",
             "history": "/jobs/history/{run_id}",
+            "feed": "/feed (RSS 2.0 of recent job events)",
             "triples": "/triples?s=&p=&o=&dataset=&limit=",
-            "sparql": "POST /sparql",
+            "sparql": "POST /sparql (JSON) or GET /sparql?query= (W3C)",
             "health": "/health",
         }
 
@@ -280,6 +288,45 @@ class RestService:
         if not rows:
             raise _HttpError(404, f"no history for run {run_id!r}")
         return rows
+
+    def feed(self) -> str:
+        """GET /feed: RSS 2.0 over the most recent job lifecycle events
+        across ALL runs (the reference's NewsFeedWriter.java RSS +
+        EventNotificationContainer analog — there a rome-library file
+        dump, here rendered from the persisted history rows)."""
+        if self.metrics_path is None:
+            raise _HttpError(404, "no metrics store configured")
+        from email.utils import formatdate
+        from xml.sax.saxutils import escape
+
+        from .jobs import recent_history
+
+        rows = self._bounded_rows(
+            recent_history(self.spark, self.metrics_path)
+        )
+
+        def item(r: dict) -> str:
+            title = escape("run {}: {}".format(r["run_id"], r["event"]))
+            guid = escape("{}/{}".format(r["run_id"], r["seq"]))
+            return (
+                "<item>"
+                f"<title>{title}</title>"
+                f"<description>{escape(r['detail'] or '')}</description>"
+                f'<guid isPermaLink="false">{guid}</guid>'
+                f"<pubDate>{formatdate(r['ts'])}</pubDate>"
+                "</item>"
+            )
+
+        items = "".join(item(r) for r in rows)
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<rss version="2.0"><channel>'
+            "<title>linkedspending_spark job events</title>"
+            "<link>/jobs</link>"
+            "<description>Job lifecycle transitions, newest first"
+            "</description>"
+            f"{items}</channel></rss>"
+        )
 
     def job_convert(self, body: dict) -> dict:
         """Submit a convert run (Rest.java /control/convertcomplete —
@@ -480,17 +527,29 @@ def _make_handler(service: RestService):
         def log_message(self, fmt, *args):  # noqa: N802
             pass
 
-        def _reply(self, status: int, payload) -> None:
-            body = json.dumps(payload, default=str).encode("utf-8")
+        def _reply_raw(self, status: int, body: bytes, ctype: str) -> None:
             self.send_response(status)
-            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
 
-        def _dispatch(self, fn) -> None:
+        def _reply(self, status: int, payload) -> None:
+            self._reply_raw(
+                status,
+                json.dumps(payload, default=str).encode("utf-8"),
+                "application/json; charset=utf-8",
+            )
+
+        def _dispatch(self, fn, ctype: str | None = None) -> None:
+            """JSON by default; ``ctype`` makes a 200 a raw text body
+            (the /feed RSS path) — errors stay JSON either way."""
             try:
-                self._reply(200, fn())
+                out = fn()
+                if ctype is not None:
+                    self._reply_raw(200, str(out).encode("utf-8"), ctype)
+                else:
+                    self._reply(200, out)
             except _HttpError as e:
                 self._reply(e.status, {"error": e.message})
             except Exception as e:  # surface, don't kill the thread
@@ -507,6 +566,22 @@ def _make_handler(service: RestService):
                 "/jobs/active": service.jobs_active,
                 "/triples": lambda: service.triples_read(qs),
             }
+            if url.path == "/feed":
+                self._dispatch(
+                    service.feed, ctype="application/rss+xml; charset=utf-8"
+                )
+                return
+            if url.path == "/sparql":
+                # W3C SPARQL-protocol GET binding: ?query=..., response
+                # is sparql-results+json (the protocol's default)
+                def _sparql_get():
+                    q = qs.get("query", [None])[0]
+                    if not q:
+                        raise _HttpError(400, "GET /sparql needs ?query=")
+                    return service.sparql({"query": q, "format": "w3c"})
+
+                self._dispatch(_sparql_get)
+                return
             fn = routes.get(url.path)
             if fn is None and url.path.startswith("/jobs/history/"):
                 run_id = url.path[len("/jobs/history/"):]

@@ -581,3 +581,61 @@ def _get_err(url: str):
             return r.status, json.loads(r.read())
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read())
+
+
+def test_sparql_protocol_get_binding(rest_server):
+    """W3C SPARQL-protocol GET: /sparql?query=... answers in
+    sparql-results+json (the protocol default); missing or malformed
+    queries are 400s, not 500s."""
+    from urllib.parse import quote
+
+    base, _ = rest_server
+    q = "select ?d { ?d a qb:DataSet } limit 3"
+    status, res = _get(base + "/sparql?query=" + quote(q))
+    assert status == 200
+    assert res["head"]["vars"] == ["d"]
+    assert 0 < len(res["results"]["bindings"]) <= 3
+    assert all(b["d"]["type"] == "uri" for b in res["results"]["bindings"])
+    status, res = _get_err(base + "/sparql")
+    assert status == 400 and "query" in res["error"]
+    status, res = _get_err(base + "/sparql?query=" + quote("construct {}"))
+    assert status == 400
+
+
+def test_feed_rss_of_job_events(rest_server, spark, tmp_path):
+    """GET /feed (NewsFeedWriter.java RSS analog): well-formed RSS 2.0
+    over the persisted history rows, newest first, XML-escaped."""
+    import urllib.request
+    import xml.etree.ElementTree as ET
+
+    from linkedspending_spark.jobs import run_transcripts_job
+    from linkedspending_spark.transcripts import synth_transcripts_df
+
+    base, service = rest_server
+    met = str(tmp_path / "met_feed")
+    t = synth_transcripts_df(spark, n_convs=4, base_turns=3)
+    r = run_transcripts_job(
+        spark, t, str(tmp_path / "o"), str(tmp_path / "m"),
+        n_buckets=4, metrics_path=met,
+    )
+    svc = RestService(spark, metrics_path=met, with_stats=False)
+    server = make_server(svc)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}/feed"
+        with urllib.request.urlopen(url, timeout=60) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("application/rss+xml")
+            body = resp.read().decode()
+        root = ET.fromstring(body)  # well-formed XML
+        assert root.tag == "rss" and root.attrib["version"] == "2.0"
+        titles = [i.findtext("title") for i in root.iter("item")]
+        assert titles[0] == f"run {r.run_id}: finished"  # newest first
+        assert f"run {r.run_id}: submitted" in titles
+        dates = [i.findtext("pubDate") for i in root.iter("item")]
+        assert all(d and d.endswith("-0000") or "GMT" in d for d in dates)
+    finally:
+        server.shutdown()
+    # no metrics store -> 404 on the shared fixture service
+    assert service.metrics_path is None
+    assert _get_err(base + "/feed")[0] == 404
