@@ -242,6 +242,10 @@ class RestService:
                     [[tuple(p) for p in branch] for branch in expr]
                     for expr in body.get("unions", [])
                 ],
+                minuses=[
+                    [tuple(p) for p in group]
+                    for group in body.get("minus", [])
+                ],
                 distinct=bool(body.get("distinct", False)),
                 order_by=body.get("order_by", []),
                 limit=limit,

@@ -441,6 +441,7 @@ def select_sparql(
     optionals: Sequence[Sequence[tuple]] = (),
     filters: Sequence[str] = (),
     unions: Sequence[Sequence[Sequence[tuple]]] = (),
+    minuses: Sequence[Sequence[tuple]] = (),
     distinct: bool = False,
     order_by: Sequence[str] = (),
     limit: int | None = None,
@@ -479,6 +480,15 @@ def select_sparql(
       SPARQL's compatibility join would accept an unbound shared
       variable where the SQL equi-join drops it, so that case raises
       instead of silently diverging.
+    * ``minuses`` — each entry is a pattern group evaluated as its own
+      BGP; solutions that agree with some group row on >= 1 shared
+      variable are REMOVED (SPARQL MINUS → LEFT ANTI equi-join; no
+      shared variable removes nothing, the spec's disjoint-domain
+      rule). The text parser also passes group entries ``("minus",
+      patterns)`` (positional) and ``("exists", (patterns, positive))``
+      (FILTER [NOT] EXISTS → LEFT SEMI / LEFT ANTI on the shared
+      variables, applied after all positional groups — SPARQL scopes a
+      FILTER to its whole group).
     * ``distinct`` / ``order_by`` / ``limit`` — SELECT DISTINCT,
       ORDER BY (``"?var"`` ascending, ``"-?var"`` descending), LIMIT.
       ORDER BY + LIMIT together plan as TakeOrderedAndProject (per-
@@ -536,10 +546,17 @@ def select_sparql(
             if c in cols and not (with_kinds and _is_companion(c))
         ]
     if groups is None:
-        groups = [("optional", g) for g in optionals] + [
-            ("union", u) for u in unions
-        ]
+        groups = (
+            [("optional", g) for g in optionals]
+            + [("union", u) for u in unions]
+            + [("minus", m) for m in minuses]
+        )
     groups = list(groups)
+    # FILTER (NOT) EXISTS is group-level (SPARQL scopes every FILTER to
+    # the whole group it appears in), so those entries evaluate AFTER
+    # the positional groups regardless of source position
+    exists_entries = [g for g in groups if g[0] == "exists"]
+    groups = [g for g in groups if g[0] != "exists"]
     nullable: set[str] = set()  # vars that may be NULL (unbound)
     if patterns:
         df = select_bgp(triples, patterns, **kw)
@@ -728,9 +745,37 @@ def select_sparql(
             nullable.add(name)  # the expression may evaluate to NULL
             out_order.append(name)
             bound.add(name)
+        elif kind == "minus":
+            # SPARQL Minus(Ω1, Ω2): drop solutions some right-side
+            # solution agrees with on >= 1 shared variable. BGP right
+            # sides bind every variable, so a LEFT ANTI equi-join on the
+            # shared variables is exact; Catalyst broadcasts a small
+            # right side. No shared variable → disjoint domains → MINUS
+            # removes nothing (kept verbatim, per the spec).
+            m = select_bgp(triples, payload, **kw)
+            shared = _join_vars(m.columns)
+            _refuse_nullable_join(shared, "solution side of MINUS")
+            if shared:
+                df = df.join(m.select(*shared), on=shared, how="left_anti")
         else:
             raise ValueError(f"unknown group kind {kind!r}")
         df = apply_ready(df)
+    for _, (ex_patterns, positive) in exists_entries:
+        # FILTER EXISTS → LEFT SEMI join on the shared variables;
+        # FILTER NOT EXISTS → LEFT ANTI. Semi/anti joins return only
+        # left columns, never duplicate solutions, and broadcast a
+        # small probe side — the Catalyst shape for SPARQL's
+        # binding-substituted existence test over BGP groups. With no
+        # shared variable the test degenerates to "is the group
+        # non-empty at all": join on TRUE against limit(1).
+        e = select_bgp(triples, ex_patterns, **kw)
+        shared = _join_vars(e.columns)
+        _refuse_nullable_join(shared, "solution side of FILTER EXISTS")
+        how = "left_semi" if positive else "left_anti"
+        if shared:
+            df = df.join(e.select(*shared), on=shared, how=how)
+        else:
+            df = df.join(e.limit(1), F.lit(True), how)
     if remaining:
         raise ValueError(
             "filter(s) reference variables bound by no group: "

@@ -50,6 +50,12 @@ evaluates):
   applied after grouping (expressions may reference aggregate
   aliases and grouped variables).
 * ``{ A } UNION { B }`` (each branch a triple-pattern group).
+* ``MINUS { ... }`` — SPARQL Minus as a LEFT ANTI equi-join on the
+  shared variables (positional, like OPTIONAL); no shared variable →
+  removes nothing (the spec's disjoint-domain rule).
+* ``FILTER EXISTS { ... }`` / ``FILTER NOT EXISTS { ... }`` — LEFT
+  SEMI / LEFT ANTI joins on the shared variables, applied at group
+  level (SPARQL scopes every FILTER to its whole group).
 * ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (..) (..) }`` inline data
   (UNDEF → unbound), joined in source order as a VALUES-literal
   LocalTableScan.
@@ -67,7 +73,7 @@ evaluates):
   solution order, same as SQL.
 
 Out of scope (raise, never misparse): property paths, subqueries,
-GRAPH/SERVICE/MINUS, blank-node syntax.
+GRAPH/SERVICE, blank-node syntax.
 
 Scale shape: the parser only *front-ends* ``select_sparql`` — every
 pattern is still a pushed-down scan under the stats-ordered join tree,
@@ -235,7 +241,7 @@ class ParsedQuery:
 _AGG_FUNCS = {"count", "sum", "min", "max", "avg", "sample"}
 
 _UNSUPPORTED = {
-    "graph", "service", "minus", "exists",
+    "graph", "service",
     "construct", "describe",
 }
 
@@ -562,11 +568,32 @@ class _Parser:
                 pats, filts = self._optional_block()
                 self.q.optionals.append(pats)
                 self.q.groups.append(("optional", (pats, filts)))
+            elif word == "minus":
+                # MINUS { ... }: positional algebra op (group order
+                # matters, like OPTIONAL) — a LEFT ANTI join downstream
+                self.lx.next()
+                self.q.groups.append(
+                    ("minus", self._triples_block("a MINUS group"))
+                )
             elif word == "filter":
                 self.lx.next()
-                self.q.filters.append(
-                    self._translate_filter(self.lx.raw_parens())
-                )
+                nxt = self.lx.next_word()
+                if nxt in ("exists", "not"):
+                    positive = nxt == "exists"
+                    self.lx.next()
+                    if not positive:
+                        if self.lx.next_word() != "exists":
+                            raise SparqlSyntaxError(
+                                "FILTER NOT must be followed by "
+                                "EXISTS { ... }"
+                            )
+                        self.lx.next()
+                    pats = self._triples_block("a FILTER EXISTS group")
+                    self.q.groups.append(("exists", (pats, positive)))
+                else:
+                    self.q.filters.append(
+                        self._translate_filter(self.lx.raw_parens())
+                    )
             elif word == "bind":
                 self.lx.next()
                 raw = self.lx.raw_parens()

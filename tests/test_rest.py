@@ -191,10 +191,11 @@ def test_sparql_endpoint_textual_query(rest_server):
     # syntax error -> 400 with the parser's message
     status, err = _post(base + "/sparql", {"query": "select ?x"})
     assert status == 400 and "error" in err
-    # unsupported form -> 400, not a 500 (BIND is supported now; MINUS
-    # and unknown filter built-ins stay loud refusals)
+    # unsupported form -> 400, not a 500 (BIND/MINUS are supported now;
+    # GRAPH and unknown filter built-ins stay loud refusals)
     status, err = _post(
-        base + "/sparql", {"query": "select ?x { minus { ?x ?p ?o } }"}
+        base + "/sparql",
+        {"query": "select ?x { graph <http://g> { ?x ?p ?o } }"},
     )
     assert status == 400 and "error" in err
     status, err = _post(
@@ -639,3 +640,29 @@ def test_feed_rss_of_job_events(rest_server, spark, tmp_path):
     # no metrics store -> 404 on the shared fixture service
     assert service.metrics_path is None
     assert _get_err(base + "/feed")[0] == 404
+
+
+def test_sparql_algebra_minus(rest_server):
+    """The JSON algebra body accepts "minus" groups (left-anti)."""
+    base, _ = rest_server
+    _, labelled = _post(
+        base + "/sparql",
+        {"patterns": [["?d", M.RDFS_LABEL, "?label"]], "limit": 1},
+    )
+    label = labelled[0]["label"]
+    status, all_ds = _post(
+        base + "/sparql",
+        {"patterns": [["?d", M.RDF_TYPE, M.QB_DATASET]]},
+    )
+    status2, rest = _post(
+        base + "/sparql",
+        {
+            "patterns": [["?d", M.RDF_TYPE, M.QB_DATASET]],
+            "minus": [[["?d", M.RDFS_LABEL, label]]],
+        },
+    )
+    assert status == status2 == 200
+    assert len(rest) == len(all_ds) - 1
+    assert {s["d"] for s in all_ds} - {s["d"] for s in rest} == {
+        labelled[0]["d"]
+    }

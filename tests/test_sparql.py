@@ -733,3 +733,72 @@ def test_filter_numeric_drops_malformed_rows(spark):
         t, 'select ?s { ?s ?p ?v filter(?v != "q?page=3") }'
     ).collect()
     assert len(got) == 3
+
+
+def test_minus_and_exists(spark, catalog):
+    """MINUS (left-anti on shared vars) and FILTER [NOT] EXISTS
+    (semi/anti): the three catalog datasets minus the incomplete one;
+    the no-shared-variable MINUS removes nothing (spec's
+    disjoint-domain rule); EXISTS with no shared variable degenerates
+    to a non-emptiness test."""
+    I, O = M.PREFIX_INSTANCE, M.PREFIX_ONTOLOGY
+
+    got = select_text(
+        catalog,
+        "select ?d { ?d a qb:DataSet "
+        f'minus {{ ?d <{O}uploadComplete> "false" }} }} order by ?d',
+    ).collect()
+    assert [r["d"] for r in got] == [I + "alpha", I + "beta"]
+
+    # MINUS group sharing NO variable with the solution: removes nothing
+    got = select_text(
+        catalog,
+        "select ?d { ?d a qb:DataSet "
+        f'minus {{ ?x <{O}uploadComplete> "false" }} }}',
+    ).collect()
+    assert len(got) == 3
+
+    # FILTER NOT EXISTS differs exactly there: still an anti join on
+    # shared vars when they exist
+    got = select_text(
+        catalog,
+        "select ?d { ?d a qb:DataSet "
+        f'filter not exists {{ ?d <{O}uploadComplete> "false" }} }} '
+        "order by ?d",
+    ).collect()
+    assert [r["d"] for r in got] == [I + "alpha", I + "beta"]
+
+    got = select_text(
+        catalog,
+        "select ?d { ?d a qb:DataSet "
+        "filter exists { ?d rdfs:label ?l } }",
+    ).collect()
+    assert [r["d"] for r in got] == [I + "beta"]
+
+    # no shared variable: EXISTS = "is the group non-empty at all"
+    assert (
+        select_text(
+            catalog,
+            "select ?d { ?d a qb:DataSet "
+            "filter exists { ?x rdfs:label ?l } }",
+        ).count()
+        == 3
+    )
+    assert (
+        select_text(
+            catalog,
+            "select ?d { ?d a qb:DataSet "
+            'filter not exists { ?x rdfs:label "nope" } }',
+        ).count()
+        == 3
+    )
+    # group-level scoping: EXISTS may reference a variable bound by a
+    # LATER group in source order
+    got = select_text(
+        catalog,
+        "select ?d ?l { filter exists { ?d rdfs:label ?l } "
+        "?d a qb:DataSet . ?d rdfs:label ?l }",
+    ).collect()
+    assert [r["l"] for r in got] == ["Beta dataset"]
+    with pytest.raises(SparqlSyntaxError, match="NOT must be followed"):
+        parse_select("select ?x { ?x ?p ?o filter not bound(?x) }")
