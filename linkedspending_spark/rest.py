@@ -213,6 +213,21 @@ class RestService:
                 if w3c:
                     return {"head": {}, "boolean": answer}
                 return {"ask": answer}
+            if p.construct is not None:
+                # CONSTRUCT answers a GRAPH: W3C clients get N-Triples
+                # (the protocol's RDF response; format "nt" works too),
+                # JSON clients get the triple-table rows
+                if w3c or body.get("format") == "nt":
+                    from .functions.nt import nt_statement
+
+                    lines = self._bounded_rows(
+                        df.select(nt_statement().alias("nt"))
+                    )
+                    return _Raw(
+                        "".join(r["nt"] + "\n" for r in lines),
+                        "application/n-triples; charset=utf-8",
+                    )
+                return self._bounded_rows(df)
         else:
             df = self._sparql_algebra(body, with_kinds=w3c)
         rows = self._bounded_rows(df)
@@ -512,6 +527,13 @@ class _HttpError(Exception):
         self.status, self.message = status, message
 
 
+class _Raw:
+    """A non-JSON 200 body (N-Triples, RSS); errors stay JSON."""
+
+    def __init__(self, text: str, ctype: str):
+        self.text, self.ctype = text, ctype
+
+
 def _client_int(value, name: str, cap: int | None = None) -> int:
     """Client-supplied integer: malformed input is a 400, not a 500
     (int('abc') / None / negatives would otherwise surface as server
@@ -550,7 +572,9 @@ def _make_handler(service: RestService):
             (the /feed RSS path) — errors stay JSON either way."""
             try:
                 out = fn()
-                if ctype is not None:
+                if isinstance(out, _Raw):
+                    self._reply_raw(200, out.text.encode("utf-8"), out.ctype)
+                elif ctype is not None:
                     self._reply_raw(200, str(out).encode("utf-8"), ctype)
                 else:
                     self._reply(200, out)

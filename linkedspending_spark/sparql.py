@@ -71,9 +71,17 @@ evaluates):
   (either order). NOTE: OFFSET paging is only stable under a total
   ORDER BY — an unordered offset walks an arbitrary (plan-dependent)
   solution order, same as SQL.
+* ``CONSTRUCT { template } WHERE { ... }`` — returns a GRAPH as the
+  engine's own triple-table shape (s, p, o, o_kind, o_datatype,
+  o_lang): one narrow projection per template triple, plan-level
+  union, set-dedup. Templates keep written term forms (uri vs literal
+  + datatype/lang); solution term metadata threads through via the
+  ``with_kinds`` companions, so the result feeds ``write_nt`` /
+  ``nt_statement`` / further SPARQL directly. Solution modifiers
+  (ORDER BY/LIMIT/OFFSET) apply to the solution sequence, per spec.
 
 Out of scope (raise, never misparse): property paths, subqueries,
-GRAPH/SERVICE, blank-node syntax.
+GRAPH/SERVICE/DESCRIBE, blank-node syntax.
 
 Scale shape: the parser only *front-ends* ``select_sparql`` — every
 pattern is still a pushed-down scan under the stats-ordered join tree,
@@ -236,13 +244,16 @@ class ParsedQuery:
     having: list[str] = field(default_factory=list)
     #: (translated-sql-expr, alias) per non-aggregate SELECT expression
     select_exprs: list[tuple[str, str]] = field(default_factory=list)
+    #: CONSTRUCT template: (s, p, o) of terms, each term a 4-tuple
+    #: (value, kind 'var'|'uri'|'lit', datatype, lang) keeping the
+    #: WRITTEN form so the output graph carries correct o_kind metadata
+    construct: list[tuple] | None = None
 
 
 _AGG_FUNCS = {"count", "sum", "min", "max", "avg", "sample"}
 
 _UNSUPPORTED = {
-    "graph", "service",
-    "construct", "describe",
+    "graph", "service", "describe",
 }
 
 
@@ -369,6 +380,77 @@ class _Parser:
             self.lx.next()
         return out
 
+    # -- CONSTRUCT template -------------------------------------------------
+
+    def _template_term(self) -> tuple:
+        """One CONSTRUCT template term, keeping its written FORM:
+        (value, 'var'|'uri'|'lit', datatype, lang)."""
+        kind, text = self.lx.next()
+        if kind == "var":
+            return (text, "var", None, None)
+        if kind == "uri":
+            return (text[1:-1], "uri", None, None)
+        if kind == "pname":
+            return (self._expand(text), "uri", None, None)
+        if kind == "num":
+            return (text, "lit", None, None)
+        if kind == "word" and text == "a":
+            return (M.RDF_TYPE, "uri", None, None)
+        if kind == "string":
+            value = _unescape(text[1:-1])
+            dt = lang = None
+            nxt = self.lx.peek()
+            if nxt[0] == "dt":
+                self.lx.next()
+                dk, dtx = self.lx.next()
+                if dk == "uri":
+                    dt = dtx[1:-1]
+                elif dk == "pname":
+                    dt = self._expand(dtx)
+                else:
+                    raise SparqlSyntaxError(f"bad datatype token {dtx!r}")
+            elif nxt[0] == "lang":
+                self.lx.next()
+                lang = nxt[1][1:]
+            return (value, "lit", dt, lang)
+        raise SparqlSyntaxError(f"unexpected template term {text!r}")
+
+    def _construct_template(self) -> list[tuple]:
+        """``CONSTRUCT { tp... }`` with ``;`` and ``,`` lists. Unlike
+        patterns, template terms keep uri-vs-literal plus datatype/lang
+        so the output graph carries correct ``o_kind`` metadata."""
+        self.lx.expect_punct("{")
+        out: list[tuple] = []
+        while True:
+            kind, text = self.lx.peek()
+            if text == "}":
+                self.lx.next()
+                break
+            if kind == "eof":
+                raise SparqlSyntaxError("unterminated CONSTRUCT template")
+            s = self._template_term()
+            while True:
+                p = self._template_term()
+                while True:
+                    out.append((s, p, self._template_term()))
+                    if self.lx.peek()[1] == ",":
+                        self.lx.next()
+                        continue
+                    break
+                if self.lx.peek()[1] == ";":
+                    self.lx.next()
+                    if self.lx.peek()[1] in (".", "}"):  # trailing ';'
+                        break
+                    continue
+                break
+            if self.lx.peek()[1] == ".":
+                self.lx.next()
+        if not out:
+            raise SparqlSyntaxError(
+                "CONSTRUCT template needs at least one triple"
+            )
+        return out
+
     # -- filter translation -----------------------------------------------
 
     #: SPARQL built-in → Spark SQL function with identical two/one-arg
@@ -484,8 +566,26 @@ class _Parser:
                     "ASK takes no solution modifiers"
                 )
             return self.q
+        if word == "construct":
+            self.lx.next()
+            self.q.construct = self._construct_template()
+            if self.lx.next_word() == "where":
+                self.lx.next()
+            self._group_body()
+            self._solution_modifiers()
+            if self.q.group_by or self.q.having:
+                raise SparqlSyntaxError(
+                    "CONSTRUCT takes no GROUP BY / HAVING"
+                )
+            if self.lx.peek()[0] != "eof":
+                raise SparqlSyntaxError(
+                    f"trailing input at {self.lx.peek()[1]!r}"
+                )
+            return self.q
         if word != "select":
-            raise SparqlSyntaxError("query must start with SELECT or ASK")
+            raise SparqlSyntaxError(
+                "query must start with SELECT, ASK or CONSTRUCT"
+            )
         self.lx.next()
         if self.lx.next_word() == "distinct":
             self.lx.next()
@@ -866,6 +966,91 @@ def _aggregate(df: DataFrame, q: ParsedQuery) -> DataFrame:
     return df
 
 
+def _instantiate_construct(df: DataFrame, template: list[tuple]) -> DataFrame:
+    """Instantiate a CONSTRUCT template over the solution DataFrame:
+    one narrow projection per template triple, unioned (plan-level, no
+    shuffle) and set-deduped (CONSTRUCT returns a GRAPH). Output is the
+    engine's own triple-table shape — (s, p, o, o_kind, o_datatype,
+    o_lang) — so the result feeds ``write_nt`` / ``nt_statement`` /
+    further SPARQL directly.
+
+    Semantics per the spec: a solution that leaves any template
+    variable of a triple unbound skips THAT triple; a solution binding
+    a subject/predicate variable to a literal (known from the
+    ``<v>__kind`` companion) skips the triple too. Object variables
+    carry their companion kind/datatype/lang when present; a
+    companion-less value (VALUES/BIND-born) falls back to the
+    ``http(s)://`` prefix heuristic."""
+    from .model import KIND_LITERAL, KIND_URI
+
+    cols = set(df.columns)
+
+    def var_of(term) -> str | None:
+        value, kind = term[0], term[1]
+        if kind != "var":
+            return None
+        v = value[1:]
+        if v not in cols:
+            raise SparqlSyntaxError(
+                f"CONSTRUCT template variable ?{v} is bound by no pattern"
+            )
+        return v
+
+    parts = []
+    for s, p, o in template:
+        sv, pv, ov = var_of(s), var_of(p), var_of(o)
+        sel = [
+            (F.col(sv) if sv else F.lit(s[0])).alias("s"),
+            (F.col(pv) if pv else F.lit(p[0])).alias("p"),
+            (F.col(ov) if ov else F.lit(o[0])).alias("o"),
+        ]
+        if ov:  # object metadata: companions when present, else heuristic
+            k, dt, lg = (f"{ov}__kind", f"{ov}__datatype", f"{ov}__lang")
+            kind_col = (
+                F.col(k)
+                if k in cols
+                else F.lit(None).cast("string")
+            )
+            heur = F.when(
+                F.col(ov).startswith("http://")
+                | F.col(ov).startswith("https://"),
+                F.lit(KIND_URI),
+            ).otherwise(F.lit(KIND_LITERAL))
+            sel += [
+                F.coalesce(kind_col, heur).alias("o_kind"),
+                (F.col(dt) if dt in cols else F.lit(None).cast("string"))
+                .alias("o_datatype"),
+                (F.col(lg) if lg in cols else F.lit(None).cast("string"))
+                .alias("o_lang"),
+            ]
+        else:
+            sel += [
+                F.lit(KIND_URI if o[1] == "uri" else KIND_LITERAL)
+                .alias("o_kind"),
+                F.lit(o[2]).cast("string").alias("o_datatype"),
+                F.lit(o[3]).cast("string").alias("o_lang"),
+            ]
+        src = df
+        # literal in subject/predicate position -> skip the triple
+        # (companion NULL = no metadata = kept, heuristic territory)
+        for v in (sv, pv):
+            if v and f"{v}__kind" in cols:
+                kc = F.col(f"{v}__kind")
+                src = src.where(kc.isNull() | (kc == KIND_URI))
+        parts.append(
+            src.select(*sel).where(
+                F.col("s").isNotNull()
+                & F.col("p").isNotNull()
+                & F.col("o").isNotNull()
+            )
+        )
+
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionAll(part)
+    return out.dropDuplicates()
+
+
 def select_text(
     triples: DataFrame,
     query: str,
@@ -902,6 +1087,10 @@ def select_text(
     variables born in BIND/SELECT expressions or VALUES carry none.
     """
     q = parsed if parsed is not None else parse_select(query)
+    if q.construct is not None and "o_kind" in triples.columns:
+        # the template needs term metadata to type the output graph
+        # and to skip literal-subject instantiations
+        with_kinds = True
     df = select_sparql(
         triples,
         q.patterns,
@@ -913,6 +1102,26 @@ def select_text(
         stats=stats,
         with_kinds=with_kinds,
     )
+    if q.construct is not None:
+        # solution modifiers apply to the SOLUTION sequence (spec order);
+        # the instantiated graph is then set-deduped
+        if q.order_by:
+            keys = []
+            for tok in q.order_by:
+                desc = tok.startswith("-")
+                var = tok.lstrip("-").lstrip("?")
+                if var not in df.columns:
+                    raise SparqlSyntaxError(f"ORDER BY ?{var} is unbound")
+                keys.append(F.col(var).desc() if desc else F.col(var).asc())
+            df = df.orderBy(*keys)
+        limit = q.limit
+        if limit_cap is not None:
+            limit = limit_cap if limit is None else min(limit, limit_cap)
+        if q.offset:
+            df = df.offset(q.offset)
+        if limit is not None:
+            df = df.limit(limit)
+        return _instantiate_construct(df, q.construct)
     if q.ask:
         # ASK: Spark-lazy boolean — a ≤1-row DataFrame; non-empty = true.
         # limit(1) means the scan stops at the first matching solution.

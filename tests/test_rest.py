@@ -666,3 +666,41 @@ def test_sparql_algebra_minus(rest_server):
     assert {s["d"] for s in all_ds} - {s["d"] for s in rest} == {
         labelled[0]["d"]
     }
+
+
+def test_sparql_construct_over_http(rest_server):
+    """CONSTRUCT over the endpoint: JSON triple-table rows by default;
+    format nt (or the W3C GET binding) answers application/n-triples
+    rendered by the engine's own nt_statement serializer."""
+    from urllib.parse import quote
+
+    q = (
+        "construct { ?d <http://ex/label> ?l } "
+        "where { ?d rdfs:label ?l } limit 5"
+    )
+    base, _ = rest_server
+    status, rows = _post(base + "/sparql", {"query": q})
+    assert status == 200 and rows
+    assert set(rows[0]) == {"s", "p", "o", "o_kind", "o_datatype", "o_lang"}
+    assert all(r["p"] == "http://ex/label" for r in rows)
+    assert all(r["o_kind"] == "literal" for r in rows)
+
+    req = urllib.request.Request(
+        base + "/sparql",
+        data=json.dumps({"query": q, "format": "nt"}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("application/n-triples")
+        lines = r.read().decode().splitlines()
+    assert len(lines) == len(rows)
+    assert all(
+        ln.startswith("<http://") and ln.endswith(" .") for ln in lines
+    )
+
+    with urllib.request.urlopen(
+        base + "/sparql?query=" + quote(q), timeout=60
+    ) as r:
+        assert r.headers["Content-Type"].startswith("application/n-triples")
+        assert sorted(r.read().decode().splitlines()) == sorted(lines)

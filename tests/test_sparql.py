@@ -155,8 +155,8 @@ def test_limit_cap_guards_serving_path(spark, catalog):
 
 
 def test_parse_errors():
-    with pytest.raises(SparqlSyntaxError, match="CONSTRUCT"):
-        parse_select("construct { ?s ?p ?o } where { ?s ?p ?o }")
+    with pytest.raises(SparqlSyntaxError, match="DESCRIBE"):
+        parse_select("describe <http://x/thing>")
     with pytest.raises(SparqlSyntaxError, match="not supported"):
         parse_select("select ?x { graph ?g { ?x ?p ?o } }")
     with pytest.raises(SparqlSyntaxError, match="unknown prefix"):
@@ -802,3 +802,116 @@ def test_minus_and_exists(spark, catalog):
     assert [r["l"] for r in got] == ["Beta dataset"]
     with pytest.raises(SparqlSyntaxError, match="NOT must be followed"):
         parse_select("select ?x { ?x ?p ?o filter not bound(?x) }")
+
+
+def test_construct_graph(spark, catalog):
+    """CONSTRUCT returns a graph in the engine's triple-table shape:
+    template constants keep their written form (uri vs literal,
+    datatype/lang), variables instantiate per solution, unbound
+    template variables skip the triple, and the graph is set-deduped."""
+    I, O = M.PREFIX_INSTANCE, M.PREFIX_ONTOLOGY
+    q = (
+        "construct { ?d a <http://ex/Catalog> ; "
+        '<http://ex/note> "seen"@en ; '
+        "<http://ex/label> ?l } "
+        "where { ?d a qb:DataSet optional { ?d rdfs:label ?l } }"
+    )
+    got = select_text(catalog, q)
+    assert got.columns == ["s", "p", "o", "o_kind", "o_datatype", "o_lang"]
+    rows = {(r["s"], r["p"], r["o"]) for r in got.collect()}
+    # 3 datasets x (type + note) + 1 label (only beta has rdfs:label —
+    # the unbound ?l solutions skip the label template triple)
+    assert len(rows) == 7
+    assert (I + "beta", "http://ex/label", "Beta dataset") in rows
+    assert not any(p == "http://ex/label" and s != I + "beta"
+                   for s, p, o in rows)
+    by_po = {
+        (r["p"], r["o"]): r for r in got.collect()
+    }
+    note = by_po[("http://ex/note", "seen")]
+    assert note["o_kind"] == "literal" and note["o_lang"] == "en"
+    typ = by_po[("http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                 "http://ex/Catalog")]
+    assert typ["o_kind"] == "uri"
+
+    # dedup: a constant-only template over N solutions is ONE triple
+    one = select_text(
+        catalog,
+        "construct { <http://ex/g> <http://ex/n> 3 } "
+        "where { ?d a qb:DataSet }",
+    ).collect()
+    assert len(one) == 1 and one[0]["o"] == "3"
+    assert one[0]["o_kind"] == "literal"
+
+    # LIMIT applies to the solution sequence before instantiation
+    limited = select_text(
+        catalog,
+        "construct { ?d a <http://ex/Catalog> } "
+        "where { ?d a qb:DataSet } order by ?d limit 2",
+    ).collect()
+    assert len(limited) == 2
+
+    # parse guards
+    with pytest.raises(SparqlSyntaxError, match="template needs"):
+        parse_select("construct { } where { ?s ?p ?o }")
+    with pytest.raises(SparqlSyntaxError, match="GROUP BY"):
+        parse_select(
+            "construct { ?s a ?o } where { ?s ?p ?o } group by ?s"
+        )
+    with pytest.raises(SparqlSyntaxError, match="bound by no pattern"):
+        select_text(catalog, "construct { ?x a ?y } where { ?s ?p ?o }")
+
+
+def test_construct_with_kind_metadata(spark):
+    """Over a kinds-carrying triple table the output object metadata
+    comes from the DATA (companions), and a literal bound to a
+    subject-position variable skips the triple per the spec."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("http://x/a", "http://x/p", "http://x/b", "uri", None, None),
+        ("http://x/a", "http://x/q", "42", "literal",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("http://x/a", "http://x/r", "hello", "literal", None, "en"),
+    ]
+    schema = "s string, p string, o string, o_kind string, o_datatype string, o_lang string"
+    t = spark.createDataFrame(rows, schema).withColumn(
+        "dataset", F.lit("d")
+    )
+
+    got = select_text(
+        t,
+        "construct { <http://y/s> <http://y/p> ?o } "
+        "where { <http://x/a> ?p ?o }",
+    ).collect()
+    meta = {(r["o"], r["o_kind"], r["o_datatype"], r["o_lang"]) for r in got}
+    assert meta == {
+        ("http://x/b", "uri", None, None),
+        ("42", "literal", "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("hello", "literal", None, "en"),
+    }
+
+    # object var promoted to SUBJECT position: the two literal bindings
+    # skip (literal subjects are invalid RDF), only the uri one lands
+    got = select_text(
+        t,
+        "construct { ?o <http://y/p> <http://y/o> } "
+        "where { <http://x/a> ?p ?o }",
+    ).collect()
+    assert [(r["s"], r["o_kind"]) for r in got] == [("http://x/b", "uri")]
+
+    # N-Triples serialization of the constructed graph round-trips the
+    # datatype/lang metadata
+    from linkedspending_spark.functions.nt import nt_statement
+
+    g = select_text(
+        t,
+        "construct { <http://y/s> <http://y/p> ?o } "
+        "where { <http://x/a> ?p ?o }",
+    )
+    lines = sorted(r["v"] for r in g.select(nt_statement().alias("v")).collect())
+    assert lines == [
+        '<http://y/s> <http://y/p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        '<http://y/s> <http://y/p> "hello"@en .',
+        "<http://y/s> <http://y/p> <http://x/b> .",
+    ]
