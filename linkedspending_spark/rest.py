@@ -213,15 +213,31 @@ class RestService:
                 if w3c:
                     return {"head": {}, "boolean": answer}
                 return {"ask": answer}
-            if p.construct is not None:
-                # CONSTRUCT answers a GRAPH: W3C clients get N-Triples
-                # (the protocol's RDF response; format "nt" works too),
-                # JSON clients get the triple-table rows
+            if p.construct is not None or p.describe is not None:
+                # CONSTRUCT/DESCRIBE answer a GRAPH: W3C clients get
+                # N-Triples (the protocol's RDF response; format "nt"
+                # works too), JSON clients get the triple-table rows
                 if w3c or body.get("format") == "nt":
                     from .functions.nt import nt_statement
 
+                    d = df
+                    if "o_kind" not in d.columns:  # kinds-less table
+                        d = (
+                            d.withColumn(
+                                "o_kind",
+                                F.when(
+                                    F.col("o").startswith("http://")
+                                    | F.col("o").startswith("https://"),
+                                    F.lit("uri"),
+                                ).otherwise(F.lit("literal")),
+                            )
+                            .withColumn(
+                                "o_datatype", F.lit(None).cast("string")
+                            )
+                            .withColumn("o_lang", F.lit(None).cast("string"))
+                        )
                     lines = self._bounded_rows(
-                        df.select(nt_statement().alias("nt"))
+                        d.select(nt_statement().alias("nt"))
                     )
                     return _Raw(
                         "".join(r["nt"] + "\n" for r in lines),

@@ -80,8 +80,14 @@ evaluates):
   ``nt_statement`` / further SPARQL directly. Solution modifiers
   (ORDER BY/LIMIT/OFFSET) apply to the solution sequence, per spec.
 
+* ``DESCRIBE <uri>... [?var... WHERE { ... }]`` — the resources'
+  outgoing triples (the simplest concise-bounded description; the
+  table has no blank nodes to close over), again in triple-table
+  shape. Constants push down as an ``In`` subject filter; ?var
+  resources come from the WHERE solutions via a LEFT SEMI join.
+
 Out of scope (raise, never misparse): property paths, subqueries,
-GRAPH/SERVICE/DESCRIBE, blank-node syntax.
+GRAPH/SERVICE, blank-node syntax.
 
 Scale shape: the parser only *front-ends* ``select_sparql`` — every
 pattern is still a pushed-down scan under the stats-ordered join tree,
@@ -248,12 +254,15 @@ class ParsedQuery:
     #: (value, kind 'var'|'uri'|'lit', datatype, lang) keeping the
     #: WRITTEN form so the output graph carries correct o_kind metadata
     construct: list[tuple] | None = None
+    #: DESCRIBE terms: URIs and/or "?var" names (vars resolved against
+    #: the WHERE group's solutions)
+    describe: list[str] | None = None
 
 
 _AGG_FUNCS = {"count", "sum", "min", "max", "avg", "sample"}
 
 _UNSUPPORTED = {
-    "graph", "service", "describe",
+    "graph", "service",
 }
 
 
@@ -564,6 +573,47 @@ class _Parser:
             if self.lx.peek()[0] != "eof":
                 raise SparqlSyntaxError(
                     "ASK takes no solution modifiers"
+                )
+            return self.q
+        if word == "describe":
+            self.lx.next()
+            terms: list[str] = []
+            while True:
+                kind, text = self.lx.peek()
+                if kind == "var":
+                    self.lx.next()
+                    terms.append(text)
+                elif kind == "uri":
+                    self.lx.next()
+                    terms.append(text[1:-1])
+                elif kind == "pname":
+                    self.lx.next()
+                    terms.append(self._expand(text))
+                else:
+                    break
+            if not terms:
+                raise SparqlSyntaxError(
+                    "DESCRIBE needs at least one <resource> or ?var"
+                )
+            self.q.describe = terms
+            if self.lx.next_word() == "where":
+                self.lx.next()
+                self._group_body()
+            elif self.lx.peek()[1] == "{":
+                self._group_body()
+            has_vars = any(t.startswith("?") for t in terms)
+            if has_vars and not (self.q.patterns or self.q.groups):
+                raise SparqlSyntaxError(
+                    "DESCRIBE ?var needs a WHERE group binding it"
+                )
+            self._solution_modifiers()
+            if self.q.group_by or self.q.having:
+                raise SparqlSyntaxError(
+                    "DESCRIBE takes no GROUP BY / HAVING"
+                )
+            if self.lx.peek()[0] != "eof":
+                raise SparqlSyntaxError(
+                    f"trailing input at {self.lx.peek()[1]!r}"
                 )
             return self.q
         if word == "construct":
@@ -1087,6 +1137,75 @@ def select_text(
     variables born in BIND/SELECT expressions or VALUES carry none.
     """
     q = parsed if parsed is not None else parse_select(query)
+    if q.describe is not None:
+        # DESCRIBE: the resource's outgoing triples (the simplest
+        # concise-bounded-description — the table has no blank nodes to
+        # close over). Constants push down as an In filter on the
+        # subject scan; ?var resources come from the WHERE solutions
+        # via a LEFT SEMI join (broadcast when small). Output is the
+        # triple-table shape, like CONSTRUCT.
+        meta = [
+            c
+            for c in ("o_kind", "o_datatype", "o_lang")
+            if c in triples.columns
+        ]
+        base = ["s", "p", "o", *meta]
+        consts = [t for t in q.describe if not t.startswith("?")]
+        vars_ = [t[1:] for t in q.describe if t.startswith("?")]
+        parts = []
+        if consts:
+            parts.append(
+                triples.where(F.col("s").isin(consts)).select(*base)
+            )
+        if vars_:
+            sols = select_sparql(
+                triples,
+                q.patterns,
+                filters=q.filters,
+                groups=q.groups,
+                dataset=dataset,
+                n_buckets=n_buckets,
+                manifest_path=manifest_path,
+                stats=stats,
+            )
+            missing = [v for v in vars_ if v not in sols.columns]
+            if missing:
+                raise SparqlSyntaxError(
+                    f"DESCRIBE variable(s) {missing} are bound by no "
+                    "pattern"
+                )
+            if q.order_by:
+                keys = []
+                for tok in q.order_by:
+                    var = tok.lstrip("-").lstrip("?")
+                    if var not in sols.columns:
+                        raise SparqlSyntaxError(
+                            f"ORDER BY ?{var} is unbound"
+                        )
+                    keys.append(
+                        F.col(var).desc()
+                        if tok.startswith("-")
+                        else F.col(var).asc()
+                    )
+                sols = sols.orderBy(*keys)
+            limit = q.limit
+            if limit_cap is not None:
+                limit = limit_cap if limit is None else min(limit, limit_cap)
+            if q.offset:
+                sols = sols.offset(q.offset)
+            if limit is not None:
+                sols = sols.limit(limit)
+            ids = sols.select(F.col(vars_[0]).alias("s"))
+            for v in vars_[1:]:
+                ids = ids.unionAll(sols.select(F.col(v).alias("s")))
+            parts.append(
+                triples.join(ids.distinct(), on="s", how="left_semi")
+                .select(*base)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out.dropDuplicates() if len(parts) > 1 else out
     if q.construct is not None and "o_kind" in triples.columns:
         # the template needs term metadata to type the output graph
         # and to skip literal-subject instantiations

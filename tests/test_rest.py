@@ -704,3 +704,27 @@ def test_sparql_construct_over_http(rest_server):
     ) as r:
         assert r.headers["Content-Type"].startswith("application/n-triples")
         assert sorted(r.read().decode().splitlines()) == sorted(lines)
+
+
+def test_sparql_describe_over_http(rest_server):
+    """DESCRIBE over the endpoint shares the graph response paths."""
+    base, _ = rest_server
+    _, one = _post(
+        base + "/sparql",
+        {"query": "select ?d { ?d a qb:DataSet } limit 1"},
+    )
+    uri = one[0]["d"]
+    status, rows = _post(base + "/sparql", {"query": f"describe <{uri}>"})
+    assert status == 200 and rows
+    assert all(r["s"] == uri for r in rows)
+    req = urllib.request.Request(
+        base + "/sparql",
+        data=json.dumps({"query": f"describe <{uri}>", "format": "nt"}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("application/n-triples")
+        lines = r.read().decode().splitlines()
+    assert len(lines) == len(rows)
+    assert all(ln.startswith(f"<{uri}> ") and ln.endswith(" .") for ln in lines)

@@ -155,8 +155,10 @@ def test_limit_cap_guards_serving_path(spark, catalog):
 
 
 def test_parse_errors():
-    with pytest.raises(SparqlSyntaxError, match="DESCRIBE"):
-        parse_select("describe <http://x/thing>")
+    with pytest.raises(SparqlSyntaxError, match="DESCRIBE needs"):
+        parse_select("describe where { ?s ?p ?o }")
+    with pytest.raises(SparqlSyntaxError, match="WHERE group binding"):
+        parse_select("describe ?x")
     with pytest.raises(SparqlSyntaxError, match="not supported"):
         parse_select("select ?x { graph ?g { ?x ?p ?o } }")
     with pytest.raises(SparqlSyntaxError, match="unknown prefix"):
@@ -915,3 +917,45 @@ def test_construct_with_kind_metadata(spark):
         '<http://y/s> <http://y/p> "hello"@en .',
         "<http://y/s> <http://y/p> <http://x/b> .",
     ]
+
+
+def test_describe(spark, catalog):
+    """DESCRIBE: outgoing triples of the named resources — constants
+    push down as a subject In filter; ?var resources resolve through
+    the WHERE solutions (semi join); output is the triple-table shape."""
+    I, D = M.PREFIX_INSTANCE, M.NS_DCT
+
+    got = select_text(catalog, f"describe <{I}beta>")
+    assert got.columns == ["s", "p", "o"]  # kinds-less fixture table
+    rows = got.collect()
+    assert len(rows) == 9 and all(r["s"] == I + "beta" for r in rows)
+
+    # two constants
+    assert select_text(
+        catalog, f"describe <{I}beta> <{I}alpha>"
+    ).count() == 17
+
+    # var form: resources from the WHERE solutions
+    got = select_text(
+        catalog,
+        'describe ?d where { ?d lso:uploadComplete "false" }',
+    ).collect()
+    assert len(got) == 8 and all(r["s"] == I + "gamma" for r in got)
+
+    # LIMIT applies to the solution sequence (first k resources)
+    got = select_text(
+        catalog,
+        "describe ?d where { ?d a qb:DataSet } order by ?d limit 1",
+    ).collect()
+    assert {r["s"] for r in got} == {I + "alpha"}
+
+    # mixed constants + var, overlap dedups
+    got = select_text(
+        catalog,
+        f"describe <{I}gamma> ?d where "
+        '{ ?d lso:uploadComplete "false" }',
+    )
+    assert got.count() == 8
+
+    with pytest.raises(SparqlSyntaxError, match="bound by no pattern"):
+        select_text(catalog, "describe ?x where { ?d a qb:DataSet }")
