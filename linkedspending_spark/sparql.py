@@ -41,7 +41,12 @@ evaluates):
   typed comparison than a lexical compare would be, and a row whose
   lexical form is not a number DROPS from the solution (SPARQL's
   expression-error semantics) instead of throwing from ANSI codegen
-  (pinned in tests; do not "fix" either away). Unknown function
+  (pinned in tests; do not "fix" either away). ``LANG(?x)`` /
+  ``DATATYPE(?x)`` / ``langMatches(LANG(?x), "en")`` rewrite into
+  expressions over the term-metadata companions — they need a triple
+  table carrying ``o_kind``/``o_datatype``/``o_lang`` (raise
+  otherwise); LANG of a URI / DATATYPE of a URI is NULL = SPARQL's
+  expression error (row drops in FILTER). Other unknown function
   names and ``xsd:type(?x)`` cast syntax are rejected at translate
   time (a clean 400 on the REST path, not an analyzer 500).
 * ``BIND(expr AS ?v)`` — the expression (same translator as FILTER)
@@ -250,6 +255,9 @@ class ParsedQuery:
     having: list[str] = field(default_factory=list)
     #: (translated-sql-expr, alias) per non-aggregate SELECT expression
     select_exprs: list[tuple[str, str]] = field(default_factory=list)
+    #: query uses LANG()/DATATYPE()/langMatches(): evaluation must
+    #: thread the <v>__kind/__datatype/__lang companions internally
+    needs_kinds: bool = False
     #: CONSTRUCT template: (s, p, o) of terms, each term a 4-tuple
     #: (value, kind 'var'|'uri'|'lit', datatype, lang) keeping the
     #: WRITTEN form so the output graph carries correct o_kind metadata
@@ -495,15 +503,84 @@ class _Parser:
         re.X,
     )
 
+    # term-metadata built-ins, rewritten BEFORE the main pass into
+    # expressions over the <v>__kind/__datatype/__lang companions (the
+    # ?name syntax survives serve's variable→column substitution):
+    # langMatches first (it consumes the inner LANG call), then bare
+    # LANG / DATATYPE outside quoted literals.
+    _LM_CALL = re.compile(
+        r"(?i)\blangmatches\s*\(\s*"
+        r"(?:lang\s*\(\s*(\?\w+)\s*\)|(\?\w+))\s*,\s*"
+        r'"((?:[^"\\]|\\.)*)"\s*\)'
+    )
+    _LANG_CALL = re.compile(r"(?i)\blang\s*\(\s*(\?\w+)\s*\)")
+    _DT_CALL = re.compile(r"(?i)\bdatatype\s*\(\s*(\?\w+)\s*\)")
+    _QUOTE_SPLIT = re.compile(r"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')")
+
+    @staticmethod
+    def _lang_sql(var: str) -> str:
+        # SPARQL LANG: tag or "" for literals; error (NULL -> filter
+        # false) for URIs. NULL kind (VALUES/BIND-born) = plain literal.
+        return (
+            f"(CASE WHEN {var}__kind = 'uri' THEN NULL "
+            f"ELSE coalesce({var}__lang, '') END)"
+        )
+
+    def _kind_builtins_pass(self, raw: str) -> str:
+        def lm(m: re.Match) -> str:
+            self.q.needs_kinds = True
+            lang_expr = (
+                self._lang_sql(m.group(1)) if m.group(1) else m.group(2)
+            )
+            rng = _unescape(m.group(3)).lower().replace("'", "''")
+            if rng == "*":
+                # any non-empty tag; NULL (URI operand) compares NULL
+                # -> filter-false, no explicit IS NOT NULL needed
+                return f"({lang_expr} != '')"
+            return (
+                f"(lcase({lang_expr}) = '{rng}' OR "
+                f"lcase({lang_expr}) LIKE '{rng}-%')"
+            )
+
+        raw = self._LM_CALL.sub(lm, raw)
+
+        def outside(segment: str) -> str:
+            def lang(m: re.Match) -> str:
+                self.q.needs_kinds = True
+                return self._lang_sql(m.group(1))
+
+            def dt(m: re.Match) -> str:
+                self.q.needs_kinds = True
+                v = m.group(1)
+                return (
+                    f"(CASE WHEN {v}__kind = 'uri' THEN "
+                    "NULL "
+                    f"WHEN {v}__lang IS NOT NULL THEN "
+                    "'http://www.w3.org/1999/02/22-rdf-syntax-ns"
+                    "#langString' "
+                    f"WHEN {v}__datatype IS NOT NULL THEN {v}__datatype "
+                    "ELSE 'http://www.w3.org/2001/XMLSchema#string' END)"
+                )
+
+            return self._DT_CALL.sub(dt, self._LANG_CALL.sub(lang, segment))
+
+        parts = self._QUOTE_SPLIT.split(raw)
+        return "".join(
+            p if i % 2 else outside(p) for i, p in enumerate(parts)
+        )
+
     def _translate_filter(self, raw: str) -> str:
         """SPARQL expression → Spark SQL predicate: term substitution
         (URIs / typed literals → string literals), &&/||/! → AND/OR/NOT,
         BOUND(?x) → ?x IS NOT NULL, and the string built-ins (REGEX,
-        UCASE, STRSTARTS, ...) → their Spark SQL equivalents. Unknown
+        UCASE, STRSTARTS, ...) → their Spark SQL equivalents.
+        LANG/DATATYPE/langMatches rewrite into expressions over the
+        term-metadata companions (``_kind_builtins_pass``). Unknown
         function names and ``xsd:type(?x)`` cast syntax are rejected
         HERE, at translate time — the REST path turns that into a 400
         with the offending name, instead of a 500 from Spark's analyzer
         at collect()."""
+        raw = self._kind_builtins_pass(raw)
 
         def _sql_str(v: str) -> str:
             return "'" + v.replace("'", "''") + "'"
@@ -1210,6 +1287,12 @@ def select_text(
         # the template needs term metadata to type the output graph
         # and to skip literal-subject instantiations
         with_kinds = True
+    eval_kinds = with_kinds or q.needs_kinds
+    if q.needs_kinds and "o_kind" not in triples.columns:
+        raise SparqlSyntaxError(
+            "LANG()/DATATYPE()/langMatches() need a triple table carrying "
+            "term metadata (o_kind/o_datatype/o_lang columns)"
+        )
     df = select_sparql(
         triples,
         q.patterns,
@@ -1219,8 +1302,15 @@ def select_text(
         n_buckets=n_buckets,
         manifest_path=manifest_path,
         stats=stats,
-        with_kinds=with_kinds,
+        with_kinds=eval_kinds,
     )
+    if eval_kinds and not with_kinds:
+        # companions were threaded only for the kind built-ins'
+        # evaluation (already applied inside select_sparql) — the
+        # caller did not ask for them in the OUTPUT
+        from .serve import _is_companion
+
+        df = df.drop(*[c for c in df.columns if _is_companion(c)])
     if q.construct is not None:
         # solution modifiers apply to the SOLUTION sequence (spec order);
         # the instantiated graph is then set-deduped

@@ -200,9 +200,16 @@ def test_sparql_endpoint_textual_query(rest_server):
     assert status == 400 and "error" in err
     status, err = _post(
         base + "/sparql",
-        {"query": 'select ?x { ?x ?p ?o filter(langMatches(?o, "en")) }'},
+        {"query": "select ?x { ?x ?p ?o filter(isBlank(?o)) }"},
     )
     assert status == 400 and "unknown aggregate or" in err["error"]
+    # langMatches executes now (round 5) over the kinds-carrying table
+    status, sols = _post(
+        base + "/sparql",
+        {"query": "select ?x { ?x ?p ?o "
+                  'filter(langMatches(lang(?o), "*")) } limit 3'},
+    )
+    assert status == 200
     # BIND runs: the expression lands in the solutions
     status, sols = _post(
         base + "/sparql",

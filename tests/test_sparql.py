@@ -688,13 +688,19 @@ def test_offset_paging(spark, catalog):
 
 def test_unknown_builtin_and_cast_rejected_at_parse_time():
     with pytest.raises(SparqlSyntaxError, match="unknown aggregate or"):
-        parse_select(
-            'select ?x { ?x ?p ?o filter(langMatches(?o, "en")) }'
-        )
+        parse_select("select ?x { ?x ?p ?o filter(isBlank(?o)) }")
     with pytest.raises(SparqlSyntaxError, match="unknown aggregate or"):
-        parse_select("select ?x { ?x ?p ?o filter(datatype(?o) = ?x) }")
+        parse_select("select ?x { ?x ?p ?o filter(sameTerm(?o, ?x)) }")
     with pytest.raises(SparqlSyntaxError, match="cast syntax"):
         parse_select("select ?x { ?x ?p ?o filter(xsd:integer(?o) > 3) }")
+    # LANG/DATATYPE/langMatches parse (round 5) and flag needs_kinds
+    q = parse_select(
+        'select ?x { ?x ?p ?o filter(langMatches(lang(?o), "en")) }'
+    )
+    assert q.needs_kinds
+    assert parse_select(
+        "select ?x { ?x ?p ?o filter(datatype(?o) = xsd:integer) }"
+    ).needs_kinds
 
 
 def test_filter_numeric_vs_lexical_comparison(spark):
@@ -959,3 +965,48 @@ def test_describe(spark, catalog):
 
     with pytest.raises(SparqlSyntaxError, match="bound by no pattern"):
         select_text(catalog, "describe ?x where { ?d a qb:DataSet }")
+
+
+def test_lang_datatype_builtins(spark):
+    """LANG / DATATYPE / langMatches over the term-metadata companions:
+    language-range matching (exact + prefix + '*'), LANG='' for plain
+    literals, DATATYPE falls back to xsd:string / rdf:langString, and
+    both are NULL (row drops) for URIs — SPARQL's expression error."""
+    rows = [
+        ("s1", "http://x/p", "hello", "literal", None, "en"),
+        ("s2", "http://x/p", "howdy", "literal", None, "en-US"),
+        ("s3", "http://x/p", "hallo", "literal", None, "de"),
+        ("s4", "http://x/p", "plain", "literal", None, None),
+        ("s5", "http://x/p", "42", "literal",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("s6", "http://x/p", "http://x/uri-object", "uri", None, None),
+    ]
+    schema = ("s string, p string, o string, o_kind string, "
+              "o_datatype string, o_lang string")
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(rows, schema).withColumn("dataset", F.lit("d"))
+
+    def subs(q):
+        return sorted(r["s"] for r in select_text(t, q).collect())
+
+    base = "select ?s { ?s ?p ?o filter(%s) }"
+    assert subs(base % 'langMatches(lang(?o), "en")') == ["s1", "s2"]
+    assert subs(base % 'langMatches(lang(?o), "EN-us")') == ["s2"]
+    assert subs(base % 'langMatches(lang(?o), "*")') == ["s1", "s2", "s3"]
+    assert subs(base % 'lang(?o) = ""') == ["s4", "s5"]  # URI drops (NULL)
+    assert subs(base % 'lang(?o) = "de"') == ["s3"]
+    assert subs(base % "datatype(?o) = xsd:integer") == ["s5"]
+    assert subs(base % "datatype(?o) = xsd:string") == ["s4"]
+    assert subs(
+        base % "datatype(?o) = rdf:langString"
+    ) == ["s1", "s2", "s3"]
+    # companions stay INTERNAL: the caller did not ask for kinds
+    out = select_text(t, base % 'lang(?o) = "de"')
+    assert out.columns == ["s"]
+    # kinds-less table: loud, typed refusal (a 400 over REST)
+    bare = t.select("s", "p", "o", "dataset")
+    with pytest.raises(SparqlSyntaxError, match="term metadata"):
+        select_text(bare, base % 'lang(?o) = "de"')
+    # quoted text containing 'lang(' is data, not a built-in call
+    assert subs(base % '?o != "lang(x)"') == [f"s{i}" for i in range(1, 7)]
