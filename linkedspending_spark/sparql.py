@@ -42,11 +42,13 @@ evaluates):
   lexical form is not a number DROPS from the solution (SPARQL's
   expression-error semantics) instead of throwing from ANSI codegen
   (pinned in tests; do not "fix" either away). ``LANG(?x)`` /
-  ``DATATYPE(?x)`` / ``langMatches(LANG(?x), "en")`` rewrite into
-  expressions over the term-metadata companions — they need a triple
-  table carrying ``o_kind``/``o_datatype``/``o_lang`` (raise
-  otherwise); LANG of a URI / DATATYPE of a URI is NULL = SPARQL's
-  expression error (row drops in FILTER). Other unknown function
+  ``DATATYPE(?x)`` / ``langMatches(LANG(?x), "en")`` /
+  ``isURI/isIRI/isLiteral(?x)`` rewrite into expressions over the
+  term-metadata companions — they need a triple table carrying
+  ``o_kind``/``o_datatype``/``o_lang`` (raise otherwise); LANG of a
+  URI / DATATYPE of a URI is NULL = SPARQL's expression error (row
+  drops in FILTER). ``isNumeric(?x)`` tests the lexical form via
+  try_cast (works on kinds-less tables). Other unknown function
   names and ``xsd:type(?x)`` cast syntax are rejected at translate
   time (a clean 400 on the REST path, not an analyzer 500).
 * ``BIND(expr AS ?v)`` — the expression (same translator as FILTER)
@@ -484,10 +486,13 @@ class _Parser:
         "concat": "concat",
         "abs": "abs",
         # identical name + semantics in Spark SQL (IF/COALESCE: SPARQL's
-        # error-as-NULL maps to SQL NULL; IN is the SQL operator)
+        # error-as-NULL maps to SQL NULL; IN is the SQL operator).
+        # try_cast backs the isNumeric rewrite and doubles as an escape
+        # hatch for explicit numeric coercion.
         "in": "IN",
         "if": "if",
         "coalesce": "coalesce",
+        "try_cast": "try_cast",
     }
 
     _FILTER_PIECE = re.compile(
@@ -515,6 +520,9 @@ class _Parser:
     )
     _LANG_CALL = re.compile(r"(?i)\blang\s*\(\s*(\?\w+)\s*\)")
     _DT_CALL = re.compile(r"(?i)\bdatatype\s*\(\s*(\?\w+)\s*\)")
+    _ISKIND_CALL = re.compile(
+        r"(?i)\bis(uri|iri|literal|numeric)\s*\(\s*(\?\w+)\s*\)"
+    )
     _QUOTE_SPLIT = re.compile(r"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')")
 
     @staticmethod
@@ -562,6 +570,18 @@ class _Parser:
                     "ELSE 'http://www.w3.org/2001/XMLSchema#string' END)"
                 )
 
+            def iskind(m: re.Match) -> str:
+                which, v = m.group(1).lower(), m.group(2)
+                if which == "numeric":
+                    # numeric test over the lexical form; no metadata
+                    # needed (works on kinds-less tables too)
+                    return f"(try_cast({v} as double) IS NOT NULL)"
+                self.q.needs_kinds = True
+                if which in ("uri", "iri"):
+                    return f"(coalesce({v}__kind, 'literal') = 'uri')"
+                return f"(coalesce({v}__kind, 'literal') = 'literal')"
+
+            segment = self._ISKIND_CALL.sub(iskind, segment)
             return self._DT_CALL.sub(dt, self._LANG_CALL.sub(lang, segment))
 
         parts = self._QUOTE_SPLIT.split(raw)

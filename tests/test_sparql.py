@@ -1001,6 +1001,12 @@ def test_lang_datatype_builtins(spark):
     assert subs(
         base % "datatype(?o) = rdf:langString"
     ) == ["s1", "s2", "s3"]
+    # isURI/isIRI/isLiteral from metadata; isNumeric from the lexical
+    # form (no metadata needed)
+    assert subs(base % "isURI(?o)") == ["s6"]
+    assert subs(base % "isIRI(?o)") == ["s6"]
+    assert subs(base % "isLiteral(?o)") == ["s1", "s2", "s3", "s4", "s5"]
+    assert subs(base % "isNumeric(?o)") == ["s5"]
     # companions stay INTERNAL: the caller did not ask for kinds
     out = select_text(t, base % 'lang(?o) = "de"')
     assert out.columns == ["s"]
