@@ -1,4 +1,5 @@
-"""SPARQL SELECT text parser → the :mod:`serve` algebra.
+"""SPARQL text parser → the :mod:`serve` algebra — all four query
+forms (SELECT, ASK, CONSTRUCT, DESCRIBE).
 
 The reference issues *textual* SPARQL against its endpoint
 (Sparql.java:21-29 ``select``/``selectPrefixed``; query strings at

@@ -1016,3 +1016,32 @@ def test_lang_datatype_builtins(spark):
         select_text(bare, base % 'lang(?o) = "de"')
     # quoted text containing 'lang(' is data, not a built-in call
     assert subs(base % '?o != "lang(x)"') == [f"s{i}" for i in range(1, 7)]
+
+
+def test_graph_forms_plan_shapes(spark, catalog, tmp_path):
+    """Scale shapes of the new query forms: DESCRIBE constants reach
+    the parquet scan as a pushed-down subject filter; CONSTRUCT plans
+    as a shuffle-free union of narrow projections."""
+    path = str(tmp_path / "cat.parquet")
+    catalog.write.parquet(path)
+    t = spark.read.parquet(path)
+    I = M.PREFIX_INSTANCE
+
+    plan = plan_of(select_text(t, f"describe <{I}beta>"))
+    assert "PushedFilters" in plan
+    import re as _re
+
+    pushed = _re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    assert "s" in pushed and ("In(" in pushed or "EqualTo" in pushed)
+
+    plan = plan_of(
+        select_text(
+            t,
+            "construct { ?d a <http://ex/C> . ?d <http://ex/n> ?n } "
+            "where { ?d dcterms:identifier ?n }",
+        )
+    )
+    # the only exchange is the final set-dedup's — template
+    # instantiation itself is Union over projections, no join shuffle
+    assert "Union" in plan
+    assert plan.count("SortMergeJoin") == 0
