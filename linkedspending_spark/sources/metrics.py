@@ -34,14 +34,32 @@ class MetricsStore:
         os.makedirs(path, exist_ok=True)
 
     def record(self, run_id: str, stage: str, metrics: dict[str, float], dataset: str | None = None) -> None:
+        # VALUES-literal LocalTableScan, not createDataFrame: the
+        # parallelize path costs a ~0.7 s Spark job per append (the
+        # documented tiny-dict anti-pattern, see
+        # sources/dictionaries.py::_local_pairs_df) — job-control
+        # latency rides on this for every lifecycle event.
         now = time.time()
-        rows = [
-            (run_id, stage, dataset, k, float(v) if v is not None else None, now)
+
+        def s(v) -> str:
+            if v is None:
+                return "CAST(NULL AS STRING)"
+            return "'" + str(v).replace("'", "''") + "'"
+
+        def d(v) -> str:
+            if v is None:
+                return "CAST(NULL AS DOUBLE)"
+            return f"CAST({float(v)!r} AS DOUBLE)"
+
+        rows = ", ".join(
+            f"({s(run_id)}, {s(stage)}, {s(dataset)}, {s(k)}, "
+            f"{d(v)}, {d(now)})"
             for k, v in metrics.items()
-        ]
-        self.spark.createDataFrame(rows, METRICS_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(self.path)
+        )
+        self.spark.sql(
+            f"SELECT * FROM (VALUES {rows}) "
+            "AS t(run_id, stage, dataset, key, value, ts)"
+        ).write.mode("append").parquet(self.path)
 
     def event(
         self, run_id: str, seq: int, event: str, detail: str | None = None
