@@ -580,9 +580,25 @@ def select_sparql(
         # solution (SPARQL's Join(BGP(), ...) identity) — one row, no
         # columns; the bind branch below adds the variable
         df = triples.sparkSession.range(1).drop("id")
+    elif groups and groups[0][0] == "path":
+        # a query that IS a quantified property path: the closure's
+        # solutions are the base
+        s_t, p_uri, o_t, quant = groups.pop(0)[1]
+        df = path_closure(
+            triples,
+            s_t,
+            p_uri,
+            o_t,
+            quant,
+            dataset=dataset,
+            n_buckets=n_buckets,
+            manifest_path=manifest_path,
+            with_kinds=with_kinds,
+        )
     else:
         raise ValueError(
-            "select_sparql needs patterns, a union, values or a bind"
+            "select_sparql needs patterns, a union, values, a bind or "
+            "a path"
         )
     out_order = list(df.columns)
     bound = set(out_order)
@@ -745,6 +761,44 @@ def select_sparql(
             nullable.add(name)  # the expression may evaluate to NULL
             out_order.append(name)
             bound.add(name)
+        elif kind == "path":
+            # quantified property path (p+ / p* / p?): the closure's
+            # solution pairs join the solution so far on the shared
+            # variables, exactly like a UNION group. Path variables are
+            # never NULL. A both-ends-constant path is an existence
+            # gate: LEFT SEMI against its ≤1-row result (the EXISTS
+            # degenerate shape — broadcast, never duplicates solutions).
+            s_t, p_uri, o_t, quant = payload
+            pc = path_closure(
+                triples,
+                s_t,
+                p_uri,
+                o_t,
+                quant,
+                dataset=dataset,
+                n_buckets=n_buckets,
+                manifest_path=manifest_path,
+                with_kinds=with_kinds,
+            )
+            if pc.columns == ["__pp_exists"]:
+                df = df.join(pc.limit(1), F.lit(True), "left_semi")
+            else:
+                shared = _join_vars(pc.columns)
+                if with_kinds and shared:
+                    pc = pc.drop(
+                        *[
+                            c
+                            for v in shared
+                            for c in _companions_of(v, pc.columns)
+                        ]
+                    )
+                _refuse_nullable_join(
+                    shared, "solution side of a property path"
+                )
+                df = df.join(pc, on=shared) if shared else df.crossJoin(pc)
+                new = [c for c in pc.columns if c not in bound]
+                out_order += new
+                bound |= set(pc.columns)
         elif kind == "minus":
             # SPARQL Minus(Ω1, Ω2): drop solutions some right-side
             # solution agrees with on >= 1 shared variable. BGP right
@@ -836,3 +890,245 @@ def _eval_union(
     for b in branches[1:]:
         out = out.unionByName(b, allowMissingColumns=True)
     return out.select(*cols), [set(b.columns) for b in branches]
+
+
+# -- property paths -----------------------------------------------------------
+
+#: iteration cap for quantified-path fixpoints: closure converges in at
+#: most graph-diameter rounds; real KG diameters are tiny (≲20), so a
+#: non-converged loop at 32 means a pathological input, not a bigger cap
+PATH_MAX_HOPS = 32
+
+
+def _node_kind_map(scoped: DataFrame) -> DataFrame:
+    """``term → (kind, datatype, lang)`` over the graph's nodes, for
+    typing path-bound variables under ``with_kinds``: objects keep their
+    stored metadata, subjects are URIs by RDF construction. A lexical
+    collision (the same string appearing as both a URI and a literal)
+    resolves to the max struct — 'uri' > 'literal' sorts the URI reading
+    first, the useful one for a path endpoint."""
+    objs = scoped.select(
+        F.col("o").alias("__node"),
+        F.col("o_kind").alias("__kind"),
+        F.col("o_datatype").alias("__datatype"),
+        F.col("o_lang").alias("__lang"),
+    )
+    subs = scoped.select(
+        F.col("s").alias("__node"),
+        F.lit("uri").alias("__kind"),
+        F.lit(None).cast("string").alias("__datatype"),
+        F.lit(None).cast("string").alias("__lang"),
+    )
+    return (
+        objs.unionAll(subs)
+        .groupBy("__node")
+        .agg(F.max(F.struct("__kind", "__datatype", "__lang")).alias("__m"))
+        .select(
+            "__node",
+            F.col("__m.__kind").alias("__kind"),
+            F.col("__m.__datatype").alias("__datatype"),
+            F.col("__m.__lang").alias("__lang"),
+        )
+    )
+
+
+def _attach_node_kinds(
+    df: DataFrame, var: str, node_kinds: DataFrame
+) -> DataFrame:
+    out = df.join(
+        node_kinds, df[var] == node_kinds["__node"], "left"
+    ).drop("__node")
+    for suf in _KIND_SUFFIXES:
+        out = out.withColumnRenamed(f"__{suf[2:]}", f"{var}{suf}")
+    return out
+
+
+def path_closure(
+    triples: DataFrame,
+    s,
+    p: str,
+    o,
+    quant: str,
+    dataset: str | None = None,
+    n_buckets: int | None = None,
+    manifest_path: str | None = None,
+    with_kinds: bool = False,
+    max_hops: int = PATH_MAX_HOPS,
+) -> DataFrame:
+    """Quantified property path ``s p? / p+ / p* o`` — the SPARQL 1.1
+    ArbitraryLengthPath / ZeroOrOnePath algebra over the triple table.
+
+    ``s`` / ``o`` are pattern terms (``?var`` or a constant); ``p`` is
+    the single (already direction-normalized) predicate URI — the text
+    parser rewrites ``^p+`` by swapping the ends, since ``(^p)+ ≡
+    ^(p+)``. Returns solutions shaped like :func:`select_bgp` output:
+    one column per distinct variable; both-ends-constant paths return a
+    1-row/0-row existence gate named ``__pp_exists`` (the parser's
+    reserved prefix, so the text layer drops it from visible output).
+
+    Semantics (SPARQL 1.1 §18.4, de-duplicating path evaluation):
+
+    * ``+`` — pairs connected by 1..n ``p``-edges; cycles terminate
+      because evaluation is over the node-pair SET, not over walks.
+    * ``*`` — ``+`` plus the zero-length path. Zero-length matches every
+      graph NODE paired with itself (both ends unbound), or binds the
+      free end to the constant (one end bound) — per the spec a
+      zero-length path from a constant matches even when that term does
+      not occur in the graph. Graph nodes = distinct subjects ∪ objects.
+    * ``?`` — direct edges plus the same zero-length set; no iteration.
+
+    Scale shape: the edge scan is ``match(p=...)`` — the predicate is a
+    pushed-down parquet filter, and a bound ``dataset`` still prunes
+    bucket partitions. A constant endpoint evaluates as frontier BFS
+    (seeded from the constant, each round one equi-join + anti-join on
+    the frontier — the frontier stays proportional to the reachable
+    set, never the corpus). Var-var closure expands the full pair set
+    one hop per round — the spec's quadratic worst case; keep one end
+    bound in queries over large graphs. Each round lazily checkpoints
+    (lineage truncation, same discipline as the sameAs CC loop) and the
+    convergence check is the round's single action. AQE coalesces the
+    per-round micro-shuffles exactly as in ``connected_components``.
+    """
+    from .operators.canon import lineage_checkpoint
+
+    if quant not in ("+", "*", "?"):
+        raise ValueError(f"unknown path quantifier {quant!r}")
+    scoped = match(
+        triples,
+        dataset=dataset,
+        n_buckets=n_buckets,
+        manifest_path=manifest_path,
+    )
+    edges = match(
+        triples,
+        p=p,
+        dataset=dataset,
+        n_buckets=n_buckets,
+        manifest_path=manifest_path,
+    ).select(F.col("s").alias("__a"), F.col("o").alias("__b"))
+    s_var = s[1:] if _is_var(s) else None
+    o_var = o[1:] if _is_var(o) else None
+    if s_var is None and o_var is not None:
+        # constant subject: forward BFS from s binds the object var
+        const, var = s, o_var
+    elif s_var is not None and o_var is None:
+        # constant object: BFS from o over REVERSED edges binds the
+        # subject var (x reaches o forward ⇔ o reaches x reversed)
+        edges = edges.select(
+            F.col("__b").alias("__a"), F.col("__a").alias("__b")
+        )
+        const, var = o, s_var
+    elif s_var is None and o_var is None:
+        const, var = s, None
+    else:
+        const, var = None, None
+
+    def _bfs(seed: str) -> DataFrame:
+        """Nodes reachable from *seed* in >= 1 hops (column ``__n``)."""
+        frontier = (
+            edges.where(F.col("__a") == seed)
+            .select(F.col("__b").alias("__n"))
+            .distinct()
+        )
+        if quant == "?":
+            # no iteration → no checkpoint: the single-hop plan keeps
+            # its scan (predicate + seed as pushed parquet filters)
+            return frontier
+        frontier = lineage_checkpoint(frontier)
+        reach = frontier
+        for _ in range(max_hops):
+            if frontier.isEmpty():
+                return reach
+            nxt = (
+                frontier.join(edges, frontier["__n"] == edges["__a"])
+                .select(F.col("__b").alias("__n"))
+                .distinct()
+            )
+            frontier = lineage_checkpoint(nxt.join(reach, "__n", "left_anti"))
+            reach = reach.unionAll(frontier)
+        if not frontier.isEmpty():
+            raise ValueError(
+                f"property path {p}{quant} did not converge within "
+                f"{max_hops} hops — raise max_hops for this graph"
+            )
+        return reach
+
+    if const is not None and var is None:
+        # both ends constant: existence gate (1 row = path exists)
+        if quant in ("*", "?") and s == o:
+            return triples.sparkSession.range(1).select(
+                F.lit(1).alias("__pp_exists")
+            )
+        # forward BFS from s, look for o (edges are forward here: both
+        # ends constant never went through the reversing branch)
+        reach = _bfs(s)
+        return (
+            reach.where(F.col("__n") == o)
+            .limit(1)
+            .select(F.lit(1).alias("__pp_exists"))
+        )
+    if const is not None:
+        reach = _bfs(const).select(F.col("__n").alias(var))
+        if quant in ("*", "?"):
+            zero = triples.sparkSession.sql(
+                "SELECT '"
+                + str(const).replace("'", "''")
+                + f"' AS `{var}`"
+            )
+            reach = reach.unionAll(zero).distinct()
+        out = reach
+        if with_kinds:
+            out = _attach_node_kinds(out, var, _node_kind_map(scoped))
+        return out
+
+    # var-var: full pair closure (documented worst case)
+    pairs = edges.distinct()
+    if quant != "?":
+        pairs = lineage_checkpoint(pairs)
+        frontier = pairs
+        for _ in range(max_hops):
+            if frontier.isEmpty():
+                break
+            step = edges.select(
+                F.col("__a").alias("__b2"), F.col("__b").alias("__c")
+            )
+            nxt = (
+                frontier.join(step, frontier["__b"] == step["__b2"])
+                .select("__a", F.col("__c").alias("__b"))
+                .distinct()
+            )
+            frontier = lineage_checkpoint(
+                nxt.join(pairs, ["__a", "__b"], "left_anti")
+            )
+            pairs = pairs.unionAll(frontier)
+        else:
+            if not frontier.isEmpty():
+                raise ValueError(
+                    f"property path {p}{quant} did not converge within "
+                    f"{max_hops} hops — raise max_hops for this graph"
+                )
+    if quant in ("*", "?"):
+        nodes = (
+            scoped.select(F.col("s").alias("__a"))
+            .unionAll(scoped.select(F.col("o").alias("__a")))
+            .distinct()
+        )
+        pairs = pairs.unionAll(
+            nodes.select("__a", F.col("__a").alias("__b"))
+        ).distinct()
+    if s_var == o_var:
+        out = (
+            pairs.where(F.col("__a") == F.col("__b"))
+            .select(F.col("__a").alias(s_var))
+        )
+        if with_kinds:
+            out = _attach_node_kinds(out, s_var, _node_kind_map(scoped))
+        return out
+    out = pairs.select(
+        F.col("__a").alias(s_var), F.col("__b").alias(o_var)
+    )
+    if with_kinds:
+        nk = _node_kind_map(scoped)
+        out = _attach_node_kinds(out, s_var, nk)
+        out = _attach_node_kinds(out, o_var, nk)
+    return out

@@ -94,8 +94,24 @@ evaluates):
   shape. Constants push down as an ``In`` subject filter; ?var
   resources come from the WHERE solutions via a LEFT SEMI join.
 
-Out of scope (raise, never misparse): property paths, subqueries,
-GRAPH/SERVICE, blank-node syntax.
+* Property paths (SPARQL 1.1 §9): sequence ``p1/p2``, inverse ``^p``,
+  alternation ``p1|p2``, grouping ``(...)``, and quantifiers ``p+``
+  ``p*`` ``p?`` over a single (optionally inverted) predicate. Paths
+  rewrite into the algebra at parse time — sequences chain reserved
+  ``?__ppN`` variables (invisible in output, multiplicity kept, per
+  spec), inverse swaps the ends, alternation becomes a UNION group —
+  and quantified steps evaluate as lineage-checkpointed frontier
+  closure (:func:`~linkedspending_spark.serve.path_closure`): BFS from
+  a constant end, full pair closure var-var (the spec's quadratic worst
+  case — keep one end bound over large graphs). ``*``/``?`` include the
+  spec's zero-length path (every graph node paired with itself; a
+  constant end matches even when absent from the graph). Refused loud:
+  negated sets ``!p``, variable path elements, quantified composites,
+  alternation/quantifiers inside OPTIONAL/UNION/MINUS/EXISTS groups
+  (sequence and inverse are fine there — they are plain patterns).
+
+Out of scope (raise, never misparse): subqueries, GRAPH/SERVICE,
+blank-node syntax, negated property sets.
 
 Scale shape: the parser only *front-ends* ``select_sparql`` — every
 pattern is still a pushed-down scan under the stats-ordered join tree,
@@ -137,7 +153,7 @@ _TOKEN = re.compile(
     | (?P<pname>[A-Za-z_][\w-]*:(?:[\w-]+(?:\.[\w-]+)*)?)
     | (?P<word>[A-Za-z_]\w*)
     | (?P<num>[+-]?\d+(?:\.\d+)?)
-    | (?P<punct>[{}.,;()*])
+    | (?P<punct>[{}.,;()*^/|+?])
     """,
     re.X,
 )
@@ -153,6 +169,10 @@ def _unescape(body: str) -> str:
 
 class SparqlSyntaxError(ValueError):
     pass
+
+
+def _is_pat_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
 
 
 class _Lexer:
@@ -282,6 +302,7 @@ class _Parser:
         self.lx = _Lexer(text)
         self.prefixes = dict(DEFAULT_PREFIXES)
         self.q = ParsedQuery()
+        self._fresh = 0  # property-path rewrite variable counter
 
     # -- terms ---------------------------------------------------------------
 
@@ -296,6 +317,11 @@ class _Parser:
     def _term(self) -> str:
         kind, text = self.lx.next()
         if kind == "var":
+            if text.startswith("?__pp"):
+                raise SparqlSyntaxError(
+                    f"variable {text} uses the reserved internal prefix "
+                    "?__pp (property-path rewrite variables)"
+                )
             return text
         if kind == "uri":
             return text[1:-1]
@@ -323,6 +349,148 @@ class _Parser:
             return value
         raise SparqlSyntaxError(f"unexpected term token {text!r}")
 
+    # -- property paths --------------------------------------------------
+    #
+    # SPARQL 1.1 path grammar (the useful core):
+    #     path  := seq ('|' seq)*
+    #     seq   := step ('/' step)*
+    #     step  := '^'? primary ('+' | '*' | '?')?
+    #     primary := iri | 'a' | '(' path ')'
+    # Paths REWRITE into the existing algebra at parse time (the spec's
+    # own translation): sequences chain through fresh ?__ppN variables
+    # (plain extra patterns — the fresh var stays invisible but its
+    # multiplicity is kept, per spec), inverse swaps the ends,
+    # alternation becomes a UNION group, and a quantified step becomes
+    # a ("path", (s, p, o, quant)) group evaluated by serve.path_closure
+    # (^p+ normalizes by swapping ends: (^p)+ ≡ ^(p+)). Negated sets
+    # (!p) and quantifying a composite path stay loud refusals.
+
+    def _fresh_var(self) -> str:
+        self._fresh += 1
+        return f"?__pp{self._fresh - 1}"
+
+    _PATH_OPS = ("/", "|", "+", "*", "?", "^")
+
+    def _path_or_term(self) -> "str | tuple":
+        """The predicate position: a plain term (possibly a ?var), or a
+        composite path tree. A variable predicate cannot take part in a
+        path expression (SPARQL's grammar says the same)."""
+        kind, text = self.lx.peek()
+        if kind == "var":
+            self.lx.next()
+            if self.lx.peek()[1] in self._PATH_OPS:
+                raise SparqlSyntaxError(
+                    "property paths over a variable predicate are not "
+                    f"supported ({text} followed by "
+                    f"{self.lx.peek()[1]!r})"
+                )
+            return text
+        if kind in ("num", "string"):
+            return self._term()  # degenerate constant predicate
+        node = self._path()
+        if node[0] == "leaf" and not node[2]:
+            return node[1]  # plain IRI predicate — the common case
+        return node
+
+    def _path(self) -> tuple:
+        branches = [self._path_seq()]
+        while self.lx.peek()[1] == "|":
+            self.lx.next()
+            branches.append(self._path_seq())
+        return branches[0] if len(branches) == 1 else ("alt", branches)
+
+    def _path_seq(self) -> tuple:
+        steps = [self._path_step()]
+        while self.lx.peek()[1] == "/":
+            self.lx.next()
+            steps.append(self._path_step())
+        return steps[0] if len(steps) == 1 else ("seq", steps)
+
+    def _path_step(self) -> tuple:
+        inv = False
+        if self.lx.peek()[1] == "^":
+            self.lx.next()
+            inv = True
+        kind, text = self.lx.peek()
+        if text == "(":
+            self.lx.next()
+            node = self._path()
+            self.lx.expect_punct(")")
+        elif kind in ("uri", "pname") or (kind == "word" and text == "a"):
+            self.lx.next()
+            if kind == "uri":
+                uri = text[1:-1]
+            elif kind == "pname":
+                uri = self._expand(text)
+            else:
+                uri = M.RDF_TYPE
+            node = ("leaf", uri, False)
+        else:
+            raise SparqlSyntaxError(
+                f"expected a path element, got {text!r} (negated "
+                "property sets and variable path elements are not "
+                "supported)"
+            )
+        if inv:
+            node = ("inv", node)
+        q = self.lx.peek()[1]
+        if q in ("+", "*", "?"):
+            self.lx.next()
+            node = ("quant", node, q)
+        return node
+
+    def _rewrite_path(
+        self, s: str, node: tuple, o: str
+    ) -> tuple[list[tuple], list[tuple]]:
+        """Rewrite ``s <path> o`` into (plain patterns, group entries)."""
+        kind = node[0]
+        if kind == "leaf":
+            _, uri, _ = node
+            return [(s, uri, o)], []
+        if kind == "inv":
+            return self._rewrite_path(o, node[1], s)
+        if kind == "quant":
+            _, inner, q = node
+            # only a single (optionally inverted) predicate quantifies:
+            # (^p)+ ≡ ^(p+) so inversion just swaps the ends
+            if inner[0] == "inv" and inner[1][0] == "leaf":
+                return [], [("path", (o, inner[1][1], s, q))]
+            if inner[0] == "leaf":
+                return [], [("path", (s, inner[1], o, q))]
+            raise SparqlSyntaxError(
+                f"quantifier {q!r} over a composite path is not "
+                "supported (quantify a single predicate)"
+            )
+        if kind == "seq":
+            pats: list[tuple] = []
+            grps: list[tuple] = []
+            cur = s
+            steps = node[1]
+            for i, step in enumerate(steps):
+                nxt = o if i == len(steps) - 1 else self._fresh_var()
+                p2, g2 = self._rewrite_path(cur, step, nxt)
+                pats += p2
+                grps += g2
+                cur = nxt
+            return pats, grps
+        if kind == "alt":
+            if not (_is_pat_var(s) or _is_pat_var(o)):
+                raise SparqlSyntaxError(
+                    "path alternation with both ends constant is not "
+                    "supported"
+                )
+            branches = []
+            for b in node[1]:
+                p2, g2 = self._rewrite_path(s, b, o)
+                if g2:
+                    raise SparqlSyntaxError(
+                        "a quantified path inside an alternation is "
+                        "not supported"
+                    )
+                branches.append(p2)
+            return [], [("union", branches)]
+        raise SparqlSyntaxError(f"unknown path node {kind!r}")
+
     # -- groups ----------------------------------------------------------
 
     def _triples_block(self, ctx: str) -> list[tuple]:
@@ -343,7 +511,8 @@ class _Parser:
                     f"{word or 'nested group'} inside {ctx} is not "
                     "supported (solution-level forms only)"
                 )
-            out.extend(self._triple_lists())
+            pats, _ = self._triple_lists(ctx)
+            out.extend(pats)
 
     def _optional_block(self) -> tuple[list[tuple], list[str]]:
         """An ``OPTIONAL { tp... FILTER(e)... }`` group: triple patterns
@@ -370,21 +539,36 @@ class _Parser:
                     "supported"
                 )
             else:
-                pats.extend(self._triple_lists())
+                p2, _ = self._triple_lists("OPTIONAL")
+                pats.extend(p2)
         if not pats:
             raise SparqlSyntaxError(
                 "OPTIONAL needs at least one triple pattern"
             )
         return pats, filts
 
-    def _triple_lists(self) -> list[tuple]:
-        """One subject's predicate-object lists: ``s p o, o2; p2 o3 .``"""
+    def _triple_lists(self, ctx: str | None = None) -> tuple[list, list]:
+        """One subject's predicate-object lists: ``s p o, o2; p2 o3 .``
+
+        Returns ``(patterns, groups)``: the predicate position accepts a
+        property path; sequence/inverse paths rewrite into extra plain
+        patterns, while alternation/quantified paths rewrite into group
+        entries — allowed only in the main group body (``ctx is None``);
+        inside OPTIONAL / UNION / MINUS / EXISTS (*ctx* names the
+        context) they raise instead of silently mis-scoping."""
         out: list[tuple] = []
+        grps: list[tuple] = []
         s = self._term()
         while True:
-            p = self._term()
+            p = self._path_or_term()
             while True:
-                out.append((s, p, self._term()))
+                o = self._term()
+                if isinstance(p, str):
+                    out.append((s, p, o))
+                else:
+                    p2, g2 = self._rewrite_path(s, p, o)
+                    out += p2
+                    grps += g2
                 if self.lx.peek()[1] == ",":
                     self.lx.next()
                     continue
@@ -398,7 +582,12 @@ class _Parser:
             break
         if self.lx.peek()[1] == ".":
             self.lx.next()
-        return out
+        if grps and ctx is not None:
+            raise SparqlSyntaxError(
+                f"alternation/quantified property paths inside {ctx} "
+                "are not supported (sequence and inverse paths are)"
+            )
+        return out, grps
 
     # -- CONSTRUCT template -------------------------------------------------
 
@@ -869,7 +1058,9 @@ class _Parser:
                 self.q.unions.append(branches)
                 self.q.groups.append(("union", branches))
             else:
-                self.q.patterns.extend(self._triple_lists())
+                pats, grps = self._triple_lists()
+                self.q.patterns.extend(pats)
+                self.q.groups.extend(grps)
 
     def _values_row_term(self) -> str | None:
         """One VALUES data term: constant or UNDEF (→ None = unbound)."""
@@ -1332,6 +1523,13 @@ def select_text(
         from .serve import _is_companion
 
         df = df.drop(*[c for c in df.columns if _is_companion(c)])
+    internals = [c for c in df.columns if c.startswith("__pp")]
+    if internals:
+        # property-path rewrite variables (?__ppN chains, __pp_exists
+        # gates): per spec they are NOT in scope for SELECT * / DISTINCT
+        # / aggregation, but the solution MULTISET keeps the
+        # multiplicity they induced — project them away, no dedup here
+        df = df.drop(*internals)
     if q.construct is not None:
         # solution modifiers apply to the SOLUTION sequence (spec order);
         # the instantiated graph is then set-deduped

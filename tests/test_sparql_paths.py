@@ -1,0 +1,219 @@
+"""SPARQL 1.1 property paths (§9) over the serve algebra.
+
+The reference's endpoint is Jena-backed, so its users can write paths
+(Sparql.java:21-29 passes query text straight through); this engine
+rewrites them into the existing algebra at parse time — sequences chain
+fresh internal variables, inverse swaps the ends, alternation becomes a
+UNION group — and quantified steps (``+ * ?``) evaluate as iterative
+frontier closure (serve.path_closure), the same lineage-checkpointed
+loop discipline as the sameAs connected-components operator.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from linkedspending_spark.sparql import (
+    SparqlSyntaxError,
+    parse_select,
+    select_text,
+)
+from linkedspending_spark.serve import path_closure
+from tools.plan_audit import plan_of
+
+PRE = "PREFIX p: <p:> PREFIX u: <u:> "
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    """knows-edges a→b→c→d→b (a cycle through b,c,d) + two names."""
+    XS = "http://www.w3.org/2001/XMLSchema#string"
+    rows = [
+        ("u:a", "p:knows", "u:b", "uri", None, None),
+        ("u:b", "p:knows", "u:c", "uri", None, None),
+        ("u:c", "p:knows", "u:d", "uri", None, None),
+        ("u:d", "p:knows", "u:b", "uri", None, None),
+        ("u:a", "p:name", "Alice", "literal", XS, None),
+        ("u:b", "p:name", "Bob", "literal", XS, None),
+        ("u:a", "p:likes", "u:c", "uri", None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "s string, p string, o string, o_kind string, "
+        "o_datatype string, o_lang string",
+    )
+
+
+def _run(graph, q, **kw):
+    return sorted(tuple(r) for r in select_text(graph, PRE + q, **kw).collect())
+
+
+def test_sequence_keeps_multiplicity(graph):
+    """?s knows/name ?n: the chain variable is projected away but its
+    solution MULTIPLICITY stays (spec: fresh path variables are not
+    in-scope yet duplicates remain) — Bob is reachable twice (a→b,
+    d→b)."""
+    got = _run(graph, 'SELECT ?n { ?s p:knows/p:name ?n }')
+    assert got == [("Bob",), ("Bob",)]
+
+
+def test_sequence_internal_var_invisible(graph):
+    df = select_text(graph, PRE + "SELECT * { ?s p:knows/p:name ?n }")
+    assert sorted(df.columns) == ["n", "s"]
+
+
+def test_inverse(graph):
+    assert _run(graph, "SELECT ?s { ?s ^p:knows u:c }") == [("u:d",)]
+
+
+def test_alternation_is_union(graph):
+    got = _run(graph, "SELECT DISTINCT ?o { u:a p:knows|p:likes ?o }")
+    assert got == [("u:b",), ("u:c",)]
+
+
+def test_plus_from_constant_terminates_on_cycle(graph):
+    got = _run(graph, "SELECT ?o { u:a p:knows+ ?o }")
+    assert got == [("u:b",), ("u:c",), ("u:d",)]
+
+
+def test_star_adds_zero_length_to_constant(graph):
+    got = _run(graph, "SELECT ?o { u:a p:knows* ?o }")
+    assert got == [("u:a",), ("u:b",), ("u:c",), ("u:d",)]
+
+
+def test_star_zero_length_matches_absent_constant(graph):
+    """Spec: a zero-length path from a constant matches even when the
+    term does not occur in the graph at all."""
+    got = _run(graph, "SELECT ?o { u:zz p:knows* ?o }")
+    assert got == [("u:zz",)]
+
+
+def test_zero_or_one_from_constant(graph):
+    got = _run(graph, "SELECT ?o { u:a p:knows? ?o }")
+    assert got == [("u:a",), ("u:b",)]
+
+
+def test_plus_var_var_is_pair_closure(graph):
+    got = _run(graph, "SELECT ?s ?o { ?s p:knows+ ?o }")
+    from_a = {(s, o) for s, o in got if s == "u:a"}
+    assert from_a == {("u:a", "u:b"), ("u:a", "u:c"), ("u:a", "u:d")}
+    assert len(got) == 12  # 3 (from a) + 3×3 (cycle nodes reach all 3)
+    assert ("u:b", "u:b") in got  # cycle: b reaches itself in 3 hops
+
+
+def test_star_var_var_includes_literal_identity(graph):
+    """Zero-length paths pair every graph NODE with itself — including
+    literal objects (the spec's ZeroLengthPath over graph terms)."""
+    got = _run(graph, "SELECT ?s ?o { ?s p:knows* ?o }")
+    assert ("Alice", "Alice") in got
+    assert ("u:a", "u:a") in got
+    assert len(got) == 15  # 12 closure pairs + identities for a/Alice/Bob
+
+
+def test_plus_to_constant_reverse_bfs(graph):
+    got = _run(graph, "SELECT ?s { ?s p:knows+ u:d }")
+    assert got == [("u:a",), ("u:b",), ("u:c",), ("u:d",)]
+
+
+def test_ask_both_constant_path(graph):
+    assert _run(graph, "ASK { u:a p:knows+ u:d }") == [()]
+    assert _run(graph, "ASK { u:d p:knows+ u:a }") == []
+
+
+def test_same_var_closure_finds_cycle_members(graph):
+    got = _run(graph, "SELECT ?x { ?x p:knows+ ?x }")
+    assert got == [("u:b",), ("u:c",), ("u:d",)]
+
+
+def test_path_joins_patterns_and_filters(graph):
+    got = _run(
+        graph,
+        'SELECT ?s ?n { ?s p:knows+/p:name ?n FILTER(?n != "Bob") }',
+    )
+    assert got == []  # only Bob is reachable via knows+ then name
+    got = _run(graph, "SELECT ?s ?n { ?s p:knows+/p:name ?n }")
+    assert ("u:a", "Bob") in got and ("u:c", "Bob") in got
+
+
+def test_construct_over_path(graph):
+    got = _run(
+        graph,
+        "CONSTRUCT { ?s p:reaches ?o } WHERE "
+        '{ ?s p:knows+ ?o . ?s p:name "Alice" }',
+    )
+    assert got == [
+        ("u:a", "p:reaches", "u:b", "uri", None, None),
+        ("u:a", "p:reaches", "u:c", "uri", None, None),
+        ("u:a", "p:reaches", "u:d", "uri", None, None),
+    ]
+
+
+def test_with_kinds_types_path_bound_var(graph):
+    df = select_text(
+        graph,
+        PRE + "SELECT ?o { u:a p:knows/p:name ?o }",
+        with_kinds=True,
+    )
+    rows = df.collect()
+    assert [r["o"] for r in rows] == ["Bob"]
+    assert rows[0]["o__kind"] == "literal"
+    assert rows[0]["o__datatype"].endswith("#string")
+
+
+def test_count_star_counts_path_multiplicity(graph):
+    got = _run(graph, "SELECT (COUNT(*) AS ?n) { ?s p:knows+ ?o }")
+    assert got == [(12,)]
+
+
+def test_path_paging(graph):
+    got = _run(
+        graph, "SELECT ?o { u:a p:knows+ ?o } ORDER BY ?o LIMIT 2 OFFSET 1"
+    )
+    assert got == [("u:c",), ("u:d",)]
+
+
+def test_path_edge_scan_pushes_predicate(graph, tmp_path):
+    """The path's edge scan reaches the parquet source with predicate
+    AND seed as pushed filters. Asserted on the ``?`` form — the
+    quantified loop's rounds read the same pushed-down scan, but its
+    final plan is lineage-checkpointed (RDD scan), so the claim is
+    only visible pre-checkpoint."""
+    pq_dir = str(tmp_path / "graph")
+    graph.write.parquet(pq_dir)
+    pq = graph.sparkSession.read.parquet(pq_dir)
+    plan = plan_of(path_closure(pq, "u:a", "p:knows", "?o", "?"))
+    assert "PushedFilters" in plan
+    assert "p:knows" in plan and "u:a" in plan
+
+
+def test_not_converged_raises(graph):
+    with pytest.raises(ValueError, match="did not converge"):
+        path_closure(graph, "?s", "p:knows", "?o", "+", max_hops=1).collect()
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "SELECT ?s { ?s ?p+ ?o }",  # variable path element
+        "SELECT ?s { ?s (p:a/p:b)+ ?o }",  # quantified composite
+        "SELECT ?s { ?s p:a+|p:b ?o }",  # quantifier inside alternation
+        "SELECT ?s { u:a p:a|p:b u:b . ?s p:n ?o }",  # both-const alt
+        "SELECT ?s { OPTIONAL { ?s p:a+ ?o } ?s p:n ?n }",  # quant in OPT
+        "SELECT ?s { { ?s p:a|p:b ?o } UNION { ?s p:c ?o } }",  # in UNION
+        "SELECT ?x { ?__pp1 p:a ?x }",  # reserved internal prefix
+    ],
+)
+def test_refusals_are_loud(q):
+    with pytest.raises(SparqlSyntaxError):
+        parse_select(PRE + q)
+
+
+def test_sequence_inside_optional_is_allowed(graph):
+    """Sequences/inverses rewrite to plain patterns, so they stay legal
+    inside OPTIONAL/UNION — only alternation/quantifiers are group-level."""
+    got = _run(
+        graph,
+        "SELECT ?s ?n { ?s p:name ?n "
+        "OPTIONAL { ?s p:knows/p:name ?o } }",
+    )
+    assert len(got) == 2
