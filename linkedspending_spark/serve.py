@@ -580,6 +580,10 @@ def select_sparql(
         # solution (SPARQL's Join(BGP(), ...) identity) — one row, no
         # columns; the bind branch below adds the variable
         df = triples.sparkSession.range(1).drop("id")
+    elif groups and groups[0][0] == "solutions":
+        # a query that IS a subquery: its solutions are the base
+        df, sub_nullable = groups.pop(0)[1]
+        nullable |= set(sub_nullable)
     elif groups and groups[0][0] == "path":
         # a query that IS a quantified property path: the closure's
         # solutions are the base
@@ -761,6 +765,29 @@ def select_sparql(
             nullable.add(name)  # the expression may evaluate to NULL
             out_order.append(name)
             bound.add(name)
+        elif kind == "solutions":
+            # pre-evaluated solution set (SPARQL 1.1 subquery — the
+            # text layer evaluates the inner SELECT bottom-up): joined
+            # on the shared variables like a UNION group. The payload
+            # names which subquery columns may be NULL (vars projected
+            # from optionals/aggregates) — a join on one of those is
+            # refused, same compatibility-semantics rule as everywhere.
+            sub, sub_nullable = payload
+            shared = _join_vars(sub.columns)
+            bad = [c for c in shared if c in sub_nullable]
+            if bad:
+                raise ValueError(
+                    f"join on possibly-unbound subquery variable(s) "
+                    f"{bad} — SPARQL's compatibility join on unbound "
+                    "variables is not supported; project only "
+                    "always-bound variables from the subquery"
+                )
+            _refuse_nullable_join(shared, "solution side of a subquery")
+            df = df.join(sub, on=shared) if shared else df.crossJoin(sub)
+            new = [c for c in sub.columns if c not in bound]
+            nullable |= {c for c in new if c in sub_nullable}
+            out_order += new
+            bound |= set(sub.columns)
         elif kind == "path":
             # quantified property path (p+ / p* / p?): the closure's
             # solution pairs join the solution so far on the shared

@@ -110,8 +110,18 @@ evaluates):
   alternation/quantifiers inside OPTIONAL/UNION/MINUS/EXISTS groups
   (sequence and inverse are fine there — they are plain patterns).
 
-Out of scope (raise, never misparse): subqueries, GRAPH/SERVICE,
-blank-node syntax, negated property sets.
+* Subqueries (SPARQL 1.1 §12): ``{ SELECT ... }`` groups, evaluated
+  bottom-up — the inner SELECT runs its own projection / DISTINCT /
+  aggregation / ORDER BY / LIMIT (no ``limit_cap``: an inner LIMIT is
+  query semantics, not a serving bound), then joins the outer solution
+  on the shared variables. Nestable. Joining on an inner variable that
+  may come back unbound (OPTIONAL/BIND/expression-born) is refused
+  loudly; aggregate aliases over always-bound operands count as bound
+  (the join-on-subquery-MAX idiom), with the zero-solution divergence
+  pinned in tests.
+
+Out of scope (raise, never misparse): GRAPH/SERVICE, blank-node
+syntax, negated property sets.
 
 Scale shape: the parser only *front-ends* ``select_sparql`` — every
 pattern is still a pushed-down scan under the stats-ordered join tree,
@@ -219,6 +229,13 @@ class _Lexer:
         kind, text = self.next()
         if text != ch:
             raise SparqlSyntaxError(f"expected {ch!r}, got {text!r}")
+
+    def save(self) -> tuple:
+        """Checkpoint for bounded lookahead (subquery vs UNION braces)."""
+        return (self.pos, self._peeked, self._peeked_start)
+
+    def restore(self, state: tuple) -> None:
+        self.pos, self._peeked, self._peeked_start = state
 
     def raw_parens(self) -> str:
         """Capture a balanced ``( ... )`` region raw, respecting quotes."""
@@ -368,6 +385,16 @@ class _Parser:
     def _fresh_var(self) -> str:
         self._fresh += 1
         return f"?__pp{self._fresh - 1}"
+
+    def _braces_open_subquery(self) -> bool:
+        """Bounded lookahead: does the upcoming ``{`` start a
+        ``{ SELECT ... }`` subquery (vs a UNION branch group)?"""
+        st = self.lx.save()
+        try:
+            self.lx.next()  # the '{'
+            return self.lx.next_word() == "select"
+        finally:
+            self.lx.restore(st)
 
     _PATH_OPS = ("/", "|", "+", "*", "?", "^")
 
@@ -924,6 +951,13 @@ class _Parser:
                 "query must start with SELECT, ASK or CONSTRUCT"
             )
         self.lx.next()
+        return self._parse_select_rest()
+
+    def _parse_select_rest(self, closing: str | None = None) -> ParsedQuery:
+        """Everything after the ``SELECT`` keyword: projection, WHERE
+        group, solution modifiers, aggregate validation. ``closing``
+        is None for a top-level query (must end at EOF) or ``"}"`` for
+        a subquery (must end at its closing brace)."""
         if self.lx.next_word() == "distinct":
             self.lx.next()
             self.q.distinct = True
@@ -947,10 +981,13 @@ class _Parser:
             self.lx.next()
         self._group_body()
         self._solution_modifiers()
-        if self.lx.peek()[0] != "eof":
-            raise SparqlSyntaxError(
-                f"trailing input at {self.lx.peek()[1]!r}"
-            )
+        if closing is None:
+            if self.lx.peek()[0] != "eof":
+                raise SparqlSyntaxError(
+                    f"trailing input at {self.lx.peek()[1]!r}"
+                )
+        else:
+            self.lx.expect_punct(closing)
         q = self.q
         expr_aliases = [a for _, a in q.select_exprs]
         if q.aggregates or q.group_by:
@@ -1046,6 +1083,21 @@ class _Parser:
             elif word == "values":
                 self.lx.next()
                 self.q.groups.append(("values", self._values_clause()))
+            elif text == "{" and self._braces_open_subquery():
+                # { SELECT ... } — a SPARQL 1.1 subquery: parsed with a
+                # child parser on the SAME lexer (stops at the closing
+                # brace); the outer query joins its projected solutions
+                # on the shared variables, evaluated bottom-up
+                self.lx.next()  # consume '{'
+                self.lx.next()  # consume SELECT
+                sub = _Parser.__new__(_Parser)
+                sub.lx = self.lx
+                sub.prefixes = dict(self.prefixes)
+                sub.q = ParsedQuery()
+                sub._fresh = 0
+                self.q.groups.append(
+                    ("subquery", sub._parse_select_rest(closing="}"))
+                )
             elif text == "{":
                 branches = [self._triples_block("a UNION branch")]
                 while self.lx.next_word() == "union":
@@ -1209,6 +1261,105 @@ class _Parser:
                 self.q.offset = int(text)
             else:
                 break
+
+
+def _subquery_nonnull_vars(q: ParsedQuery) -> set[str]:
+    """Variables a (sub)query binds UNCONDITIONALLY — everything else it
+    projects may come back NULL (unbound) and refuses as an outer join
+    key. Conservative: aggregate/SELECT-expression aliases and
+    BIND/OPTIONAL-born variables count as possibly-unbound."""
+    nn: set[str] = set()
+    for s, p, o in q.patterns:
+        for t in (s, p, o):
+            if _is_pat_var(t):
+                nn.add(t[1:])
+    for kind, payload in q.groups:
+        if kind == "path":
+            s_t, _, o_t, _ = payload
+            for t in (s_t, o_t):
+                if _is_pat_var(t):
+                    nn.add(t[1:])
+        elif kind == "union":
+            per = []
+            for b in payload:
+                bv = set()
+                for s, p, o in b:
+                    for t in (s, p, o):
+                        if _is_pat_var(t):
+                            bv.add(t[1:])
+                per.append(bv)
+            if per:
+                nn |= set.intersection(*per)
+        elif kind == "values":
+            names, rows = payload
+            for i, name in enumerate(names):
+                if all(r[i] is not None for r in rows):
+                    nn.add(name)
+        elif kind == "subquery":
+            inner_nn = _subquery_nonnull_vars(payload)
+            if payload.project is not None:
+                inner_nn &= set(payload.project)
+            nn |= inner_nn
+    if q.aggregates or q.group_by:
+        # aggregation rebinds the output: grouped vars keep their
+        # (non-)nullability; an aggregate alias counts as BOUND when
+        # its operand is (COUNT always; MIN/MAX/SUM/AVG/SAMPLE over an
+        # always-bound var). Documented divergence: with no GROUP BY
+        # and ZERO inner solutions, SPARQL leaves such an alias unbound
+        # (its compatibility join would then keep outer rows) where the
+        # SQL equi-join drops them — the classic join-on-subquery-MAX
+        # stays usable and the empty-input edge is pinned in tests.
+        agg_nn = set()
+        for func, var, _, alias in q.aggregates:
+            if func == "count" or (var is not None and var in nn):
+                agg_nn.add(alias)
+        nn = (nn & set(q.group_by)) | agg_nn
+    return nn
+
+
+def _eval_subqueries(
+    triples: DataFrame,
+    q: ParsedQuery,
+    dataset: str | None,
+    n_buckets: int | None,
+    manifest_path: str | None,
+    stats: dict | None,
+) -> list[tuple]:
+    """Replace ``("subquery", ParsedQuery)`` group entries with
+    evaluated ``("solutions", (df, nullable_vars))`` entries (bottom-up
+    evaluation, per spec). The inner query gets NO ``limit_cap`` — its
+    own LIMIT is query semantics, not a serving bound — and no
+    companions (subquery-projected vars type per-binding downstream,
+    like VALUES/BIND-born vars)."""
+    if not any(g[0] == "subquery" for g in q.groups):
+        return q.groups
+    out: list[tuple] = []
+    for kind, payload in q.groups:
+        if kind == "subquery":
+            sub_df = select_text(
+                triples,
+                "",
+                dataset=dataset,
+                n_buckets=n_buckets,
+                manifest_path=manifest_path,
+                stats=stats,
+                parsed=payload,
+            )
+            nn = _subquery_nonnull_vars(payload)
+            out.append(
+                (
+                    "solutions",
+                    (
+                        sub_df,
+                        frozenset(
+                            c for c in sub_df.columns if c not in nn
+                        ),
+                    ),
+                )
+            )
+        else:
+            out.append((kind, payload))
+    return out
 
 
 def parse_select(query: str) -> ParsedQuery:
@@ -1426,6 +1577,9 @@ def select_text(
     variables born in BIND/SELECT expressions or VALUES carry none.
     """
     q = parsed if parsed is not None else parse_select(query)
+    eval_groups = _eval_subqueries(
+        triples, q, dataset, n_buckets, manifest_path, stats
+    )
     if q.describe is not None:
         # DESCRIBE: the resource's outgoing triples (the simplest
         # concise-bounded-description — the table has no blank nodes to
@@ -1451,7 +1605,7 @@ def select_text(
                 triples,
                 q.patterns,
                 filters=q.filters,
-                groups=q.groups,
+                groups=eval_groups,
                 dataset=dataset,
                 n_buckets=n_buckets,
                 manifest_path=manifest_path,
@@ -1509,7 +1663,7 @@ def select_text(
         triples,
         q.patterns,
         filters=q.filters,
-        groups=q.groups,
+        groups=eval_groups,
         dataset=dataset,
         n_buckets=n_buckets,
         manifest_path=manifest_path,
