@@ -15,6 +15,11 @@ from pyspark.sql import types as T
 # --- namespaces (DataModel.java:26-36; environmentVariables.properties:10-11)
 PREFIX_INSTANCE = "http://linkedspending.aksw.org/instance/"
 PREFIX_ONTOLOGY = "http://linkedspending.aksw.org/ontology/"
+#: named-graph URI base: the reference stores each dataset in the graph
+#: ``<base><datasetName>`` (Virtuoso.java:30 ``PropertyLoader.graph +
+#: datasetName``, upload.properties.dist:7) — GRAPH queries map to the
+#: triple table's ``dataset`` partition column through this prefix
+PREFIX_GRAPH = "http://linkedspending.aksw.org/"
 NS_QB = "http://purl.org/linked-data/cube#"
 NS_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 NS_RDFS = "http://www.w3.org/2000/01/rdf-schema#"

@@ -236,6 +236,7 @@ def select_bgp(
     manifest_path: str | None = None,
     stats: dict | None = None,
     with_kinds: bool = False,
+    graph_var: str | None = None,
 ) -> DataFrame:
     """Basic-graph-pattern (conjunctive) select — Sparql.java:40-53 analog.
 
@@ -304,8 +305,38 @@ def select_bgp(
                     first_col[v] = c
                     if v not in out_order:
                         out_order.append(v)
-        if first_col:
+        gv: str | None = None
+        gexpr = None
+        if graph_var is not None:
+            # GRAPH ?g { ... }: every pattern binds ?g from the dataset
+            # partition column as the reference's sub-graph URI
+            # (Virtuoso.java:30 <base><datasetName>); the shared join
+            # variable then keeps the whole group within ONE graph,
+            # per SPARQL's GRAPH semantics
+            if "dataset" not in triples.columns:
+                raise ValueError(
+                    "GRAPH ?var needs a triple table carrying the "
+                    "'dataset' partition column"
+                )
+            gv = graph_var[1:]
+            from . import model as _M
+
+            gexpr = F.concat(F.lit(_M.PREFIX_GRAPH), F.col("dataset"))
+            if gv in first_col:  # GRAPH ?g { ?g ... }: positions agree
+                df = df.where(gexpr == F.col(first_col[gv]))
+                gv = None
+            elif gv not in out_order:
+                out_order.append(gv)
+        if first_col or gv:
             cols = [F.col(c).alias(v) for v, c in first_col.items()]
+            if gv:
+                cols.append(gexpr.alias(gv))
+                if with_kinds:
+                    cols += [
+                        F.lit("uri").alias(f"{gv}__kind"),
+                        F.lit(None).cast("string").alias(f"{gv}__datatype"),
+                        F.lit(None).cast("string").alias(f"{gv}__lang"),
+                    ]
             if with_kinds:
                 for v, c in first_col.items():
                     if _is_companion(v):
@@ -335,7 +366,8 @@ def select_bgp(
             if stats is not None
             else -len(consts)
         )
-        plans.append((frozenset(first_col), proj, cost))
+        varset = frozenset(first_col) | ({gv} if gv else frozenset())
+        plans.append((varset, proj, cost))
 
     order = _join_order([(vs, cost) for vs, _, cost in plans])
     bound, joined = plans[order[0]][0], plans[order[0]][1]
@@ -584,6 +616,9 @@ def select_sparql(
         # a query that IS a subquery: its solutions are the base
         df, sub_nullable = groups.pop(0)[1]
         nullable |= set(sub_nullable)
+    elif groups and groups[0][0] == "graph":
+        # a query that IS a GRAPH group: its scoped BGP is the base
+        df = _eval_graph(triples, groups.pop(0)[1], kw)
     elif groups and groups[0][0] == "path":
         # a query that IS a quantified property path: the closure's
         # solutions are the base
@@ -765,6 +800,18 @@ def select_sparql(
             nullable.add(name)  # the expression may evaluate to NULL
             out_order.append(name)
             bound.add(name)
+        elif kind == "graph":
+            g = _eval_graph(triples, payload, kw)
+            shared = _join_vars(g.columns)
+            if with_kinds and shared:
+                g = g.drop(
+                    *[c for v in shared for c in _companions_of(v, g.columns)]
+                )
+            _refuse_nullable_join(shared, "solution side of GRAPH")
+            df = df.join(g, on=shared) if shared else df.crossJoin(g)
+            new = [c for c in g.columns if c not in bound]
+            out_order += new
+            bound |= set(g.columns)
         elif kind == "solutions":
             # pre-evaluated solution set (SPARQL 1.1 subquery — the
             # text layer evaluates the inner SELECT bottom-up): joined
@@ -895,6 +942,44 @@ def _values_df(spark: SparkSession, names: Sequence[str], rows) -> DataFrame:
     )
     cols = ", ".join(f"`{n}`" for n in names)
     return spark.sql(f"SELECT * FROM (VALUES {body}) AS t({cols})")
+
+
+def _eval_graph(triples: DataFrame, payload: tuple, kw: dict) -> DataFrame:
+    """One ``GRAPH term { patterns }`` group. Named graphs are the
+    triple table's ``dataset`` partitions, addressed as the reference's
+    sub-graph URIs ``<PREFIX_GRAPH><datasetName>`` (Virtuoso.java:30).
+
+    * Constant graph URI → the group is a plain BGP with ``dataset``
+      bound: every scan in it partition-prunes (the whole point of
+      per-dataset graphs at 10¹² triples). A URI outside the graph-base
+      namespace, or disagreeing with an outer ``dataset=`` scope, names
+      no graph → the group contributes zero solutions (SPARQL: an
+      absent graph is an empty graph).
+    * Variable → every pattern additionally binds it from the dataset
+      column (see :func:`select_bgp` ``graph_var``); the shared join
+      variable keeps the whole group inside ONE graph.
+    """
+    from . import model as _M
+
+    g_term, pats = payload
+    if _is_var(g_term):
+        return select_bgp(triples, pats, graph_var=g_term, **kw)
+    if "dataset" not in triples.columns:
+        raise ValueError(
+            "GRAPH needs a triple table carrying the 'dataset' "
+            "partition column"
+        )
+    if not g_term.startswith(_M.PREFIX_GRAPH):
+        name = g_term  # no dataset is named this → empty group
+    else:
+        name = g_term[len(_M.PREFIX_GRAPH):]
+    caller_ds = kw.get("dataset")
+    if caller_ds is not None and caller_ds != name:
+        # outer scope and the GRAPH clause name different graphs
+        return select_bgp(triples, pats, **kw).where(F.lit(False))
+    kw2 = dict(kw)
+    kw2["dataset"] = name
+    return select_bgp(triples, pats, **kw2)
 
 
 def _eval_union(

@@ -120,8 +120,18 @@ evaluates):
   (the join-on-subquery-MAX idiom), with the zero-solution divergence
   pinned in tests.
 
-Out of scope (raise, never misparse): GRAPH/SERVICE, blank-node
-syntax, negated property sets.
+* ``GRAPH <uri>|?var { patterns }`` — named graphs ARE the triple
+  table's ``dataset`` partitions, addressed as the reference's
+  sub-graph URIs ``<PREFIX_GRAPH><datasetName>`` (Virtuoso.java:25-49).
+  A constant graph partition-prunes every scan in its group; a
+  variable binds from the dataset column (typed ``uri``) and keeps the
+  whole group inside one graph. An absent graph is an empty graph
+  (zero solutions), and a GRAPH clause never widens an outer
+  ``dataset=`` scope. Group bodies take plain patterns (sequence/
+  inverse paths included); OPTIONAL/UNION inside GRAPH stay refused.
+
+Out of scope (raise, never misparse): SERVICE (no federation —
+single-engine by design), blank-node syntax, negated property sets.
 
 Scale shape: the parser only *front-ends* ``select_sparql`` — every
 pattern is still a pushed-down scan under the stats-ordered join tree,
@@ -310,7 +320,7 @@ class ParsedQuery:
 _AGG_FUNCS = {"count", "sum", "min", "max", "avg", "sample"}
 
 _UNSUPPORTED = {
-    "graph", "service",
+    "service",
 }
 
 
@@ -533,7 +543,12 @@ class _Parser:
             if kind == "eof":
                 raise SparqlSyntaxError(f"unterminated {ctx} group")
             word = self.lx.next_word()
-            if word in ("optional", "filter", "union") or text == "{":
+            if (
+                word
+                in ("optional", "filter", "union", "graph", "minus",
+                    "values", "bind", "service")
+                or text == "{"
+            ):
                 raise SparqlSyntaxError(
                     f"{word or 'nested group'} inside {ctx} is not "
                     "supported (solution-level forms only)"
@@ -1083,6 +1098,27 @@ class _Parser:
             elif word == "values":
                 self.lx.next()
                 self.q.groups.append(("values", self._values_clause()))
+            elif word == "graph":
+                # GRAPH <uri>|?var { patterns } — named graphs are the
+                # dataset partitions (serve._eval_graph)
+                self.lx.next()
+                gkind, gtext = self.lx.peek()
+                if gkind == "var":
+                    g = self._term()
+                elif gkind == "uri":
+                    self.lx.next()
+                    g = gtext[1:-1]
+                elif gkind == "pname":
+                    self.lx.next()
+                    g = self._expand(gtext)
+                else:
+                    raise SparqlSyntaxError(
+                        "GRAPH needs a <uri> or ?var, got "
+                        f"{gtext!r}"
+                    )
+                self.q.groups.append(
+                    ("graph", (g, self._triples_block("a GRAPH group")))
+                )
             elif text == "{" and self._braces_open_subquery():
                 # { SELECT ... } — a SPARQL 1.1 subquery: parsed with a
                 # child parser on the SAME lexer (stops at the closing

@@ -191,13 +191,20 @@ def test_sparql_endpoint_textual_query(rest_server):
     # syntax error -> 400 with the parser's message
     status, err = _post(base + "/sparql", {"query": "select ?x"})
     assert status == 400 and "error" in err
-    # unsupported form -> 400, not a 500 (BIND/MINUS are supported now;
-    # GRAPH and unknown filter built-ins stay loud refusals)
+    # unsupported form -> 400, not a 500 (BIND/MINUS/GRAPH are
+    # supported now; SERVICE and unknown filter built-ins stay loud)
     status, err = _post(
+        base + "/sparql",
+        {"query": "select ?x { service <http://ep> { ?x ?p ?o } }"},
+    )
+    assert status == 400 and "error" in err
+    # GRAPH over a URI outside the graph base names no dataset -> an
+    # empty graph, i.e. 200 with zero solutions (not an error)
+    status, sols = _post(
         base + "/sparql",
         {"query": "select ?x { graph <http://g> { ?x ?p ?o } }"},
     )
-    assert status == 400 and "error" in err
+    assert status == 200 and sols == []
     status, err = _post(
         base + "/sparql",
         {"query": "select ?x { ?x ?p ?o filter(isBlank(?o)) }"},

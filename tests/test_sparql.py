@@ -160,7 +160,7 @@ def test_parse_errors():
     with pytest.raises(SparqlSyntaxError, match="WHERE group binding"):
         parse_select("describe ?x")
     with pytest.raises(SparqlSyntaxError, match="not supported"):
-        parse_select("select ?x { graph ?g { ?x ?p ?o } }")
+        parse_select("select ?x { service <http://ep> { ?x ?p ?o } }")
     with pytest.raises(SparqlSyntaxError, match="unknown prefix"):
         parse_select("select ?x { ?x nope:y ?z }")
     with pytest.raises(SparqlSyntaxError, match="bare word"):
