@@ -130,8 +130,14 @@ evaluates):
   ``dataset=`` scope. Group bodies take plain patterns (sequence/
   inverse paths included); OPTIONAL/UNION inside GRAPH stay refused.
 
+* Blank nodes: ``[ p o; ... ]`` property lists (subject or object,
+  nestable) and ``_:label`` terms — both desugar to reserved
+  existential variables (same ``?__pp`` family as path chains: joined
+  normally, never projected, multiplicity kept). ``[]`` is an
+  unconstrained anonymous term.
+
 Out of scope (raise, never misparse): SERVICE (no federation —
-single-engine by design), blank-node syntax, negated property sets.
+single-engine by design), negated property sets.
 
 Scale shape: the parser only *front-ends* ``select_sparql`` — every
 pattern is still a pushed-down scan under the stats-ordered join tree,
@@ -173,7 +179,7 @@ _TOKEN = re.compile(
     | (?P<pname>[A-Za-z_][\w-]*:(?:[\w-]+(?:\.[\w-]+)*)?)
     | (?P<word>[A-Za-z_]\w*)
     | (?P<num>[+-]?\d+(?:\.\d+)?)
-    | (?P<punct>[{}.,;()*^/|+?])
+    | (?P<punct>[{}.,;()*^/|+?\[\]])
     """,
     re.X,
 )
@@ -353,6 +359,10 @@ class _Parser:
         if kind == "uri":
             return text[1:-1]
         if kind == "pname":
+            if text.startswith("_:"):
+                # labeled blank node: an existential variable scoped to
+                # the query (never projected — rides the ?__pp drop)
+                return "?__pp_bn_" + text[2:]
             return self._expand(text)
         if kind == "num":
             return text
@@ -528,6 +538,44 @@ class _Parser:
             return [], [("union", branches)]
         raise SparqlSyntaxError(f"unknown path node {kind!r}")
 
+    def _bnode_plist(self, pats: list, grps: list) -> str:
+        """``[ p o; p2 o2 ]`` — an anonymous blank node (SPARQL: an
+        existential, never-projected variable; desugared to a fresh
+        reserved ``?__ppN`` exactly like a path chain variable). Its
+        property list lands in *pats*/*grps*; returns the variable so
+        the caller can use the node as a subject or object term.
+        Nestable (``[ p [ q ?v ] ]``)."""
+        self.lx.expect_punct("[")
+        var = self._fresh_var()
+        while self.lx.peek()[1] != "]":
+            if self.lx.peek()[0] == "eof":
+                raise SparqlSyntaxError(
+                    "unterminated [ blank-node property list"
+                )
+            p = self._path_or_term()
+            while True:
+                o = (
+                    self._bnode_plist(pats, grps)
+                    if self.lx.peek()[1] == "["
+                    else self._term()
+                )
+                if isinstance(p, str):
+                    pats.append((var, p, o))
+                else:
+                    p2, g2 = self._rewrite_path(var, p, o)
+                    pats += p2
+                    grps += g2
+                if self.lx.peek()[1] == ",":
+                    self.lx.next()
+                    continue
+                break
+            if self.lx.peek()[1] == ";":
+                self.lx.next()
+                continue
+            break
+        self.lx.expect_punct("]")
+        return var
+
     # -- groups ----------------------------------------------------------
 
     def _triples_block(self, ctx: str) -> list[tuple]:
@@ -600,11 +648,22 @@ class _Parser:
         context) they raise instead of silently mis-scoping."""
         out: list[tuple] = []
         grps: list[tuple] = []
-        s = self._term()
-        while True:
+        if self.lx.peek()[1] == "[":
+            # blank-node property list as the subject; a bare
+            # ``[ p o ] .`` statement (no outer predicate list) is legal
+            s = self._bnode_plist(out, grps)
+            bare = self.lx.peek()[1] in (".", "}")
+        else:
+            s = self._term()
+            bare = False
+        while not bare:
             p = self._path_or_term()
             while True:
-                o = self._term()
+                o = (
+                    self._bnode_plist(out, grps)
+                    if self.lx.peek()[1] == "["
+                    else self._term()
+                )
                 if isinstance(p, str):
                     out.append((s, p, o))
                 else:

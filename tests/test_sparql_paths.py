@@ -217,3 +217,54 @@ def test_sequence_inside_optional_is_allowed(graph):
         "OPTIONAL { ?s p:knows/p:name ?o } }",
     )
     assert len(got) == 2
+
+
+# -- blank-node syntax (desugars to the same reserved existentials) ---------
+
+
+def test_blank_node_object_plist(graph):
+    got = _run(graph, 'SELECT ?s { ?s p:knows [ p:name "Bob" ] }')
+    assert got == [("u:a",), ("u:d",)]
+
+
+def test_blank_node_subject_bare_statement(graph):
+    got = _run(graph, 'SELECT ?n { [ p:name ?n ; p:knows ?o ] }')
+    assert got == [("Alice",), ("Bob",)]
+
+
+def test_blank_node_subject_with_outer_plist(graph):
+    got = _run(graph, "SELECT ?n { [ p:knows u:c ] p:name ?n }")
+    assert got == [("Bob",)]
+
+
+def test_labeled_blank_nodes_corefer(graph):
+    got = _run(graph, 'SELECT ?n { _:x p:name ?n . _:x p:knows u:c }')
+    assert got == [("Bob",)]
+
+
+def test_blank_vars_never_projected(graph):
+    df = select_text(graph, PRE + "SELECT * { ?s p:knows [ p:name ?n ] }")
+    assert sorted(df.columns) == ["n", "s"]
+
+
+def test_anonymous_empty_subject(graph):
+    got = _run(graph, "SELECT DISTINCT ?n { [] p:name ?n }")
+    assert got == [("Alice",), ("Bob",)]
+
+
+def test_nested_blank_nodes(graph):
+    # [p:name "Bob"] = u:b; X knows u:b -> X in {a, d}; ?s knows X -> c
+    got = _run(
+        graph, 'SELECT ?s { ?s p:knows [ p:knows [ p:name "Bob" ] ] }'
+    )
+    assert got == [("u:c",)]
+
+
+def test_path_inside_blank_node_plist(graph):
+    got = _run(graph, 'SELECT ?s { ?s p:knows [ p:knows/p:name "Bob" ] }')
+    assert got == [("u:c",)]
+
+
+def test_unterminated_blank_node_is_loud():
+    with pytest.raises(SparqlSyntaxError, match="expected ']'"):
+        parse_select(PRE + "SELECT ?s { ?s p:knows [ p:name ?n }")
