@@ -68,9 +68,25 @@ def manifest_n_buckets(spark: SparkSession, manifest_path: str) -> int | None:
     return vals[0]
 
 
+class NotTerms:
+    """A pattern-term constraint ``NOT IN (values)`` — SPARQL's negated
+    property set ``!(p1|p2)`` in predicate position: a pure scan filter
+    (``Not(In(p, ...))`` pushes into parquet), binding no variable."""
+
+    __slots__ = ("values",)
+
+    def __init__(self, values):
+        self.values = tuple(values)
+
+    def __repr__(self) -> str:  # appears in pattern error messages
+        return f"!({'|'.join(self.values)})"
+
+
 def _term_filter(df: DataFrame, col: str, value) -> DataFrame:
     if value is None:
         return df
+    if isinstance(value, NotTerms):
+        return df.where(~F.col(col).isin(*value.values))
     if isinstance(value, (list, tuple, set)):
         return df.where(F.col(col).isin(*value))
     return df.where(F.col(col) == value)
@@ -189,7 +205,7 @@ def _estimate_pattern(consts: dict, stats: dict) -> float:
     def _n(value) -> int:
         return len(value) if isinstance(value, (list, tuple, set)) else 1
 
-    if "p" in consts:
+    if "p" in consts and not isinstance(consts["p"], NotTerms):
         ps = consts["p"]
         ps = list(ps) if isinstance(ps, (list, tuple, set)) else [ps]
         infos = [
@@ -201,6 +217,13 @@ def _estimate_pattern(consts: dict, stats: dict) -> float:
         n_o = max(max((i["n_o"] for i in infos), default=1), 1)
     else:
         est = float(stats["total"])
+        if isinstance(consts.get("p"), NotTerms):
+            # negated property set: total minus the excluded predicates
+            est -= sum(
+                stats["p_counts"].get(p, {"count": 0})["count"]
+                for p in consts["p"].values
+            )
+            est = max(est, 0.0)
         n_s = max(stats["n_s"], 1)
         n_o = max(stats["n_o"], 1)
     if "s" in consts:

@@ -105,10 +105,15 @@ evaluates):
   a constant end, full pair closure var-var (the spec's quadratic worst
   case — keep one end bound over large graphs). ``*``/``?`` include the
   spec's zero-length path (every graph node paired with itself; a
-  constant end matches even when absent from the graph). Refused loud:
-  negated sets ``!p``, variable path elements, quantified composites,
+  constant end matches even when absent from the graph). Negated
+  property sets ``!p`` / ``!(p1|p2)`` are a pure ``NOT IN`` scan
+  constraint in predicate position
+  (:class:`~linkedspending_spark.serve.NotTerms` — pushes into
+  parquet, binds nothing). Refused loud: inverse/quantified negated
+  sets, variable path elements, quantified composites,
   alternation/quantifiers inside OPTIONAL/UNION/MINUS/EXISTS groups
-  (sequence and inverse are fine there — they are plain patterns).
+  (sequence, inverse and negated sets are fine there — they are
+  plain patterns).
 
 * Subqueries (SPARQL 1.1 §12): ``{ SELECT ... }`` groups, evaluated
   bottom-up — the inner SELECT runs its own projection / DISTINCT /
@@ -137,7 +142,7 @@ evaluates):
   unconstrained anonymous term.
 
 Out of scope (raise, never misparse): SERVICE (no federation —
-single-engine by design), negated property sets.
+single-engine by design), inverse/quantified negated property sets.
 
 Scale shape: the parser only *front-ends* ``select_sparql`` — every
 pattern is still a pushed-down scan under the stats-ordered join tree,
@@ -179,7 +184,7 @@ _TOKEN = re.compile(
     | (?P<pname>[A-Za-z_][\w-]*:(?:[\w-]+(?:\.[\w-]+)*)?)
     | (?P<word>[A-Za-z_]\w*)
     | (?P<num>[+-]?\d+(?:\.\d+)?)
-    | (?P<punct>[{}.,;()*^/|+?\[\]])
+    | (?P<punct>[{}.,;()*^/|+?!\[\]])
     """,
     re.X,
 )
@@ -458,6 +463,34 @@ class _Parser:
         if self.lx.peek()[1] == "^":
             self.lx.next()
             inv = True
+        if self.lx.peek()[1] == "!":
+            # negated property set !p / !(p1|p2): a pure NOT IN scan
+            # constraint in predicate position (serve.NotTerms) —
+            # binds nothing, joins nothing
+            self.lx.next()
+            if inv:
+                raise SparqlSyntaxError(
+                    "^!(...) is not supported (invert the members "
+                    "instead — also unsupported: inverse members in a "
+                    "negated property set)"
+                )
+            uris: list[str] = []
+            if self.lx.peek()[1] == "(":
+                self.lx.next()
+                while True:
+                    uris.append(self._nps_member())
+                    if self.lx.peek()[1] == "|":
+                        self.lx.next()
+                        continue
+                    break
+                self.lx.expect_punct(")")
+            else:
+                uris.append(self._nps_member())
+            if self.lx.peek()[1] in ("+", "*", "?"):
+                raise SparqlSyntaxError(
+                    "a quantified negated property set is not supported"
+                )
+            return ("nps", uris)
         kind, text = self.lx.peek()
         if text == "(":
             self.lx.next()
@@ -486,6 +519,23 @@ class _Parser:
             node = ("quant", node, q)
         return node
 
+    def _nps_member(self) -> str:
+        kind, text = self.lx.next()
+        if kind == "uri":
+            return text[1:-1]
+        if kind == "pname":
+            return self._expand(text)
+        if kind == "word" and text == "a":
+            return M.RDF_TYPE
+        if text == "^":
+            raise SparqlSyntaxError(
+                "inverse members in a negated property set are not "
+                "supported"
+            )
+        raise SparqlSyntaxError(
+            f"negated property set members must be IRIs, got {text!r}"
+        )
+
     def _rewrite_path(
         self, s: str, node: tuple, o: str
     ) -> tuple[list[tuple], list[tuple]]:
@@ -494,6 +544,10 @@ class _Parser:
         if kind == "leaf":
             _, uri, _ = node
             return [(s, uri, o)], []
+        if kind == "nps":
+            from .serve import NotTerms
+
+            return [(s, NotTerms(node[1]), o)], []
         if kind == "inv":
             return self._rewrite_path(o, node[1], s)
         if kind == "quant":

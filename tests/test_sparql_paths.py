@@ -268,3 +268,44 @@ def test_path_inside_blank_node_plist(graph):
 def test_unterminated_blank_node_is_loud():
     with pytest.raises(SparqlSyntaxError, match="expected ']'"):
         parse_select(PRE + "SELECT ?s { ?s p:knows [ p:name ?n }")
+
+
+# -- negated property sets ---------------------------------------------------
+
+
+def test_nps_single(graph):
+    got = _run(graph, "SELECT ?o { u:a !p:knows ?o }")
+    assert got == [("Alice",), ("u:c",)]  # name + likes edges
+
+
+def test_nps_set(graph):
+    got = _run(graph, "SELECT ?o { u:a !(p:knows|p:likes) ?o }")
+    assert got == [("Alice",)]
+
+
+def test_nps_in_sequence(graph):
+    # u:a -!knows-> {Alice, u:c}; u:c -knows-> u:d
+    got = _run(graph, "SELECT ?o { u:a !p:knows/p:knows ?o }")
+    assert got == [("u:d",)]
+
+
+def test_nps_pushes_not_in(graph, tmp_path):
+    pq_dir = str(tmp_path / "nps")
+    graph.write.parquet(pq_dir)
+    pq = graph.sparkSession.read.parquet(pq_dir)
+    plan = plan_of(select_text(pq, PRE + "SELECT ?o { u:a !p:knows ?o }"))
+    assert "PushedFilters" in plan and "Not" in plan and "knows" in plan
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "SELECT ?o { u:a ^!p:knows ?o }",
+        "SELECT ?o { u:a !(^p:knows) ?o }",
+        "SELECT ?o { u:a !p:knows+ ?o }",
+        'SELECT ?o { u:a !(p:a|"x") ?o }',
+    ],
+)
+def test_nps_refusals(q):
+    with pytest.raises(SparqlSyntaxError):
+        parse_select(PRE + q)
