@@ -40,8 +40,12 @@ Endpoints::
                            (NewsFeedWriter.java / EventNotification
                            analog)
     GET  /triples?s=&p=&o=&dataset=&limit=   serve.match pattern read
-    GET  /sparql?query=    W3C SPARQL-protocol GET binding; response is
-                           application/sparql-results+json
+    GET  /sparql?query=    W3C SPARQL-protocol GET binding; the result
+                           serialization content-negotiates on Accept:
+                           sparql-results+json (default), +xml,
+                           text/csv, text/tab-separated-values
+                           (sparql11-results-csv-tsv); graphs answer
+                           application/n-triples
     POST /sparql           {"query": "select ?d ?m {?d a qb:DataSet. ...}"}
                            textual SPARQL (sparql.select_text dialect), OR
                            the JSON algebra form:
@@ -51,7 +55,9 @@ Endpoints::
                            "distinct": bool, "order_by": ["?v", "-?v"],
                            "limit": N}
                            → serve.select_sparql solutions; pass
-                           "format": "w3c" for sparql-results+json
+                           "format": "w3c" for sparql-results+json,
+                           "xml"/"csv"/"tsv" for the other W3C
+                           serializations
 """
 
 from __future__ import annotations
@@ -191,8 +197,11 @@ class RestService:
         if self.triples is None:
             raise _HttpError(404, "no triple table configured")
         # W3C output types each binding from the data: with_kinds threads
-        # o_kind/o_datatype/o_lang through as <v>__kind companions
-        w3c = body.get("format") == "w3c"
+        # o_kind/o_datatype/o_lang through as <v>__kind companions.
+        # "w3c" = sparql-results+json; "xml"/"csv"/"tsv" = the other
+        # spec'd serializations (content-negotiated on the GET binding)
+        fmt = body.get("format")
+        w3c = fmt in ("w3c", "xml", "csv", "tsv")
         if body.get("query"):  # textual SPARQL (Sparql.java:26-29 analog)
             from .sparql import SparqlSyntaxError, parse_select, select_text
 
@@ -210,6 +219,20 @@ class RestService:
                 raise _HttpError(400, str(e)) from e
             if p.ask:
                 answer = bool(df.take(1))
+                if fmt == "xml":
+                    return _Raw(
+                        '<?xml version="1.0"?>\n<sparql xmlns="http://'
+                        'www.w3.org/2005/sparql-results#"><head/>'
+                        f"<boolean>{str(answer).lower()}</boolean>"
+                        "</sparql>\n",
+                        RESULT_CTYPES["xml"],
+                    )
+                if fmt in ("csv", "tsv"):
+                    raise _HttpError(
+                        400,
+                        "ASK has no CSV/TSV serialization — use JSON "
+                        "or XML",
+                    )
                 if w3c:
                     return {"head": {}, "boolean": answer}
                 return {"ask": answer}
@@ -247,6 +270,8 @@ class RestService:
         else:
             df = self._sparql_algebra(body, with_kinds=w3c)
         rows = self._bounded_rows(df)
+        if fmt in ("xml", "csv", "tsv"):
+            return _serialize_results(fmt, df.columns, rows)
         if w3c:
             return _w3c_results(df.columns, rows)
         return rows
@@ -496,33 +521,9 @@ def _w3c_results(cols: list, rows: list) -> dict:
 
     var_cols = [c for c in cols if not _is_companion(c)]
 
-    def term(v, kind=None, datatype=None, lang=None):
-        if isinstance(v, bool):
-            return {"type": "literal", "value": str(v).lower(),
-                    "datatype": "http://www.w3.org/2001/XMLSchema#boolean"}
-        if isinstance(v, int):
-            return {"type": "literal", "value": str(v),
-                    "datatype": "http://www.w3.org/2001/XMLSchema#integer"}
-        if isinstance(v, float):
-            return {"type": "literal", "value": repr(v),
-                    "datatype": "http://www.w3.org/2001/XMLSchema#double"}
-        v = str(v)
-        if kind == "uri":
-            return {"type": "uri", "value": v}
-        if kind == "literal":
-            out = {"type": "literal", "value": v}
-            if datatype:
-                out["datatype"] = datatype
-            if lang:
-                out["xml:lang"] = lang
-            return out
-        if v.startswith(("http://", "https://")):  # no metadata: heuristic
-            return {"type": "uri", "value": v}
-        return {"type": "literal", "value": v}
-
     def binding(r: dict) -> dict:
         return {
-            k: term(
+            k: _w3c_term(
                 r[k],
                 r.get(k + "__kind"),
                 r.get(k + "__datatype"),
@@ -536,6 +537,164 @@ def _w3c_results(cols: list, rows: list) -> dict:
         "head": {"vars": var_cols},
         "results": {"bindings": [binding(r) for r in rows]},
     }
+
+
+def _w3c_term(v, kind=None, datatype=None, lang=None) -> dict:
+    """One RDF term in the sparql-results+json binding shape — shared
+    by the JSON/XML/TSV serializers (typing rules in _w3c_results)."""
+    if isinstance(v, bool):
+        return {"type": "literal", "value": str(v).lower(),
+                "datatype": "http://www.w3.org/2001/XMLSchema#boolean"}
+    if isinstance(v, int):
+        return {"type": "literal", "value": str(v),
+                "datatype": "http://www.w3.org/2001/XMLSchema#integer"}
+    if isinstance(v, float):
+        return {"type": "literal", "value": repr(v),
+                "datatype": "http://www.w3.org/2001/XMLSchema#double"}
+    v = str(v)
+    if kind == "uri":
+        return {"type": "uri", "value": v}
+    if kind == "literal":
+        out = {"type": "literal", "value": v}
+        if datatype:
+            out["datatype"] = datatype
+        if lang:
+            out["xml:lang"] = lang
+        return out
+    if v.startswith(("http://", "https://")):  # no metadata: heuristic
+        return {"type": "uri", "value": v}
+    return {"type": "literal", "value": v}
+
+
+#: result serializations the endpoint speaks, by short format name
+RESULT_CTYPES = {
+    "w3c": "application/sparql-results+json",
+    "xml": "application/sparql-results+xml; charset=utf-8",
+    "csv": "text/csv; charset=utf-8",
+    "tsv": "text/tab-separated-values; charset=utf-8",
+}
+
+
+def _accept_format(accept: str | None) -> str:
+    """Pick the result format from an Accept header — first supported
+    media range in header order wins; anything else (including ``*/*``
+    and no header) falls back to the protocol default, JSON."""
+    for part in (accept or "").split(","):
+        mt = part.split(";", 1)[0].strip().lower()
+        if mt in ("application/sparql-results+json", "application/json"):
+            return "w3c"
+        if mt in (
+            "application/sparql-results+xml",
+            "application/xml",
+            "text/xml",
+        ):
+            return "xml"
+        if mt == "text/csv":
+            return "csv"
+        if mt == "text/tab-separated-values":
+            return "tsv"
+    return "w3c"
+
+
+def _serialize_results(fmt: str, cols: list, rows: list) -> "_Raw":
+    """Solutions in the W3C XML / CSV / TSV result syntaxes
+    (sparql11-results-csv-tsv, rdf-sparql-XMLres)."""
+    from .serve import _is_companion
+
+    var_cols = [c for c in cols if not _is_companion(c)]
+
+    def term_of(r, k):
+        return _w3c_term(
+            r[k], r.get(k + "__kind"), r.get(k + "__datatype"),
+            r.get(k + "__lang"),
+        )
+
+    if fmt == "xml":
+        from xml.sax.saxutils import escape, quoteattr
+
+        out = [
+            '<?xml version="1.0"?>\n<sparql xmlns='
+            '"http://www.w3.org/2005/sparql-results#">\n<head>'
+        ]
+        out += [f"<variable name={quoteattr(v)}/>" for v in var_cols]
+        out.append("</head>\n<results>\n")
+        for r in rows:
+            out.append("<result>")
+            for k in var_cols:
+                if r.get(k) is None:
+                    continue
+                t = term_of(r, k)
+                val = escape(t["value"])
+                if t["type"] == "uri":
+                    body = f"<uri>{val}</uri>"
+                elif "datatype" in t:
+                    body = (
+                        f"<literal datatype={quoteattr(t['datatype'])}>"
+                        f"{val}</literal>"
+                    )
+                elif "xml:lang" in t:
+                    body = (
+                        f"<literal xml:lang={quoteattr(t['xml:lang'])}>"
+                        f"{val}</literal>"
+                    )
+                else:
+                    body = f"<literal>{val}</literal>"
+                out.append(f"<binding name={quoteattr(k)}>{body}</binding>")
+            out.append("</result>\n")
+        out.append("</results>\n</sparql>\n")
+        return _Raw("".join(out), RESULT_CTYPES["xml"])
+
+    if fmt == "csv":
+        # sparql11-results-csv-tsv §4: plain lexical values, no term
+        # syntax; RFC 4180 quoting; unbound = empty field; CRLF rows
+        def cell(r, k):
+            if r.get(k) is None:
+                return ""
+            v = term_of(r, k)["value"]
+            if any(c in v for c in ',"\n\r'):
+                return '"' + v.replace('"', '""') + '"'
+            return v
+
+        lines = [",".join(var_cols)]
+        lines += [",".join(cell(r, k) for k in var_cols) for r in rows]
+        return _Raw("\r\n".join(lines) + "\r\n", RESULT_CTYPES["csv"])
+
+    # TSV (§3): header vars carry '?', terms in SPARQL syntax — URIs in
+    # <>, plain/tagged/typed literals quoted with escapes; numeric xsd
+    # types may be written bare (the spec's own allowance)
+    _BARE = {
+        "http://www.w3.org/2001/XMLSchema#integer",
+        "http://www.w3.org/2001/XMLSchema#decimal",
+        "http://www.w3.org/2001/XMLSchema#double",
+        "http://www.w3.org/2001/XMLSchema#boolean",
+    }
+
+    def tsv_term(r, k):
+        if r.get(k) is None:
+            return ""
+        t = term_of(r, k)
+        if t["type"] == "uri":
+            return f"<{t['value']}>"
+        if t.get("datatype") in _BARE:
+            return t["value"]
+        v = (
+            t["value"]
+            .replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\t", "\\t")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+        )
+        lit = f'"{v}"'
+        if t.get("datatype"):
+            lit += f"^^<{t['datatype']}>"
+        elif t.get("xml:lang"):
+            lit += f"@{t['xml:lang']}"
+        return lit
+
+    lines = ["\t".join("?" + v for v in var_cols)]
+    lines += ["\t".join(tsv_term(r, k) for k in var_cols) for r in rows]
+    return _Raw("\n".join(lines) + "\n", RESULT_CTYPES["tsv"])
 
 
 class _HttpError(Exception):
@@ -617,12 +776,15 @@ def _make_handler(service: RestService):
                 return
             if url.path == "/sparql":
                 # W3C SPARQL-protocol GET binding: ?query=..., response
-                # is sparql-results+json (the protocol's default)
+                # format content-negotiated from Accept (JSON default;
+                # XML/CSV/TSV per sparql11-results-* specs)
+                fmt = _accept_format(self.headers.get("Accept"))
+
                 def _sparql_get():
                     q = qs.get("query", [None])[0]
                     if not q:
                         raise _HttpError(400, "GET /sparql needs ?query=")
-                    return service.sparql({"query": q, "format": "w3c"})
+                    return service.sparql({"query": q, "format": fmt})
 
                 self._dispatch(_sparql_get)
                 return

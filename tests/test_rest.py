@@ -742,3 +742,83 @@ def test_sparql_describe_over_http(rest_server):
         lines = r.read().decode().splitlines()
     assert len(lines) == len(rows)
     assert all(ln.startswith(f"<{uri}> ") and ln.endswith(" .") for ln in lines)
+
+
+def _get_raw(url: str, accept: str | None = None):
+    req = urllib.request.Request(
+        url, headers={"Accept": accept} if accept else {}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, r.headers.get("Content-Type"), r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read().decode()
+
+
+def test_sparql_result_format_negotiation(rest_server):
+    """GET /sparql content-negotiates the W3C result serializations:
+    CSV/TSV (sparql11-results-csv-tsv) and XML (rdf-sparql-XMLres);
+    JSON stays the default for */* and absent Accept headers."""
+    from urllib.parse import quote
+
+    base, _ = rest_server
+    q = quote(
+        "select ?d ?label {?d a qb:DataSet. ?d rdfs:label ?label.} "
+        "order by ?label limit 3"
+    )
+    url = f"{base}/sparql?query={q}"
+
+    status, ctype, text = _get_raw(url, "text/csv")
+    assert status == 200 and ctype.startswith("text/csv")
+    lines = text.split("\r\n")
+    assert lines[0] == "d,label" and len(lines) >= 2
+    # CSV values are PLAIN lexical forms — no <> around URIs
+    assert lines[1].startswith("http") and "<" not in lines[1]
+
+    status, ctype, text = _get_raw(url, "text/tab-separated-values")
+    assert status == 200 and ctype.startswith("text/tab-separated-values")
+    lines = text.rstrip("\n").split("\n")
+    assert lines[0] == "?d\t?label"
+    d_term, label_term = lines[1].split("\t")
+    assert d_term.startswith("<") and d_term.endswith(">")  # SPARQL syntax
+    assert label_term.startswith('"')
+
+    status, ctype, text = _get_raw(url, "application/sparql-results+xml")
+    assert status == 200 and ctype.startswith(
+        "application/sparql-results+xml"
+    )
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    heads = [
+        v.attrib["name"] for v in root.find(ns + "head")
+    ]
+    assert heads == ["d", "label"]
+    results = root.find(ns + "results").findall(ns + "result")
+    assert 0 < len(results) <= 3
+    first = {
+        b.attrib["name"]: b[0] for b in results[0].findall(ns + "binding")
+    }
+    assert first["d"].tag == ns + "uri"
+    assert first["label"].tag == ns + "literal"
+
+    # default stays JSON (the protocol's requirement)
+    status, ctype, text = _get_raw(url, "*/*")
+    assert status == 200 and "json" in ctype
+    import json as _json
+
+    assert _json.loads(text)["head"]["vars"] == ["d", "label"]
+
+
+def test_ask_xml_and_csv_rules(rest_server):
+    from urllib.parse import quote
+
+    base, _ = rest_server
+    q = quote("ask { ?d a qb:DataSet }")
+    status, ctype, text = _get_raw(
+        f"{base}/sparql?query={q}", "application/sparql-results+xml"
+    )
+    assert status == 200 and "<boolean>true</boolean>" in text
+    status, _, text = _get_raw(f"{base}/sparql?query={q}", "text/csv")
+    assert status == 400 and "CSV/TSV" in text
