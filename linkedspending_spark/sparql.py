@@ -69,7 +69,9 @@ evaluates):
   LocalTableScan.
 * Aggregates: ``SELECT (COUNT(?x) AS ?n) ?g ... GROUP BY ?g
   HAVING(...)`` with COUNT / COUNT(DISTINCT ?x) / COUNT(*) / SUM / AVG
-  / MIN / MAX / SAMPLE. SUM aggregates as long when every operand's
+  / MIN / MAX / SAMPLE / GROUP_CONCAT([DISTINCT] ?x [; SEPARATOR=".."])
+  — GROUP_CONCAT sorts the collected values first (SPARQL leaves the
+  order unspecified; deterministic output is the serving-path choice). SUM aggregates as long when every operand's
   lexical form is an integer (→ ``xsd:integer``, SPARQL 1.1), else as
   double — decided per query by a narrow pre-scan; AVG casts to double
   (SPARQL says ``xsd:decimal`` for integers — documented divergence);
@@ -312,6 +314,8 @@ class ParsedQuery:
     aggregates: list[tuple[str, str | None, bool, str]] = field(
         default_factory=list
     )
+    #: GROUP_CONCAT separators by alias (default " ", per SPARQL 1.1)
+    agg_separators: dict = field(default_factory=dict)
     group_by: list[str] = field(default_factory=list)
     having: list[str] = field(default_factory=list)
     #: (translated-sql-expr, alias) per non-aggregate SELECT expression
@@ -328,7 +332,9 @@ class ParsedQuery:
     describe: list[str] | None = None
 
 
-_AGG_FUNCS = {"count", "sum", "min", "max", "avg", "sample"}
+_AGG_FUNCS = {
+    "count", "sum", "min", "max", "avg", "sample", "group_concat",
+}
 
 _UNSUPPORTED = {
     "service",
@@ -1319,11 +1325,37 @@ class _Parser:
         r"\(\s*(distinct\s+)?(\?\w+|\*)\s*\)\s+as\s+\?(\w+)\s*$"
     )
 
+    _GC_SPEC = re.compile(
+        r"(?is)^\s*group_concat\s*\(\s*(distinct\s+)?(\?\w+)\s*"
+        r'(?:;\s*separator\s*=\s*"((?:[^"\\]|\\.)*)")?\s*\)'
+        r"\s+as\s+\?(\w+)\s*$"
+    )
+
     def _select_paren_spec(self) -> str:
         """One parenthesized SELECT item — ``(FUNC([DISTINCT] ?v|*) AS
         ?alias)`` aggregate, or ``(expr AS ?alias)`` projection
         expression (translated like a FILTER body). Returns the alias."""
         raw = self.lx.raw_parens()
+        if re.match(r"(?is)^\s*group_concat\s*\(", raw):
+            m = self._GC_SPEC.match(raw)
+            if m is None:
+                raise SparqlSyntaxError(
+                    f"malformed GROUP_CONCAT ({raw.strip()}) — expected "
+                    'GROUP_CONCAT([DISTINCT] ?var [; SEPARATOR="..."]) '
+                    "AS ?alias"
+                )
+            dist, var, sep, alias = (
+                bool(m.group(1)),
+                m.group(2)[1:],
+                m.group(3),
+                m.group(4),
+            )
+            self.q.aggregates.append(("group_concat", var, dist, alias))
+            # SPARQL 1.1 §18.5.1.7: default separator is a single space
+            self.q.agg_separators[alias] = (
+                _unescape(sep) if sep is not None else " "
+            )
+            return alias
         if re.match(r"(?is)^\s*(count|sum|min|max|avg|sample)\s*\(", raw):
             m = self._AGG_SPEC.match(raw)
             if m is None:
@@ -1585,9 +1617,23 @@ def _aggregate(df: DataFrame, q: ParsedQuery) -> DataFrame:
             expr = F.min(F.col(var))
         elif func == "max":
             expr = F.max(F.col(var))
+        elif func == "group_concat":
+            # SPARQL leaves GROUP_CONCAT order unspecified; sort the
+            # collected values so the output is DETERMINISTIC across
+            # partitionings/retries (documented choice — an unordered
+            # concat is useless as a stable serving response).
+            # collect_list/collect_set skip NULLs = SPARQL error-drop.
+            collected = (
+                F.collect_set(F.col(var))
+                if dist
+                else F.collect_list(F.col(var))
+            )
+            expr = F.array_join(
+                F.array_sort(collected), q.agg_separators.get(alias, " ")
+            )
         else:  # sample: any value from the group
             expr = F.first(F.col(var), ignorenulls=True)
-        if dist and func != "count":
+        if dist and func not in ("count", "group_concat"):
             raise SparqlSyntaxError(
                 f"DISTINCT inside {func.upper()} is not supported"
             )

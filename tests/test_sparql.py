@@ -1045,3 +1045,33 @@ def test_graph_forms_plan_shapes(spark, catalog, tmp_path):
     # instantiation itself is Union over projections, no join shuffle
     assert "Union" in plan
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_group_concat(spark, catalog):
+    """GROUP_CONCAT with SEPARATOR / DISTINCT — values sorted for
+    deterministic output (SPARQL leaves the order unspecified)."""
+    got = sorted(
+        map(
+            tuple,
+            select_text(
+                catalog,
+                'select ?d (group_concat(?p; separator=", ") as ?ps) '
+                "{ ?d <http://purl.org/dc/terms/identifier> ?n . "
+                "?d ?p ?o . } group by ?d order by ?d limit 1",
+            ).collect(),
+        )
+    )
+    assert len(got) == 1
+    d, ps = got[0]
+    parts = ps.split(", ")
+    assert parts == sorted(parts) and len(parts) == 8
+    # DISTINCT + default separator (single space, SPARQL 1.1 §18.5.1.7)
+    got = select_text(
+        catalog,
+        "select (group_concat(distinct ?c) as ?cs) "
+        "{ ?d <http://linkedspending.aksw.org/ontology/uploadComplete> "
+        "?c }",
+    ).collect()
+    assert got[0]["cs"] == "false true"
+    with pytest.raises(SparqlSyntaxError, match="GROUP_CONCAT"):
+        parse_select('select (group_concat(?x; sep="a") as ?y) { ?s ?p ?x }')
