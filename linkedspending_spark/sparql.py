@@ -69,7 +69,10 @@ evaluates):
   LocalTableScan.
 * Aggregates: ``SELECT (COUNT(?x) AS ?n) ?g ... GROUP BY ?g
   HAVING(...)`` with COUNT / COUNT(DISTINCT ?x) / COUNT(*) / SUM / AVG
-  / MIN / MAX / SAMPLE / GROUP_CONCAT([DISTINCT] ?x [; SEPARATOR=".."])
+  / MIN / MAX / SAMPLE / GROUP_CONCAT([DISTINCT] ?x [; SEPARATOR=".."]);
+  HAVING takes alias references AND the spec's direct form
+  (``HAVING(COUNT(?x) > 5)`` — rewritten to hidden aliases); a trailing
+  ``VALUES`` clause joins after grouping (§18.2.4)
   — GROUP_CONCAT sorts the collected values first (SPARQL leaves the
   order unspecified; deterministic output is the serving-path choice). SUM aggregates as long when every operand's
   lexical form is an integer (→ ``xsd:integer``, SPARQL 1.1), else as
@@ -316,6 +319,8 @@ class ParsedQuery:
     )
     #: GROUP_CONCAT separators by alias (default " ", per SPARQL 1.1)
     agg_separators: dict = field(default_factory=dict)
+    #: trailing VALUES clause (§18.2.4: joins after grouping/HAVING)
+    post_values: tuple | None = None
     group_by: list[str] = field(default_factory=list)
     having: list[str] = field(default_factory=list)
     #: (translated-sql-expr, alias) per non-aggregate SELECT expression
@@ -361,10 +366,11 @@ class _Parser:
     def _term(self) -> str:
         kind, text = self.lx.next()
         if kind == "var":
-            if text.startswith("?__pp"):
+            if text.startswith(("?__pp", "?__agg")):
                 raise SparqlSyntaxError(
-                    f"variable {text} uses the reserved internal prefix "
-                    "?__pp (property-path rewrite variables)"
+                    f"variable {text} uses a reserved internal prefix "
+                    "(?__pp = path/blank-node rewrites, ?__agg = "
+                    "HAVING aggregate rewrites)"
                 )
             return text
         if kind == "uri":
@@ -1115,6 +1121,12 @@ class _Parser:
             self.lx.next()
         self._group_body()
         self._solution_modifiers()
+        if self.lx.next_word() == "values":
+            # trailing ValuesClause (the grammar's final production):
+            # per §18.2.4 it joins AFTER grouping/HAVING, before the
+            # SELECT expressions — stashed separately from groups
+            self.lx.next()
+            self.q.post_values = self._values_clause()
         if closing is None:
             if self.lx.peek()[0] != "eof":
                 raise SparqlSyntaxError(
@@ -1325,6 +1337,37 @@ class _Parser:
         r"\(\s*(distinct\s+)?(\?\w+|\*)\s*\)\s+as\s+\?(\w+)\s*$"
     )
 
+    _HAVING_AGG = re.compile(
+        r"(?i)\b(count|sum|min|max|avg|sample)\s*"
+        r"\(\s*(distinct\s+)?(\?\w+|\*)\s*\)"
+    )
+
+    def _rewrite_having_aggs(self) -> str:
+        """``HAVING(COUNT(?x) > 5)`` — the spec's direct form: each
+        aggregate call becomes a HIDDEN aggregate alias (``?__aggN``,
+        computed alongside the SELECT aggregates, dropped after the
+        HAVING filter applies) so the raw expression translates like
+        any other filter over alias variables."""
+
+        def sub(m: re.Match) -> str:
+            func, dist, arg = (
+                m.group(1).lower(),
+                bool(m.group(2)),
+                m.group(3),
+            )
+            if arg == "*" and func != "count":
+                raise SparqlSyntaxError(f"{func.upper()} needs a ?var")
+            if dist and func != "count":
+                raise SparqlSyntaxError(
+                    f"DISTINCT inside {func.upper()} is not supported"
+                )
+            var = None if arg == "*" else arg[1:]
+            alias = f"__agg{len(self.q.aggregates)}"
+            self.q.aggregates.append((func, var, dist, alias))
+            return "?" + alias
+
+        return self._HAVING_AGG.sub(sub, self.lx.raw_parens())
+
     _GC_SPEC = re.compile(
         r"(?is)^\s*group_concat\s*\(\s*(distinct\s+)?(\?\w+)\s*"
         r'(?:;\s*separator\s*=\s*"((?:[^"\\]|\\.)*)")?\s*\)'
@@ -1395,7 +1438,9 @@ class _Parser:
                 raise SparqlSyntaxError("GROUP BY needs at least one ?var")
         if self.lx.next_word() == "having":
             self.lx.next()
-            self.q.having.append(self._translate_filter(self.lx.raw_parens()))
+            self.q.having.append(
+                self._translate_filter(self._rewrite_having_aggs())
+            )
         if self.lx.next_word() == "order":
             self.lx.next()
             if self.lx.next_word() != "by":
@@ -1648,6 +1693,10 @@ def _aggregate(df: DataFrame, q: ParsedQuery) -> DataFrame:
         from .serve import _translate_filter as _vars_to_cols
 
         df = df.where(F.expr(_vars_to_cols(h)))
+    hidden = [c for c in df.columns if c.startswith("__agg")]
+    if hidden:
+        # aggregates that exist only for a direct-form HAVING
+        df = df.drop(*hidden)
     return df
 
 
@@ -1905,6 +1954,26 @@ def select_text(
         return df.limit(1)
     if q.aggregates or q.group_by:
         df = _aggregate(df, q)
+    if q.post_values is not None:
+        # trailing VALUES: inner join on shared vars, after grouping
+        # (§18.2.4), before SELECT expressions / projection
+        from .serve import _values_df
+
+        names, vrows = q.post_values
+        v = _values_df(df.sparkSession, names, vrows)
+        shared = [c for c in names if c in df.columns]
+        undef_shared = [
+            c
+            for c in shared
+            if any(r[names.index(c)] is None for r in vrows)
+        ]
+        if undef_shared:
+            raise SparqlSyntaxError(
+                f"trailing VALUES leaves shared variable(s) "
+                f"{undef_shared} UNDEF in some row — the compatibility "
+                "join on unbound variables is not supported"
+            )
+        df = df.join(v, on=shared) if shared else df.crossJoin(v)
     if q.select_exprs:
         from .serve import _filter_vars, _translate_filter as _vars_to_cols
 

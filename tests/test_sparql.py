@@ -1075,3 +1075,39 @@ def test_group_concat(spark, catalog):
     assert got[0]["cs"] == "false true"
     with pytest.raises(SparqlSyntaxError, match="GROUP_CONCAT"):
         parse_select('select (group_concat(?x; sep="a") as ?y) { ?s ?p ?x }')
+
+
+def test_having_direct_aggregate_form(spark, catalog):
+    """HAVING(COUNT(?x) > n) — the spec's direct form: aggregate calls
+    become hidden aliases computed alongside the SELECT aggregates and
+    dropped after the filter applies."""
+    got = select_text(
+        catalog,
+        "select ?d { ?d ?p ?o } group by ?d having(count(?o) > 2)",
+    )
+    assert got.count() == 3 and got.columns == ["d"]  # no __agg leak
+    got = select_text(
+        catalog,
+        "select ?d (count(?o) as ?n) { ?d ?p ?o } group by ?d "
+        'having(count(?o) >= 8 && min(?o) < "3")',
+    ).collect()
+    assert len(got) == 3 and all(r["n"] >= 8 for r in got)
+    with pytest.raises(SparqlSyntaxError, match="reserved internal"):
+        parse_select("select ?__agg0 { ?__agg0 ?p ?o }")
+
+
+def test_trailing_values_clause(spark, catalog):
+    """The grammar's final VALUES clause joins after grouping
+    (§18.2.4) — restricting group keys post-aggregation."""
+    I = M.PREFIX_INSTANCE
+    got = select_text(
+        catalog,
+        "select ?d (count(?o) as ?n) { ?d ?p ?o } group by ?d "
+        f"values ?d {{ <{I}beta> }}",
+    ).collect()
+    assert len(got) == 1 and got[0]["n"] == 9  # beta has the rdfs:label
+    with pytest.raises(SparqlSyntaxError, match="UNDEF"):
+        select_text(
+            catalog,
+            "select ?d { ?d ?p ?o } values ?d { UNDEF }",
+        )
