@@ -850,6 +850,32 @@ class _Parser:
         "if": "if",
         "coalesce": "coalesce",
         "try_cast": "try_cast",
+        # SPARQL REPLACE is XPath-regex replacement: Spark regexp_replace
+        # (Java regex, $1 group refs — same engine family as Jena's ARQ).
+        # The optional 4th FLAGS argument is not supported (the analyzer
+        # rejects the arity at evaluation).
+        "replace": "regexp_replace",
+        # hash built-ins over the lexical form (SPARQL 17.4.4.11-12);
+        # SHA256/384/512 rewrite to sha2(x, N) in _string_builtins_pass
+        "md5": "md5",
+        "sha1": "sha1",
+        # numeric built-ins with identical SQL semantics over doubles;
+        # ROUND is pre-pass only (XPath rounds .5 toward +inf, Spark
+        # rounds half away from zero — floor(x + 0.5) is the exact form)
+        "ceil": "ceil",
+        "floor": "floor",
+        # names the pre-passes emit (also available directly — they are
+        # deterministic Spark SQL with no SPARQL-divergent semantics)
+        "instr": "instr",
+        "regexp_replace": "regexp_replace",
+        "url_encode": "url_encode",
+        "sha2": "sha2",
+        "year": "year",
+        "month": "month",
+        "day": "day",
+        "hour": "hour",
+        "minute": "minute",
+        "second": "second",
     }
 
     _FILTER_PIECE = re.compile(
@@ -881,6 +907,28 @@ class _Parser:
         r"(?i)\bis(uri|iri|literal|numeric)\s*\(\s*(\?\w+)\s*\)"
     )
     _QUOTE_SPLIT = re.compile(r"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')")
+
+    # string/numeric/date built-ins that need argument rewriting (not a
+    # plain name swap) — rewritten BEFORE the main pass, outside quoted
+    # literals, over simple ?var operands (composite operands stay loud
+    # parse errors via the unknown-function check):
+    _SHA2_CALL = re.compile(r"(?i)\bsha(256|384|512)\s*\(\s*(\?\w+)\s*\)")
+    _ROUND_CALL = re.compile(r"(?i)\bround\s*\(\s*(\?\w+)\s*\)")
+    _NUM1_CALL = re.compile(r"(?i)\b(ceil|floor)\s*\(\s*(\?\w+)\s*\)")
+    _DATEPART_CALL = re.compile(
+        r"(?i)\b(year|month|day|hours|minutes|seconds)\s*"
+        r"\(\s*(\?\w+)\s*\)"
+    )
+    _STRBA_CALL = re.compile(
+        r"(?i)\bstr(before|after)\s*\(\s*(\?\w+)\s*,\s*"
+        r"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')\s*\)"
+    )
+    _ENC_CALL = re.compile(r"(?i)\bencode_for_uri\s*\(\s*(\?\w+)\s*\)")
+    _SAMETERM_CALL = re.compile(
+        r"(?i)\bsameterm\s*\(\s*(\?\w+)\s*,\s*"
+        r"(\?\w+|\"(?:[^\"\\]|\\.)*\")\s*\)"
+    )
+    _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
     @staticmethod
     def _lang_sql(var: str) -> str:
@@ -946,6 +994,102 @@ class _Parser:
             p if i % 2 else outside(p) for i, p in enumerate(parts)
         )
 
+    def _string_builtins_pass(self, raw: str) -> str:
+        """Argument-rewriting built-ins (SPARQL 17.4): forms that a
+        name-for-name swap cannot express. All rewrites are exact
+        per-spec over ``?var`` operands; composite operands fall
+        through to the unknown-function rejection so nothing silently
+        mis-evaluates. Numeric/date operands go through ``try_cast`` —
+        a malformed lexical form yields NULL (expression error → row
+        drops), never an ANSI throw."""
+
+        def _needle_sql(tok: str) -> tuple[str, int]:
+            val = _unescape(tok[1:-1])
+            return "'" + val.replace("'", "''") + "'", len(val)
+
+        def strba(m: re.Match) -> str:
+            v, (s, n) = m.group(2), _needle_sql(m.group(3))
+            pos = f"instr({v}, {s})"
+            if m.group(1).lower() == "before":
+                # STRBEFORE(x, ""): instr = 1 → substr(x, 1, 0) = "" ✓
+                return f"(if({pos} > 0, substr({v}, 1, {pos} - 1), ''))"
+            # STRAFTER(x, ""): instr = 1 → substr(x, 1 + 0) = x ✓
+            return f"(if({pos} > 0, substr({v}, {pos} + {n}), ''))"
+
+        def rnd(m: re.Match) -> str:
+            # XPath fn:round: half rounds toward +inf (round(-2.5) = -2);
+            # Spark round() is half-away-from-zero, so spell it out
+            return f"(floor(try_cast({m.group(1)} as double) + 0.5))"
+
+        def num1(m: re.Match) -> str:
+            f, v = m.group(1).lower(), m.group(2)
+            return f"({f}(try_cast({v} as double)))"
+
+        def datepart(m: re.Match) -> str:
+            f, v = m.group(1).lower(), m.group(2)
+            f = {"hours": "hour", "minutes": "minute",
+                 "seconds": "second"}.get(f, f)
+            return f"({f}(try_cast({v} as timestamp)))"
+
+        def sha2(m: re.Match) -> str:
+            return f"(sha2({m.group(2)}, {m.group(1)}))"
+
+        def enc(m: re.Match) -> str:
+            # url_encode is application/x-www-form-urlencoded (Java
+            # URLEncoder); ENCODE_FOR_URI differs on exactly three
+            # points: space (+ vs %20), '*' (kept vs %2A), '~' (%7E vs
+            # kept). Character-class patterns avoid regex-escape
+            # backslashes inside SQL string literals.
+            v = m.group(1)
+            return (
+                "(regexp_replace(regexp_replace(regexp_replace("
+                f"url_encode({v}), '[+]', '%20'), '[*]', '%2A'), "
+                "'%7E', '~'))"
+            )
+
+        def same(m: re.Match) -> str:
+            self.q.needs_kinds = True
+            a, b = m.group(1), m.group(2)
+            xs = self._XSD_STRING
+            if b.startswith("?"):
+                # term identity: lexical form + kind + datatype + lang;
+                # simple literals and xsd:string literals are the same
+                # RDF 1.1 term, so NULL datatype normalizes to xsd:string
+                # null-safe equality spelled IS NOT DISTINCT FROM: the
+                # <=> spelling would be eaten by the main pass's <uri>
+                # token rule
+                return (
+                    f"({a} = {b} AND coalesce({a}__kind, 'literal') = "
+                    f"coalesce({b}__kind, 'literal') AND "
+                    f"coalesce({a}__datatype, '{xs}') IS NOT DISTINCT "
+                    f"FROM coalesce({b}__datatype, '{xs}') AND "
+                    f"{a}__lang IS NOT DISTINCT FROM {b}__lang)"
+                )
+            s, _ = _needle_sql(b)
+            return (
+                f"({a} = {s} AND coalesce({a}__kind, 'literal') = "
+                f"'literal' AND {a}__lang IS NULL AND "
+                f"coalesce({a}__datatype, '{xs}') = '{xs}')"
+            )
+
+        # the two forms whose ARGUMENTS are quoted literals must match
+        # against the full text (the quote-split below would hide their
+        # needles) — same whole-text treatment as langMatches above
+        raw = self._STRBA_CALL.sub(strba, raw)
+        raw = self._SAMETERM_CALL.sub(same, raw)
+
+        def outside(segment: str) -> str:
+            segment = self._ROUND_CALL.sub(rnd, segment)
+            segment = self._NUM1_CALL.sub(num1, segment)
+            segment = self._DATEPART_CALL.sub(datepart, segment)
+            segment = self._SHA2_CALL.sub(sha2, segment)
+            return self._ENC_CALL.sub(enc, segment)
+
+        parts = self._QUOTE_SPLIT.split(raw)
+        return "".join(
+            p if i % 2 else outside(p) for i, p in enumerate(parts)
+        )
+
     def _translate_filter(self, raw: str) -> str:
         """SPARQL expression → Spark SQL predicate: term substitution
         (URIs / typed literals → string literals), &&/||/! → AND/OR/NOT,
@@ -958,6 +1102,7 @@ class _Parser:
         with the offending name, instead of a 500 from Spark's analyzer
         at collect()."""
         raw = self._kind_builtins_pass(raw)
+        raw = self._string_builtins_pass(raw)
 
         def _sql_str(v: str) -> str:
             return "'" + v.replace("'", "''") + "'"

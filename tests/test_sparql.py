@@ -1111,3 +1111,124 @@ def test_trailing_values_clause(spark, catalog):
             catalog,
             "select ?d { ?d ?p ?o } values ?d { UNDEF }",
         )
+
+
+def test_string_numeric_builtins(spark):
+    """The argument-rewriting built-ins (_string_builtins_pass):
+    STRBEFORE/STRAFTER (empty-needle edge cases per 17.4.3.4),
+    ROUND with XPath half-to-positive-infinity (round(-2.5) = -2,
+    where Spark's round() gives -3), CEIL/FLOOR/date-parts over
+    try_cast (malformed lexical forms DROP, never throw), REPLACE
+    as regex replacement, ENCODE_FOR_URI's three divergences from
+    url_encode, and the hash family."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "hello world"),
+        ("b", "-2.5"),
+        ("c", "3.2"),
+        ("d", "not-a-number"),
+        ("e", "2024-06-15T12:30:45Z"),
+        ("f", "a~b*c"),
+    ]
+    t = (
+        spark.createDataFrame(rows, "s string, o string")
+        .select("s", F.lit("http://x/p").alias("p"), "o")
+        .withColumn("dataset", F.lit("d"))
+    )
+
+    def subs(f):
+        q = "select ?s { ?s ?p ?o filter(%s) }" % f
+        return sorted(r["s"] for r in select_text(t, q).collect())
+
+    all_s = [r[0] for r in rows]
+    assert subs('strbefore(?o, " ") = "hello"') == ["a"]
+    assert subs('strafter(?o, " ") = "world"') == ["a"]
+    # empty needle: STRBEFORE -> "", STRAFTER -> the whole string
+    assert subs('strbefore(?o, "") = ""') == sorted(all_s)
+    assert subs('strafter(?o, "") = ?o') == sorted(all_s)
+    # absent needle: both -> ""
+    assert subs('strafter(?o, "zzz") = ""') == sorted(all_s)
+    # XPath fn:round: half toward +inf; try_cast drops non-numerics
+    assert subs("round(?o) = -2") == ["b"]
+    assert subs("ceil(?o) = 4") == ["c"]
+    assert subs("floor(?o) = 3") == ["c"]
+    assert subs("round(?o) >= -100") == ["b", "c"]
+    # date parts over try_cast(timestamp); noon mid-month is stable
+    # for YEAR/MONTH/DAY under any session timezone offset
+    assert subs("year(?o) = 2024 && month(?o) = 6 && day(?o) = 15") == ["e"]
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        assert subs(
+            "hours(?o) = 12 && minutes(?o) = 30 && seconds(?o) = 45"
+        ) == ["e"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    # REPLACE is regex replacement (XPath fn:replace)
+    assert subs('replace(?o, "[aeiou]", "_") = "h_ll_ w_rld"') == ["a"]
+    # ENCODE_FOR_URI: space -> %20, '*' -> %2A, '~' kept
+    assert subs('encode_for_uri(?o) = "hello%20world"') == ["a"]
+    assert subs('encode_for_uri(?o) = "a~b%2Ac"') == ["f"]
+    # hashes (lowercase hex, per spec examples)
+    md5 = hashlib.md5(b"hello world").hexdigest()
+    s256 = hashlib.sha256(b"hello world").hexdigest()
+    s1 = hashlib.sha1(b"-2.5").hexdigest()
+    assert subs(f'md5(?o) = "{md5}"') == ["a"]
+    assert subs(f'sha256(?o) = "{s256}"') == ["a"]
+    assert subs(f'sha1(?o) = "{s1}"') == ["b"]
+    # composite operands stay loud parse errors, never mis-evaluate
+    with pytest.raises(SparqlSyntaxError, match="round"):
+        select_text(t, "select ?s { ?s ?p ?o filter(round(strlen(?o)) = 2) }")
+    with pytest.raises(SparqlSyntaxError, match="strbefore"):
+        select_text(
+            t, 'select ?s { ?s ?p ?o filter(strbefore(?o, ?o) = "x") }'
+        )
+    # quoted text containing a call shape is data, not a built-in
+    assert subs('?o != "round(1)"') == sorted(all_s)
+
+
+def test_sameterm_builtin(spark):
+    """sameTerm compares TERM identity through the metadata companions:
+    equal lexical forms with different datatype / lang / kind are
+    different terms; a simple literal and an explicit xsd:string
+    literal are the SAME term (RDF 1.1)."""
+    xs = "http://www.w3.org/2001/XMLSchema#string"
+    rows = [
+        # s, p, o, o_kind, o_datatype, o_lang
+        ("s1", "http://x/p", "plain", "literal", None, None),
+        ("s2", "http://x/p", "plain", "literal", xs, None),
+        ("s3", "http://x/p", "plain", "literal",
+         "http://www.w3.org/2001/XMLSchema#token", None),
+        ("s4", "http://x/p", "plain", "literal", None, "en"),
+        ("s5", "http://x/p", "http://x/plain", "uri", None, None),
+    ]
+    schema = (
+        "s string, p string, o string, o_kind string, "
+        "o_datatype string, o_lang string"
+    )
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(rows, schema).withColumn(
+        "dataset", F.lit("d")
+    )
+    base = "select ?s { ?s ?p ?o filter(%s) }"
+
+    def subs(f):
+        return sorted(r["s"] for r in select_text(t, base % f).collect())
+
+    # literal form: simple literal == xsd:string literal, token/lang differ
+    assert subs('sameTerm(?o, "plain")') == ["s1", "s2"]
+    # var-var form: join the table against itself on two variables
+    pairs = select_text(
+        t,
+        "select ?a ?b { ?a ?p ?x . ?b ?p ?y . filter(sameTerm(?x, ?y)) }",
+    ).collect()
+    got = sorted((r["a"], r["b"]) for r in pairs)
+    # s1<->s2 match each other (same term), everything matches itself
+    assert ("s1", "s2") in got and ("s2", "s1") in got
+    assert ("s1", "s3") not in got and ("s3", "s4") not in got
+    assert ("s1", "s4") not in got and ("s4", "s5") not in got
+    assert all((s, s) in got for s in ("s1", "s2", "s3", "s4", "s5"))
