@@ -551,6 +551,10 @@ def select_sparql(
 
     * ``groups`` — explicit evaluation order: a sequence of
       ``("optional", pattern_group | (pattern_group, filters))`` /
+      ``("optional_solutions", (df, nullable_vars, filters))`` (a
+      pre-evaluated OPTIONAL body with nested algebra — the sparql
+      text layer's bottom-up bridge; LEFT-joined like "optional",
+      joins on its conditionally-bound vars refused) /
       ``("union", branches)`` / ``("values", (var_names, rows))`` /
       ``("bind", (sql_expr, var))`` entries evaluated in SOURCE
       order (SPARQL group-graph-pattern semantics — an OPTIONAL whose
@@ -688,18 +692,36 @@ def select_sparql(
 
     df = apply_ready(df)
     for kind, payload in groups:
-        if kind == "optional":
-            opt_patterns, opt_filters = _optional_payload(payload)
-            opt = select_bgp(triples, opt_patterns, **kw)
+        if kind in ("optional", "optional_solutions"):
+            if kind == "optional":
+                opt_patterns, opt_filters = _optional_payload(payload)
+                opt = select_bgp(triples, opt_patterns, **kw)
+                opt_nullable: frozenset = frozenset()
+            else:
+                # pre-evaluated OPTIONAL body with nested algebra (the
+                # sparql text layer's bottom-up bridge): solutions df +
+                # the vars it binds only conditionally + the body's
+                # outer-referencing filters (LeftJoin ON condition)
+                opt, opt_nullable, opt_filters = payload
             shared = _join_vars(opt.columns)
-            if with_kinds and shared:
+            if with_kinds and shared and kind == "optional":
                 # prefix already carries the shared vars' companions
+                # (pre-evaluated bodies carry none)
                 opt = opt.drop(
                     *[
                         c
                         for v in shared
                         for c in _companions_of(v, opt.columns)
                     ]
+                )
+            bad = [c for c in shared if c in opt_nullable]
+            if bad:
+                raise ValueError(
+                    f"join on possibly-unbound variable(s) {bad} "
+                    "(optional-group side of OPTIONAL) — SPARQL's "
+                    "compatibility join on unbound variables is not "
+                    "supported; bind them unconditionally in the "
+                    "OPTIONAL body"
                 )
             _refuse_nullable_join(shared, "solution side of OPTIONAL")
             new = [c for c in opt.columns if c not in bound]

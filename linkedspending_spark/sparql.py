@@ -31,7 +31,14 @@ evaluates):
   OPTIONAL — those become part of the left join's ON condition
   (SPARQL ``LeftJoin(Ω1, Ω2, expr)``): solutions whose optional match
   fails the filter are KEPT and NULL-extended, where a solution-level
-  filter would drop them. Nested OPTIONAL/UNION stay refused.
+  filter would drop them. OPTIONAL and UNION bodies take the FULL
+  group grammar (nested OPTIONAL/UNION/FILTER/BIND/VALUES/MINUS,
+  property paths, subqueries): a body with nested algebra evaluates
+  bottom-up like a subquery and LEFT-joins (OPTIONAL) or unions by
+  name then inner-joins (UNION) the outer solution; pattern-only
+  bodies keep the original flat plan shape. Joining on a variable a
+  body binds only conditionally stays a loud refusal (compatibility
+  semantics).
 * ``FILTER( expr )`` — translated to a Spark SQL predicate: ``&&``/
   ``||``/``!`` become AND/OR/NOT, URIs and (typed) literals become
   string literals, ``?var`` references stay for ``select_sparql`` to
@@ -46,7 +53,8 @@ evaluates):
   ``DATATYPE(?x)`` / ``langMatches(LANG(?x), "en")`` /
   ``isURI/isIRI/isLiteral(?x)`` rewrite into expressions over the
   term-metadata companions — they need a triple table carrying
-  ``o_kind``/``o_datatype``/``o_lang`` (raise otherwise); LANG of a
+  ``o_kind``/``o_datatype``/``o_lang`` (raise otherwise), as does
+  ``sameTerm`` (term identity, not lexical equality); LANG of a
   URI / DATATYPE of a URI is NULL = SPARQL's expression error (row
   drops in FILTER). ``isNumeric(?x)`` tests the lexical form via
   try_cast (works on kinds-less tables). Other unknown function
@@ -158,11 +166,13 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from dataclasses import replace as dc_replace
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import model as M
+from .serve import _filter_vars as _sv_filter_vars
 from .serve import select_sparql
 
 #: Standing prefixes: the reference's four (Sparql.java:17-20) + core RDF.
@@ -670,38 +680,24 @@ class _Parser:
             pats, _ = self._triple_lists(ctx)
             out.extend(pats)
 
-    def _optional_block(self) -> tuple[list[tuple], list[str]]:
-        """An ``OPTIONAL { tp... FILTER(e)... }`` group: triple patterns
-        plus group-scoped FILTERs. The filters become the left join's ON
-        condition (SPARQL LeftJoin semantics — serve.select_sparql), NOT
-        solution-level filters. Nested OPTIONAL/UNION stay refused."""
-        self.lx.expect_punct("{")
-        pats: list[tuple] = []
-        filts: list[str] = []
-        while True:
-            kind, text = self.lx.peek()
-            if text == "}":
-                self.lx.next()
-                break
-            if kind == "eof":
-                raise SparqlSyntaxError("unterminated OPTIONAL group")
-            word = self.lx.next_word()
-            if word == "filter":
-                self.lx.next()
-                filts.append(self._translate_filter(self.lx.raw_parens()))
-            elif word in ("optional", "union") or text == "{":
-                raise SparqlSyntaxError(
-                    f"{word or 'nested group'} inside OPTIONAL is not "
-                    "supported"
-                )
-            else:
-                p2, _ = self._triple_lists("OPTIONAL")
-                pats.extend(p2)
-        if not pats:
-            raise SparqlSyntaxError(
-                "OPTIONAL needs at least one triple pattern"
-            )
-        return pats, filts
+    def _child_body(self) -> ParsedQuery:
+        """Parse a full nested group-graph-pattern body ``{ ... }`` with
+        a child parser on the SHARED lexer (the subquery trick) — so
+        OPTIONAL / UNION bodies support everything the main group body
+        does (nested OPTIONAL/UNION, FILTER, BIND, VALUES, MINUS,
+        GRAPH, property paths, subqueries). The fresh-variable counter
+        is shared so parent/child path-rewrite variables (``?__ppN``)
+        never collide in a joint scope, and the child's ``needs_kinds``
+        propagates up (the outer evaluation threads the companions)."""
+        sub = _Parser.__new__(_Parser)
+        sub.lx = self.lx
+        sub.prefixes = dict(self.prefixes)
+        sub.q = ParsedQuery()
+        sub._fresh = self._fresh
+        sub._group_body()
+        self._fresh = sub._fresh
+        self.q.needs_kinds = self.q.needs_kinds or sub.q.needs_kinds
+        return sub.q
 
     def _triple_lists(self, ctx: str | None = None) -> tuple[list, list]:
         """One subject's predicate-object lists: ``s p o, o2; p2 o3 .``
@@ -1330,9 +1326,20 @@ class _Parser:
                 raise SparqlSyntaxError(f"{word.upper()} is not supported")
             if word == "optional":
                 self.lx.next()
-                pats, filts = self._optional_block()
-                self.q.optionals.append(pats)
-                self.q.groups.append(("optional", (pats, filts)))
+                cq = self._child_body()
+                if not cq.patterns and not cq.groups:
+                    raise SparqlSyntaxError(
+                        "OPTIONAL needs at least one triple pattern"
+                    )
+                if cq.groups:
+                    # nested algebra inside the OPTIONAL body: evaluated
+                    # bottom-up like a subquery, LEFT-joined downstream
+                    self.q.groups.append(("optional_sub", cq))
+                else:
+                    self.q.optionals.append(cq.patterns)
+                    self.q.groups.append(
+                        ("optional", (cq.patterns, cq.filters))
+                    )
             elif word == "minus":
                 # MINUS { ... }: positional algebra op (group order
                 # matters, like OPTIONAL) — a LEFT ANTI join downstream
@@ -1411,16 +1418,35 @@ class _Parser:
                     ("subquery", sub._parse_select_rest(closing="}"))
                 )
             elif text == "{":
-                branches = [self._triples_block("a UNION branch")]
+                branches = [self._child_body()]
                 while self.lx.next_word() == "union":
                     self.lx.next()
-                    branches.append(self._triples_block("a UNION branch"))
+                    if self.lx.peek()[1] != "{":
+                        raise SparqlSyntaxError("UNION needs a braced group")
+                    branches.append(self._child_body())
                 if len(branches) < 2:
                     raise SparqlSyntaxError(
                         "a braced group must be a {A} UNION {B} expression"
                     )
-                self.q.unions.append(branches)
-                self.q.groups.append(("union", branches))
+                empty = [
+                    i
+                    for i, b in enumerate(branches)
+                    if not b.patterns and not b.groups
+                ]
+                if empty:
+                    raise SparqlSyntaxError(
+                        f"UNION branch {empty[0] + 1} has no triple "
+                        "patterns"
+                    )
+                if all(not b.groups and not b.filters for b in branches):
+                    pats = [b.patterns for b in branches]
+                    self.q.unions.append(pats)
+                    self.q.groups.append(("union", pats))
+                else:
+                    # a branch carries nested algebra (OPTIONAL/FILTER/
+                    # BIND/...): branches evaluate bottom-up, solutions
+                    # union by name downstream
+                    self.q.groups.append(("union_sub", branches))
             else:
                 pats, grps = self._triple_lists()
                 self.q.patterns.extend(pats)
@@ -1666,6 +1692,18 @@ def _subquery_nonnull_vars(q: ParsedQuery) -> set[str]:
             for i, name in enumerate(names):
                 if all(r[i] is not None for r in rows):
                     nn.add(name)
+        elif kind == "union_sub":
+            per = [_subquery_nonnull_vars(b) for b in payload]
+            if per:
+                nn |= set.intersection(*per)
+        elif kind == "graph":
+            g, pats = payload
+            if _is_pat_var(g):
+                nn.add(g[1:])
+            for s, p, o in pats:
+                for t in (s, p, o):
+                    if _is_pat_var(t):
+                        nn.add(t[1:])
         elif kind == "subquery":
             inner_nn = _subquery_nonnull_vars(payload)
             if payload.project is not None:
@@ -1688,6 +1726,55 @@ def _subquery_nonnull_vars(q: ParsedQuery) -> set[str]:
     return nn
 
 
+def _spec_vars(q: ParsedQuery) -> set[str]:
+    """Every variable a group spec could BIND (conditionally or not) —
+    used to split an OPTIONAL body's top-level FILTERs into inner
+    filters (all vars bindable inside the body — equivalent placement,
+    see ``_eval_subqueries``) vs LeftJoin-condition filters (reference
+    the outer solution)."""
+    vs: set[str] = set()
+
+    def pats_vars(pats) -> None:
+        for s, p, o in pats:
+            for t in (s, p, o):
+                if _is_pat_var(t):
+                    vs.add(t[1:])
+
+    pats_vars(q.patterns)
+    for kind, payload in q.groups:
+        if kind == "optional":
+            pats, _ = payload
+            pats_vars(pats)
+        elif kind == "optional_sub":
+            vs |= _spec_vars(payload)
+        elif kind == "union":
+            for b in payload:
+                pats_vars(b)
+        elif kind == "union_sub":
+            for b in payload:
+                vs |= _spec_vars(b)
+        elif kind == "values":
+            vs |= set(payload[0])
+        elif kind == "bind":
+            vs.add(payload[1])
+        elif kind == "path":
+            s_t, _, o_t, _ = payload
+            for t in (s_t, o_t):
+                if _is_pat_var(t):
+                    vs.add(t[1:])
+        elif kind == "graph":
+            g, pats = payload
+            if _is_pat_var(g):
+                vs.add(g[1:])
+            pats_vars(pats)
+        elif kind == "subquery":
+            if payload.project is not None:
+                vs |= set(payload.project)
+            else:
+                vs |= _spec_vars(payload)
+    return vs
+
+
 def _eval_subqueries(
     triples: DataFrame,
     q: ParsedQuery,
@@ -1696,26 +1783,46 @@ def _eval_subqueries(
     manifest_path: str | None,
     stats: dict | None,
 ) -> list[tuple]:
-    """Replace ``("subquery", ParsedQuery)`` group entries with
-    evaluated ``("solutions", (df, nullable_vars))`` entries (bottom-up
-    evaluation, per spec). The inner query gets NO ``limit_cap`` — its
-    own LIMIT is query semantics, not a serving bound — and no
-    companions (subquery-projected vars type per-binding downstream,
-    like VALUES/BIND-born vars)."""
-    if not any(g[0] == "subquery" for g in q.groups):
+    """Replace parse-level nested-algebra group entries with evaluated
+    ones, bottom-up per spec (each inner body runs the FULL pipeline —
+    its own nested groups bridge recursively via its own
+    ``select_text`` call):
+
+    * ``("subquery", ParsedQuery)`` → ``("solutions", (df, nullable))``
+    * ``("union_sub", [ParsedQuery, ...])`` — a UNION with nested
+      algebra in some branch: each branch evaluates independently,
+      solutions union BY NAME (a variable missing from a branch comes
+      back NULL = unbound) → ``("solutions", (df, nullable))`` where
+      nullable = vars not bound unconditionally by every branch.
+    * ``("optional_sub", ParsedQuery)`` — an OPTIONAL body with nested
+      algebra → ``("optional_solutions", (df, nullable, filters))``.
+      The body's top-level FILTERs whose variables are all bindable
+      INSIDE the body evaluate within it — equivalent to the LeftJoin
+      condition, since ``LeftJoin(A, B, e) = LeftJoin(A, Filter(e, B),
+      true)`` when e reads only B's domain (unbound/NULL → error →
+      false either way). Filters that reference the OUTER solution (or
+      bind no variable at all) stay in the returned ``filters`` and
+      join the LEFT JOIN's ON condition downstream.
+
+    The inner evaluations get NO ``limit_cap`` — an inner LIMIT is
+    query semantics, not a serving bound — and no companions (nested-
+    group-born vars type per-binding downstream, like VALUES/BIND-born
+    vars)."""
+    if not any(
+        g[0] in ("subquery", "optional_sub", "union_sub")
+        for g in q.groups
+    ):
         return q.groups
+    ev_kw = dict(
+        dataset=dataset,
+        n_buckets=n_buckets,
+        manifest_path=manifest_path,
+        stats=stats,
+    )
     out: list[tuple] = []
     for kind, payload in q.groups:
         if kind == "subquery":
-            sub_df = select_text(
-                triples,
-                "",
-                dataset=dataset,
-                n_buckets=n_buckets,
-                manifest_path=manifest_path,
-                stats=stats,
-                parsed=payload,
-            )
+            sub_df = select_text(triples, "", parsed=payload, **ev_kw)
             nn = _subquery_nonnull_vars(payload)
             out.append(
                 (
@@ -1725,6 +1832,52 @@ def _eval_subqueries(
                         frozenset(
                             c for c in sub_df.columns if c not in nn
                         ),
+                    ),
+                )
+            )
+        elif kind == "union_sub":
+            dfs, nns = [], []
+            for b in payload:
+                bdf = select_text(triples, "", parsed=b, **ev_kw)
+                dfs.append(bdf)
+                nns.append(_subquery_nonnull_vars(b) & set(bdf.columns))
+            merged = dfs[0]
+            for d in dfs[1:]:
+                merged = merged.unionByName(d, allowMissingColumns=True)
+            out.append(
+                (
+                    "solutions",
+                    (
+                        merged,
+                        frozenset(
+                            c
+                            for c in merged.columns
+                            if any(c not in nn for nn in nns)
+                        ),
+                    ),
+                )
+            )
+        elif kind == "optional_sub":
+            inner_vars = _spec_vars(payload)
+            inner: list[str] = []
+            join_f: list[str] = []
+            for f in payload.filters:
+                fv = _sv_filter_vars(f)
+                ok = bool(fv) and all(
+                    v in inner_vars or v.rsplit("__", 1)[0] in inner_vars
+                    for v in fv
+                )
+                (inner if ok else join_f).append(f)
+            ev = dc_replace(payload, filters=inner)
+            df = select_text(triples, "", parsed=ev, **ev_kw)
+            nn = _subquery_nonnull_vars(payload)
+            out.append(
+                (
+                    "optional_solutions",
+                    (
+                        df,
+                        frozenset(c for c in df.columns if c not in nn),
+                        join_f,
                     ),
                 )
             )

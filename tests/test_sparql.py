@@ -169,10 +169,12 @@ def test_parse_errors():
     # (just a filter) is degenerate and refused
     with pytest.raises(SparqlSyntaxError, match="at least one triple"):
         parse_select("select ?x { optional { filter(?x > 1) } }")
-    with pytest.raises(SparqlSyntaxError, match="inside OPTIONAL"):
-        parse_select(
-            "select ?x { optional { ?x ?p ?o optional { ?x ?q ?z } } }"
-        )
+    # nested OPTIONAL parses into a nested-algebra group (evaluated
+    # bottom-up; semantics pinned in tests/test_sparql_nested.py)
+    pq = parse_select(
+        "select ?x { ?x ?p ?y optional { ?x ?p ?o optional { ?x ?q ?z } } }"
+    )
+    assert [k for k, _ in pq.groups] == ["optional_sub"]
     with pytest.raises(SparqlSyntaxError, match="UNION"):
         parse_select("select ?x { { ?x ?p ?o } }")  # lone braced group
     with pytest.raises(SparqlSyntaxError, match="trailing"):
@@ -689,8 +691,15 @@ def test_offset_paging(spark, catalog):
 def test_unknown_builtin_and_cast_rejected_at_parse_time():
     with pytest.raises(SparqlSyntaxError, match="unknown aggregate or"):
         parse_select("select ?x { ?x ?p ?o filter(isBlank(?o)) }")
+    # sameTerm is supported (term identity via companions) and flags
+    # needs_kinds; the unsupported-shape fallthrough still rejects
+    assert parse_select(
+        "select ?x { ?x ?p ?o filter(sameTerm(?o, ?x)) }"
+    ).needs_kinds
     with pytest.raises(SparqlSyntaxError, match="unknown aggregate or"):
-        parse_select("select ?x { ?x ?p ?o filter(sameTerm(?o, ?x)) }")
+        parse_select(
+            "select ?x { ?x ?p ?o filter(sameTerm(?o, <http://u>)) }"
+        )
     with pytest.raises(SparqlSyntaxError, match="cast syntax"):
         parse_select("select ?x { ?x ?p ?o filter(xsd:integer(?o) > 3) }")
     # LANG/DATATYPE/langMatches parse (round 5) and flag needs_kinds

@@ -198,8 +198,6 @@ def test_not_converged_raises(graph):
         "SELECT ?s { ?s (p:a/p:b)+ ?o }",  # quantified composite
         "SELECT ?s { ?s p:a+|p:b ?o }",  # quantifier inside alternation
         "SELECT ?s { u:a p:a|p:b u:b . ?s p:n ?o }",  # both-const alt
-        "SELECT ?s { OPTIONAL { ?s p:a+ ?o } ?s p:n ?n }",  # quant in OPT
-        "SELECT ?s { { ?s p:a|p:b ?o } UNION { ?s p:c ?o } }",  # in UNION
         "SELECT ?x { ?__pp1 p:a ?x }",  # reserved internal prefix
     ],
 )
@@ -217,6 +215,27 @@ def test_sequence_inside_optional_is_allowed(graph):
         "OPTIONAL { ?s p:knows/p:name ?o } }",
     )
     assert len(got) == 2
+
+
+def test_quantified_path_inside_optional(graph):
+    """A quantified path inside OPTIONAL makes the body a nested-
+    algebra group: the closure evaluates inside it and LEFT-joins the
+    outer solution (Bob has no p:likes chain → NULL-extended)."""
+    got = _run(
+        graph,
+        "SELECT ?n ?o { ?s p:name ?n OPTIONAL { ?s p:likes+ ?o } }",
+    )
+    assert got == [("Alice", "u:c"), ("Bob", None)]
+
+
+def test_alternation_inside_union_branch(graph):
+    """Alternation inside a UNION branch: the branch becomes its own
+    nested group (its inner UNION evaluates bottom-up)."""
+    got = _run(
+        graph,
+        "SELECT ?o { { u:a p:likes|p:name ?o } UNION { u:b p:name ?o } }",
+    )
+    assert got == [("Alice",), ("Bob",), ("u:c",)]
 
 
 # -- blank-node syntax (desugars to the same reserved existentials) ---------
