@@ -1100,10 +1100,80 @@ def _attach_node_kinds(
     return out
 
 
+def _render_path(spec) -> str:
+    """SPARQL-ish rendering of a path element for error messages."""
+    if isinstance(spec, str):
+        return f"<{spec}>"
+    kind = spec[0]
+    if kind == "uri":
+        return f"<{spec[1]}>"
+    if kind == "inv":
+        return "^" + _render_path(spec[1])
+    if kind == "seq":
+        return "(" + "/".join(_render_path(x) for x in spec[1]) + ")"
+    if kind == "alt":
+        return "(" + "|".join(_render_path(x) for x in spec[1]) + ")"
+    return repr(spec)
+
+
+def _edge_relation(
+    triples: DataFrame,
+    spec,
+    dataset: str | None,
+    n_buckets: int | None,
+    manifest_path: str | None,
+) -> DataFrame:
+    """The ``(__a, __b)`` edge relation of a path ELEMENT: a predicate
+    URI (one pushed-down scan — the common case) or a composite
+    edge-spec tree ``("uri", u)`` / ``("inv", spec)`` / ``("seq",
+    [spec...])`` / ``("alt", [spec...])`` from the text parser's
+    quantified-composite rewrite. Composites compile into equi-joins /
+    plan-level unions of pushed-down scans — every atom's predicate
+    still reaches the parquet reader as a filter, so a composite step
+    costs |atoms| narrow scans, never a corpus pass."""
+    kw = dict(
+        dataset=dataset, n_buckets=n_buckets, manifest_path=manifest_path
+    )
+    if isinstance(spec, str):
+        spec = ("uri", spec)
+    kind = spec[0]
+    if kind == "uri":
+        return match(triples, p=spec[1], **kw).select(
+            F.col("s").alias("__a"), F.col("o").alias("__b")
+        )
+    if kind == "inv":
+        return _edge_relation(triples, spec[1], **kw).select(
+            F.col("__b").alias("__a"), F.col("__a").alias("__b")
+        )
+    if kind == "seq":
+        out = None
+        for part in spec[1]:
+            e = _edge_relation(triples, part, **kw)
+            if out is None:
+                out = e
+            else:
+                out = (
+                    out.select("__a", F.col("__b").alias("__m"))
+                    .join(
+                        e.select(F.col("__a").alias("__m"), "__b"),
+                        on="__m",
+                    )
+                    .select("__a", "__b")
+                )
+        return out
+    if kind == "alt":
+        parts = [_edge_relation(triples, x, **kw) for x in spec[1]]
+        out = parts[0]
+        for e in parts[1:]:
+            out = out.unionAll(e)
+        return out
+    raise ValueError(f"unknown path element {kind!r}")
+
+
 def path_closure(
     triples: DataFrame,
     s,
-    p: str,
+    p,
     o,
     quant: str,
     dataset: str | None = None,
@@ -1156,13 +1226,13 @@ def path_closure(
         n_buckets=n_buckets,
         manifest_path=manifest_path,
     )
-    edges = match(
-        triples,
-        p=p,
-        dataset=dataset,
-        n_buckets=n_buckets,
-        manifest_path=manifest_path,
-    ).select(F.col("s").alias("__a"), F.col("o").alias("__b"))
+    edges = _edge_relation(triples, p, dataset, n_buckets, manifest_path)
+    if not isinstance(p, str):
+        # composite step relation: dedup pairs before iterating (path
+        # evaluation is over the node-pair SET; a seq join can emit the
+        # same pair through different intermediates)
+        edges = edges.distinct()
+    p_str = p if isinstance(p, str) else _render_path(p)
     s_var = s[1:] if _is_var(s) else None
     o_var = o[1:] if _is_var(o) else None
     if s_var is None and o_var is not None:
@@ -1205,7 +1275,7 @@ def path_closure(
             reach = reach.unionAll(frontier)
         if not frontier.isEmpty():
             raise ValueError(
-                f"property path {p}{quant} did not converge within "
+                f"property path {p_str}{quant} did not converge within "
                 f"{max_hops} hops — raise max_hops for this graph"
             )
         return reach
@@ -1261,7 +1331,7 @@ def path_closure(
         else:
             if not frontier.isEmpty():
                 raise ValueError(
-                    f"property path {p}{quant} did not converge within "
+                    f"property path {p_str}{quant} did not converge within "
                     f"{max_hops} hops — raise max_hops for this graph"
                 )
     if quant in ("*", "?"):

@@ -109,10 +109,14 @@ evaluates):
 
 * Property paths (SPARQL 1.1 §9): sequence ``p1/p2``, inverse ``^p``,
   alternation ``p1|p2``, grouping ``(...)``, and quantifiers ``p+``
-  ``p*`` ``p?`` over a single (optionally inverted) predicate. Paths
+  ``p*`` ``p?`` — over a single (optionally inverted) predicate OR a
+  composite element (``(p/q)+``, ``(p|q)*``): composites compile to an
+  edge-spec tree whose step relation is joins/unions of pushed-down
+  scans (:func:`~linkedspending_spark.serve._edge_relation`). Paths
   rewrite into the algebra at parse time — sequences chain reserved
   ``?__ppN`` variables (invisible in output, multiplicity kept, per
-  spec), inverse swaps the ends, alternation becomes a UNION group —
+  spec), inverse swaps the ends, alternation becomes a UNION group (a
+  nested group spec when a branch itself quantifies, e.g. ``p+|q``) —
   and quantified steps evaluate as lineage-checkpointed frontier
   closure (:func:`~linkedspending_spark.serve.path_closure`): BFS from
   a constant end, full pair closure var-var (the spec's quadratic worst
@@ -123,10 +127,10 @@ evaluates):
   constraint in predicate position
   (:class:`~linkedspending_spark.serve.NotTerms` — pushes into
   parquet, binds nothing). Refused loud: inverse/quantified negated
-  sets, variable path elements, quantified composites,
-  alternation/quantifiers inside OPTIONAL/UNION/MINUS/EXISTS groups
-  (sequence, inverse and negated sets are fine there — they are
-  plain patterns).
+  sets, variable path elements, nested quantifiers (``(p+)+``),
+  alternation/quantifiers inside MINUS/EXISTS/GRAPH bodies (fine
+  inside OPTIONAL/UNION — full group grammar there; sequence, inverse
+  and negated sets are plain patterns and work everywhere).
 
 * Subqueries (SPARQL 1.1 §12): ``{ SELECT ... }`` groups, evaluated
   bottom-up — the inner SELECT runs its own projection / DISTINCT /
@@ -338,6 +342,10 @@ class ParsedQuery:
     #: query uses LANG()/DATATYPE()/langMatches(): evaluation must
     #: thread the <v>__kind/__datatype/__lang companions internally
     needs_kinds: bool = False
+    #: synthesized nested specs (quantified-path UNION branches) keep
+    #: their reserved ?__ppN columns — an enclosing sequence rewrite's
+    #: chain may join on them; top-level queries always drop them
+    keep_internals: bool = False
     #: CONSTRUCT template: (s, p, o) of terms, each term a 4-tuple
     #: (value, kind 'var'|'uri'|'lit', datatype, lang) keeping the
     #: WRITTEN form so the output graph carries correct o_kind metadata
@@ -426,8 +434,10 @@ class _Parser:
     # multiplicity is kept, per spec), inverse swaps the ends,
     # alternation becomes a UNION group, and a quantified step becomes
     # a ("path", (s, p, o, quant)) group evaluated by serve.path_closure
-    # (^p+ normalizes by swapping ends: (^p)+ ≡ ^(p+)). Negated sets
-    # (!p) and quantifying a composite path stay loud refusals.
+    # (^p+ normalizes by swapping ends: (^p)+ ≡ ^(p+); a quantified
+    # COMPOSITE carries an edge-spec tree as p — serve builds its step
+    # relation from joins/unions of pushed-down scans). Negated sets
+    # (!p) quantified and nested quantifiers stay loud refusals.
 
     def _fresh_var(self) -> str:
         self._fresh += 1
@@ -574,16 +584,18 @@ class _Parser:
             return self._rewrite_path(o, node[1], s)
         if kind == "quant":
             _, inner, q = node
-            # only a single (optionally inverted) predicate quantifies:
-            # (^p)+ ≡ ^(p+) so inversion just swaps the ends
+            # single (optionally inverted) predicate: the closure's edge
+            # scan is ONE pushed-down predicate filter; (^p)+ ≡ ^(p+) so
+            # inversion just swaps the ends
             if inner[0] == "inv" and inner[1][0] == "leaf":
                 return [], [("path", (o, inner[1][1], s, q))]
             if inner[0] == "leaf":
                 return [], [("path", (s, inner[1], o, q))]
-            raise SparqlSyntaxError(
-                f"quantifier {q!r} over a composite path is not "
-                "supported (quantify a single predicate)"
-            )
+            # composite element ((p/q)+, (p|q)*, (^p/q)+ ...): compile
+            # it to an edge-spec tree — serve._edge_relation builds the
+            # step relation from joins/unions of pushed-down scans and
+            # the same frontier closure iterates over it
+            return [], [("path", (s, self._edge_spec(inner), o, q))]
         if kind == "seq":
             pats: list[tuple] = []
             grps: list[tuple] = []
@@ -602,17 +614,48 @@ class _Parser:
                     "path alternation with both ends constant is not "
                     "supported"
                 )
-            branches = []
-            for b in node[1]:
-                p2, g2 = self._rewrite_path(s, b, o)
-                if g2:
-                    raise SparqlSyntaxError(
-                        "a quantified path inside an alternation is "
-                        "not supported"
-                    )
-                branches.append(p2)
-            return [], [("union", branches)]
+            rewritten = [self._rewrite_path(s, b, o) for b in node[1]]
+            if all(not g2 for _, g2 in rewritten):
+                return [], [("union", [p2 for p2, _ in rewritten])]
+            # a branch carries a quantified path: branches become
+            # nested group specs evaluated bottom-up (union-by-name
+            # downstream). Reserved chain variables (?__ppN) must
+            # survive the branch projection — they may join an
+            # enclosing sequence rewrite's chain.
+            return [], [
+                (
+                    "union_sub",
+                    [
+                        ParsedQuery(
+                            patterns=p2, groups=g2, keep_internals=True
+                        )
+                        for p2, g2 in rewritten
+                    ],
+                )
+            ]
         raise SparqlSyntaxError(f"unknown path node {kind!r}")
+
+    def _edge_spec(self, node: tuple) -> tuple:
+        """A quantified path's composite ELEMENT as an edge-spec tree
+        for serve._edge_relation: ("uri", u) / ("inv", spec) /
+        ("seq", [spec...]) / ("alt", [spec...]). Nested quantifiers and
+        negated sets inside a quantified element stay loud refusals."""
+        kind = node[0]
+        if kind == "leaf":
+            return ("uri", node[1])
+        if kind == "inv":
+            return ("inv", self._edge_spec(node[1]))
+        if kind in ("seq", "alt"):
+            return (kind, [self._edge_spec(x) for x in node[1]])
+        if kind == "quant":
+            raise SparqlSyntaxError(
+                "a nested quantifier inside a quantified path is not "
+                "supported"
+            )
+        raise SparqlSyntaxError(
+            "a negated property set inside a quantified path is not "
+            "supported"
+        )
 
     def _bnode_plist(self, pats: list, grps: list) -> str:
         """``[ p o; p2 o2 ]`` — an anonymous blank node (SPARQL: an
@@ -2219,7 +2262,11 @@ def select_text(
         from .serve import _is_companion
 
         df = df.drop(*[c for c in df.columns if _is_companion(c)])
-    internals = [c for c in df.columns if c.startswith("__pp")]
+    internals = (
+        []
+        if q.keep_internals
+        else [c for c in df.columns if c.startswith("__pp")]
+    )
     if internals:
         # property-path rewrite variables (?__ppN chains, __pp_exists
         # gates): per spec they are NOT in scope for SELECT * / DISTINCT

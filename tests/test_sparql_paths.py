@@ -195,8 +195,8 @@ def test_not_converged_raises(graph):
     "q",
     [
         "SELECT ?s { ?s ?p+ ?o }",  # variable path element
-        "SELECT ?s { ?s (p:a/p:b)+ ?o }",  # quantified composite
-        "SELECT ?s { ?s p:a+|p:b ?o }",  # quantifier inside alternation
+        "SELECT ?s { ?s (p:a+/p:b)+ ?o }",  # nested quantifier
+        "SELECT ?s { ?s (!p:a)+ ?o }",  # negated set quantified
         "SELECT ?s { u:a p:a|p:b u:b . ?s p:n ?o }",  # both-const alt
         "SELECT ?x { ?__pp1 p:a ?x }",  # reserved internal prefix
     ],
@@ -226,6 +226,36 @@ def test_quantified_path_inside_optional(graph):
         "SELECT ?n ?o { ?s p:name ?n OPTIONAL { ?s p:likes+ ?o } }",
     )
     assert got == [("Alice", "u:c"), ("Bob", None)]
+
+
+def test_quantified_composite_sequence(graph):
+    """(p/q)+ iterates the closure over a JOIN-built step relation:
+    (knows/knows)+ from u:a reaches exactly the even-hop nodes of the
+    a→b→c→d→b cycle."""
+    got = _run(graph, "SELECT ?o { u:a (p:knows/p:knows)+ ?o }")
+    assert got == [("u:b",), ("u:c",), ("u:d",)]
+    # reversed: everything reaches u:b in some even hop count here
+    got = _run(graph, "SELECT ?x { ?x (p:knows/p:knows)+ u:b }")
+    assert got == [("u:a",), ("u:b",), ("u:c",), ("u:d",)]
+    # zero-or-one: the seed itself plus one double-hop
+    got = _run(graph, "SELECT ?o { u:a (p:knows/p:knows)? ?o }")
+    assert got == [("u:a",), ("u:c",)]
+
+
+def test_quantified_composite_alternation(graph):
+    """(p|q)+ unions the step scans before closing."""
+    got = _run(graph, "SELECT ?o { u:a (p:likes|p:knows)+ ?o }")
+    assert got == [("u:b",), ("u:c",), ("u:d",)]
+
+
+def test_quantifier_inside_alternation(graph):
+    """p+|q: branches with a quantified member become nested group
+    specs (union-by-name); a branch may also feed an enclosing
+    sequence chain through its reserved variable."""
+    got = _run(graph, "SELECT ?o { u:a p:likes+|p:name ?o }")
+    assert got == [("Alice",), ("u:c",)]
+    got = _run(graph, "SELECT ?n { u:a (p:likes+|p:knows)/p:name ?n }")
+    assert got == [("Bob",)]
 
 
 def test_alternation_inside_union_branch(graph):
