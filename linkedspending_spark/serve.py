@@ -614,8 +614,12 @@ def select_sparql(
     # FILTER (NOT) EXISTS is group-level (SPARQL scopes every FILTER to
     # the whole group it appears in), so those entries evaluate AFTER
     # the positional groups regardless of source position
-    exists_entries = [g for g in groups if g[0] == "exists"]
-    groups = [g for g in groups if g[0] != "exists"]
+    exists_entries = [
+        g for g in groups if g[0] in ("exists", "exists_solutions")
+    ]
+    groups = [
+        g for g in groups if g[0] not in ("exists", "exists_solutions")
+    ]
     nullable: set[str] = set()  # vars that may be NULL (unbound)
     if patterns:
         df = select_bgp(triples, patterns, **kw)
@@ -930,10 +934,30 @@ def select_sparql(
             _refuse_nullable_join(shared, "solution side of MINUS")
             if shared:
                 df = df.join(m.select(*shared), on=shared, how="left_anti")
+        elif kind == "minus_solutions":
+            # pre-evaluated MINUS body with nested algebra (the sparql
+            # text layer's bottom-up bridge): same LEFT ANTI on the
+            # shared variables; a shared variable the body binds only
+            # conditionally is refused — SPARQL's compatibility test
+            # would treat its unbound rows as matching-anything where
+            # the SQL anti join would not remove them
+            m, m_nullable = payload
+            shared = _join_vars(m.columns)
+            bad = [c for c in shared if c in m_nullable]
+            if bad:
+                raise ValueError(
+                    f"join on possibly-unbound variable(s) {bad} "
+                    "(MINUS body side) — SPARQL's compatibility join "
+                    "on unbound variables is not supported; bind them "
+                    "unconditionally in the MINUS body"
+                )
+            _refuse_nullable_join(shared, "solution side of MINUS")
+            if shared:
+                df = df.join(m.select(*shared), on=shared, how="left_anti")
         else:
             raise ValueError(f"unknown group kind {kind!r}")
         df = apply_ready(df)
-    for _, (ex_patterns, positive) in exists_entries:
+    for ex_kind, ex_payload in exists_entries:
         # FILTER EXISTS → LEFT SEMI join on the shared variables;
         # FILTER NOT EXISTS → LEFT ANTI. Semi/anti joins return only
         # left columns, never duplicate solutions, and broadcast a
@@ -941,8 +965,22 @@ def select_sparql(
         # binding-substituted existence test over BGP groups. With no
         # shared variable the test degenerates to "is the group
         # non-empty at all": join on TRUE against limit(1).
-        e = select_bgp(triples, ex_patterns, **kw)
+        if ex_kind == "exists":
+            ex_patterns, positive = ex_payload
+            e = select_bgp(triples, ex_patterns, **kw)
+            e_nullable: frozenset = frozenset()
+        else:
+            # pre-evaluated body with nested algebra (bottom-up bridge)
+            e, e_nullable, positive = ex_payload
         shared = _join_vars(e.columns)
+        bad = [c for c in shared if c in e_nullable]
+        if bad:
+            raise ValueError(
+                f"join on possibly-unbound variable(s) {bad} (FILTER "
+                "EXISTS body side) — SPARQL's compatibility join on "
+                "unbound variables is not supported; bind them "
+                "unconditionally in the EXISTS body"
+            )
         _refuse_nullable_join(shared, "solution side of FILTER EXISTS")
         how = "left_semi" if positive else "left_anti"
         if shared:

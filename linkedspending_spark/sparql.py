@@ -149,8 +149,13 @@ evaluates):
   variable binds from the dataset column (typed ``uri``) and keeps the
   whole group inside one graph. An absent graph is an empty graph
   (zero solutions), and a GRAPH clause never widens an outer
-  ``dataset=`` scope. Group bodies take plain patterns (sequence/
-  inverse paths included); OPTIONAL/UNION inside GRAPH stay refused.
+  ``dataset=`` scope. A CONSTANT graph's body takes the full group
+  grammar (the whole nested evaluation scopes to that partition); a
+  graph VARIABLE keeps plain patterns (sequence/inverse paths
+  included) — nested algebra under ``GRAPH ?var`` stays refused.
+  MINUS and FILTER [NOT] EXISTS bodies likewise take the full grammar
+  (evaluated bottom-up; anti/semi joined on always-bound shared
+  variables).
 
 * Blank nodes: ``[ p o; ... ]`` property lists (subject or object,
   nestable) and ``_:label`` terms — both desugar to reserved
@@ -696,32 +701,6 @@ class _Parser:
         return var
 
     # -- groups ----------------------------------------------------------
-
-    def _triples_block(self, ctx: str) -> list[tuple]:
-        """A ``{ tp. tp... }`` group of plain triple patterns (with ``;``
-        and ``,`` lists); OPTIONAL/FILTER/UNION inside raise for *ctx*."""
-        self.lx.expect_punct("{")
-        out: list[tuple] = []
-        while True:
-            kind, text = self.lx.peek()
-            if text == "}":
-                self.lx.next()
-                return out
-            if kind == "eof":
-                raise SparqlSyntaxError(f"unterminated {ctx} group")
-            word = self.lx.next_word()
-            if (
-                word
-                in ("optional", "filter", "union", "graph", "minus",
-                    "values", "bind", "service")
-                or text == "{"
-            ):
-                raise SparqlSyntaxError(
-                    f"{word or 'nested group'} inside {ctx} is not "
-                    "supported (solution-level forms only)"
-                )
-            pats, _ = self._triple_lists(ctx)
-            out.extend(pats)
 
     def _child_body(self) -> ParsedQuery:
         """Parse a full nested group-graph-pattern body ``{ ... }`` with
@@ -1387,9 +1366,15 @@ class _Parser:
                 # MINUS { ... }: positional algebra op (group order
                 # matters, like OPTIONAL) — a LEFT ANTI join downstream
                 self.lx.next()
-                self.q.groups.append(
-                    ("minus", self._triples_block("a MINUS group"))
-                )
+                cq = self._child_body()
+                if not cq.patterns and not cq.groups:
+                    raise SparqlSyntaxError(
+                        "MINUS needs at least one triple pattern"
+                    )
+                if cq.groups or cq.filters:
+                    self.q.groups.append(("minus_sub", cq))
+                else:
+                    self.q.groups.append(("minus", cq.patterns))
             elif word == "filter":
                 self.lx.next()
                 nxt = self.lx.next_word()
@@ -1403,8 +1388,20 @@ class _Parser:
                                 "EXISTS { ... }"
                             )
                         self.lx.next()
-                    pats = self._triples_block("a FILTER EXISTS group")
-                    self.q.groups.append(("exists", (pats, positive)))
+                    cq = self._child_body()
+                    if not cq.patterns and not cq.groups:
+                        raise SparqlSyntaxError(
+                            "FILTER EXISTS needs at least one triple "
+                            "pattern"
+                        )
+                    if cq.groups or cq.filters:
+                        self.q.groups.append(
+                            ("exists_sub", (cq, positive))
+                        )
+                    else:
+                        self.q.groups.append(
+                            ("exists", (cq.patterns, positive))
+                        )
                 else:
                     self.q.filters.append(
                         self._translate_filter(self.lx.raw_parens())
@@ -1442,9 +1439,24 @@ class _Parser:
                         "GRAPH needs a <uri> or ?var, got "
                         f"{gtext!r}"
                     )
-                self.q.groups.append(
-                    ("graph", (g, self._triples_block("a GRAPH group")))
-                )
+                cq = self._child_body()
+                if not cq.patterns and not cq.groups:
+                    raise SparqlSyntaxError(
+                        "GRAPH needs at least one triple pattern"
+                    )
+                if cq.groups or cq.filters:
+                    if _is_pat_var(g):
+                        raise SparqlSyntaxError(
+                            "nested algebra inside GRAPH ?var is not "
+                            "supported (bind the graph with a constant, "
+                            "or keep the body to plain patterns)"
+                        )
+                    # constant graph + nested body: the body evaluates
+                    # bottom-up with its dataset scope bound (every
+                    # scan in it partition-prunes)
+                    self.q.groups.append(("graph_sub", (g, cq)))
+                else:
+                    self.q.groups.append(("graph", (g, cq.patterns)))
             elif text == "{" and self._braces_open_subquery():
                 # { SELECT ... } — a SPARQL 1.1 subquery: parsed with a
                 # child parser on the SAME lexer (stops at the closing
@@ -1747,6 +1759,8 @@ def _subquery_nonnull_vars(q: ParsedQuery) -> set[str]:
                 for t in (s, p, o):
                     if _is_pat_var(t):
                         nn.add(t[1:])
+        elif kind == "graph_sub":
+            nn |= _subquery_nonnull_vars(payload[1])
         elif kind == "subquery":
             inner_nn = _subquery_nonnull_vars(payload)
             if payload.project is not None:
@@ -1810,6 +1824,8 @@ def _spec_vars(q: ParsedQuery) -> set[str]:
             if _is_pat_var(g):
                 vs.add(g[1:])
             pats_vars(pats)
+        elif kind == "graph_sub":
+            vs |= _spec_vars(payload[1])
         elif kind == "subquery":
             if payload.project is not None:
                 vs |= set(payload.project)
@@ -1851,10 +1867,15 @@ def _eval_subqueries(
     query semantics, not a serving bound — and no companions (nested-
     group-born vars type per-binding downstream, like VALUES/BIND-born
     vars)."""
-    if not any(
-        g[0] in ("subquery", "optional_sub", "union_sub")
-        for g in q.groups
-    ):
+    nested_kinds = (
+        "subquery",
+        "optional_sub",
+        "union_sub",
+        "minus_sub",
+        "exists_sub",
+        "graph_sub",
+    )
+    if not any(g[0] in nested_kinds for g in q.groups):
         return q.groups
     ev_kw = dict(
         dataset=dataset,
@@ -1921,6 +1942,70 @@ def _eval_subqueries(
                         df,
                         frozenset(c for c in df.columns if c not in nn),
                         join_f,
+                    ),
+                )
+            )
+        elif kind == "minus_sub":
+            mdf = select_text(triples, "", parsed=payload, **ev_kw)
+            nn = _subquery_nonnull_vars(payload)
+            out.append(
+                (
+                    "minus_solutions",
+                    (
+                        mdf,
+                        frozenset(
+                            c for c in mdf.columns if c not in nn
+                        ),
+                    ),
+                )
+            )
+        elif kind == "exists_sub":
+            body, positive = payload
+            edf = select_text(triples, "", parsed=body, **ev_kw)
+            nn = _subquery_nonnull_vars(body)
+            out.append(
+                (
+                    "exists_solutions",
+                    (
+                        edf,
+                        frozenset(
+                            c for c in edf.columns if c not in nn
+                        ),
+                        positive,
+                    ),
+                )
+            )
+        elif kind == "graph_sub":
+            # constant graph + nested body: mirror serve._eval_graph's
+            # name mapping, then scope the WHOLE inner evaluation to
+            # that dataset partition (every scan in it prunes)
+            g, body = payload
+            if "dataset" not in triples.columns:
+                raise ValueError(
+                    "GRAPH needs a triple table carrying the 'dataset' "
+                    "partition column"
+                )
+            name = (
+                g[len(M.PREFIX_GRAPH):]
+                if g.startswith(M.PREFIX_GRAPH)
+                else g  # no dataset is named this → empty group
+            )
+            kw2 = dict(ev_kw)
+            kw2["dataset"] = name
+            gdf = select_text(triples, "", parsed=body, **kw2)
+            if dataset is not None and dataset != name:
+                # outer scope and the GRAPH clause name different
+                # graphs: an absent graph is an empty graph
+                gdf = gdf.where(F.lit(False))
+            nn = _subquery_nonnull_vars(body)
+            out.append(
+                (
+                    "solutions",
+                    (
+                        gdf,
+                        frozenset(
+                            c for c in gdf.columns if c not in nn
+                        ),
                     ),
                 )
             )

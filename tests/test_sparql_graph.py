@@ -151,7 +151,12 @@ def test_kindless_table_refuses_graph_var(spark):
 def test_graph_parse_refusals():
     with pytest.raises(SparqlSyntaxError, match="GRAPH needs"):
         parse_select('SELECT ?s { GRAPH "lit" { ?s ?p ?o } }')
-    with pytest.raises(SparqlSyntaxError, match="inside a GRAPH group"):
+    # nested algebra needs a CONSTANT graph (the body evaluates with
+    # its dataset scope bound); GRAPH ?var keeps plain patterns only
+    with pytest.raises(SparqlSyntaxError, match="inside GRAPH"):
         parse_select(
-            "SELECT ?s { GRAPH ?g { OPTIONAL { ?s ?p ?o } } }"
+            "SELECT ?s { GRAPH ?g { ?s ?p ?o OPTIONAL { ?s ?p ?z } } }"
         )
+    # a pattern-free GRAPH ?var body is degenerate either way
+    with pytest.raises(SparqlSyntaxError, match="at least one triple"):
+        parse_select("SELECT ?s { GRAPH ?g { } }")

@@ -248,3 +248,72 @@ def test_flat_bodies_keep_flat_plans(people):
         f"select ?n {{ {{ {NAME} }} UNION {{ ?p <http://x/fax> ?n }} }}"
     )
     assert [k for k, _ in pq.groups] == ["union"]
+
+
+@pytest.fixture(scope="module")
+def tagged(spark):
+    """Two named graphs (dataset partitions) with per-graph tags."""
+    rows = [
+        ("p1", "n", "Ada", "g1"),
+        ("p1", "tag", "x", "g1"),
+        ("p2", "n", "Bob", "g1"),
+        ("p2", "tag", "y", "g2"),
+        ("p3", "n", "Eve", "g1"),
+        ("p1", "alt", "A.", "g1"),
+    ]
+    return spark.createDataFrame(
+        rows, "s string, p string, o string, dataset string"
+    )
+
+
+def test_nested_minus_body(tagged):
+    """MINUS with its own FILTER: the filter scopes to the MINUS body
+    (only x-tagged subjects are removed)."""
+    q = """select ?n { ?p <n> ?n
+      MINUS { ?p <tag> ?t filter(?t = "x") } }"""
+    got = sorted(r["n"] for r in select_text(tagged, q).collect())
+    assert got == ["Bob", "Eve"]
+
+
+def test_nested_exists_body(tagged):
+    """FILTER [NOT] EXISTS bodies take nested algebra; the inner
+    OPTIONAL does not change which outer solutions pass."""
+    q = """select ?n { ?p <n> ?n
+      FILTER EXISTS { ?p <tag> ?t OPTIONAL { ?p <alt> ?a } } }"""
+    got = sorted(r["n"] for r in select_text(tagged, q).collect())
+    assert got == ["Ada", "Bob"]
+    q = """select ?n { ?p <n> ?n
+      FILTER NOT EXISTS { ?p <tag> ?t filter(?t = "x") } }"""
+    got = sorted(r["n"] for r in select_text(tagged, q).collect())
+    assert got == ["Bob", "Eve"]
+
+
+def test_nested_graph_body(tagged):
+    """A constant GRAPH with nested algebra scopes its WHOLE body to
+    the named partition — here inside an OPTIONAL: only g2's tag
+    binds, everything else NULL-extends."""
+    from linkedspending_spark import model as M
+
+    q = f"""select ?n ?t {{ ?p <n> ?n
+      OPTIONAL {{ GRAPH <{M.PREFIX_GRAPH}g2> {{ ?p <tag> ?t
+        OPTIONAL {{ ?p <alt> ?a }} }} }} }}"""
+    got = sorted(
+        (tuple(r) for r in select_text(tagged, q).collect()), key=str
+    )
+    assert got == [("Ada", None), ("Bob", "y"), ("Eve", None)]
+    # an unknown graph URI is an EMPTY graph, never an error
+    q = """select ?n ?t { ?p <n> ?n
+      OPTIONAL { GRAPH <http://no/such> { ?p <tag> ?t
+        filter(?t != "") } } }"""
+    got = sorted(
+        (tuple(r) for r in select_text(tagged, q).collect()), key=str
+    )
+    assert got == [("Ada", None), ("Bob", None), ("Eve", None)]
+
+
+def test_nested_graph_var_refused(tagged):
+    with pytest.raises(SparqlSyntaxError, match="inside GRAPH"):
+        parse_select(
+            "select ?s { GRAPH ?g { ?s <tag> ?t "
+            "OPTIONAL { ?s <alt> ?a } } }"
+        )
