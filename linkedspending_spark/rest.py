@@ -234,7 +234,10 @@ class RestService:
                         "or XML",
                     )
                 if w3c:
-                    return {"head": {}, "boolean": answer}
+                    return _Raw(
+                        json.dumps({"head": {}, "boolean": answer}),
+                        RESULT_CTYPES["w3c"],
+                    )
                 return {"ask": answer}
             if p.construct is not None or p.describe is not None:
                 # CONSTRUCT/DESCRIBE answer a GRAPH: W3C clients get
@@ -273,7 +276,12 @@ class RestService:
         if fmt in ("xml", "csv", "tsv"):
             return _serialize_results(fmt, df.columns, rows)
         if w3c:
-            return _w3c_results(df.columns, rows)
+            # served under the spec's media type (stock clients sniff
+            # it), not generic application/json
+            return _Raw(
+                json.dumps(_w3c_results(df.columns, rows)),
+                RESULT_CTYPES["w3c"],
+            )
         return rows
 
     def _sparql_algebra(self, body: dict, with_kinds: bool = False) -> DataFrame:
@@ -799,9 +807,39 @@ def _make_handler(service: RestService):
 
         def do_POST(self) -> None:  # noqa: N802
             url = urlparse(self.path)
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n)
+            ctype = (
+                (self.headers.get("Content-Type") or "")
+                .split(";")[0]
+                .strip()
+                .lower()
+            )
+            if url.path == "/sparql" and ctype in (
+                "application/sparql-query",
+                "application/x-www-form-urlencoded",
+            ):
+                # the W3C protocol's two POST request forms (stock
+                # SPARQL clients use these, not JSON): a direct query
+                # body, or form-encoded query=...; response format
+                # content-negotiated from Accept like the GET binding
+                fmt = _accept_format(self.headers.get("Accept"))
+
+                def _w3c_post():
+                    if ctype == "application/sparql-query":
+                        q = raw.decode("utf-8")
+                    else:
+                        q = parse_qs(raw.decode("utf-8")).get(
+                            "query", [None]
+                        )[0]
+                    if not q:
+                        raise _HttpError(400, "POST /sparql needs a query")
+                    return service.sparql({"query": q, "format": fmt})
+
+                self._dispatch(_w3c_post)
+                return
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(n) or b"{}")
+                body = json.loads(raw or b"{}")
             except (ValueError, json.JSONDecodeError):
                 self._reply(400, {"error": "body must be JSON"})
                 return

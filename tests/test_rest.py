@@ -822,3 +822,52 @@ def test_ask_xml_and_csv_rules(rest_server):
     assert status == 200 and "<boolean>true</boolean>" in text
     status, _, text = _get_raw(f"{base}/sparql?query={q}", "text/csv")
     assert status == 400 and "CSV/TSV" in text
+
+
+def test_sparql_protocol_post_bindings(rest_server):
+    """The W3C protocol's two POST request forms (what stock SPARQL
+    clients send — SPARQLWrapper, Jena RDFConnection, curl): a direct
+    application/sparql-query body, and form-encoded query=...; both
+    content-negotiate the response from Accept. The engine's own JSON
+    body form stays untouched."""
+    from urllib.parse import urlencode
+
+    base, _ = rest_server
+    q = "select ?d { ?d a qb:DataSet } limit 3"
+
+    def post_raw(body: bytes, ctype: str, accept: str | None = None):
+        headers = {"Content-Type": ctype}
+        if accept:
+            headers["Accept"] = accept
+        req = urllib.request.Request(
+            base + "/sparql", data=body, headers=headers, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return r.status, r.headers.get_content_type(), r.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.headers.get_content_type(), e.read()
+
+    # direct form
+    status, ctype, body = post_raw(
+        q.encode(), "application/sparql-query"
+    )
+    assert status == 200 and ctype == "application/sparql-results+json"
+    res = json.loads(body)
+    assert res["head"]["vars"] == ["d"]
+    assert 0 < len(res["results"]["bindings"]) <= 3
+    # form-encoded, negotiating CSV out
+    status, ctype, body = post_raw(
+        urlencode({"query": q}).encode(),
+        "application/x-www-form-urlencoded",
+        accept="text/csv",
+    )
+    assert status == 200 and ctype == "text/csv"
+    lines = body.decode().splitlines()
+    assert lines[0] == "d" and 0 < len(lines) - 1 <= 3
+    # empty direct body is a 400, not a 500
+    status, _, body = post_raw(b"", "application/sparql-query")
+    assert status == 400 and b"query" in body
+    # malformed SPARQL is a 400 with the parser's message
+    status, _, body = post_raw(b"selct nope", "application/sparql-query")
+    assert status == 400
