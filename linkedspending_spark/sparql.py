@@ -1235,6 +1235,34 @@ class _Parser:
             return self.q
         if word == "construct":
             self.lx.next()
+            if self.lx.next_word() == "where":
+                # §10.2.2 CONSTRUCT WHERE { ... } shorthand: the WHERE
+                # group IS the template. Parse the braced block twice —
+                # once as a template (keeps each term's written form for
+                # o_kind metadata), once as the pattern group; anything
+                # beyond plain triple patterns (FILTER, OPTIONAL, paths)
+                # is refused below, per the spec's BGP-only restriction.
+                self.lx.next()
+                mark = self.lx.save()
+                self.q.construct = self._construct_template()
+                self.lx.restore(mark)
+                self._group_body()
+                if self.q.filters or self.q.groups:
+                    raise SparqlSyntaxError(
+                        "CONSTRUCT WHERE takes plain triple patterns "
+                        "only (no FILTER/OPTIONAL/UNION/paths) — use "
+                        "the explicit-template form"
+                    )
+                self._solution_modifiers()
+                if self.q.group_by or self.q.having:
+                    raise SparqlSyntaxError(
+                        "CONSTRUCT takes no GROUP BY / HAVING"
+                    )
+                if self.lx.peek()[0] != "eof":
+                    raise SparqlSyntaxError(
+                        f"trailing input at {self.lx.peek()[1]!r}"
+                    )
+                return self.q
             self.q.construct = self._construct_template()
             if self.lx.next_word() == "where":
                 self.lx.next()

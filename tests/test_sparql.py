@@ -1241,3 +1241,30 @@ def test_sameterm_builtin(spark):
     assert ("s1", "s3") not in got and ("s3", "s4") not in got
     assert ("s1", "s4") not in got and ("s4", "s5") not in got
     assert all((s, s) in got for s in ("s1", "s2", "s3", "s4", "s5"))
+
+
+def test_construct_where_shorthand(spark):
+    """CONSTRUCT WHERE { ... } (§10.2.2): the WHERE group is the
+    template; term metadata carries through; anything beyond plain
+    triple patterns is refused."""
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [
+            ("u:a", "p:x", "u:b", "uri", None, None),
+            ("u:b", "p:y", "lit", "literal", None, None),
+        ],
+        "s string, p string, o string, o_kind string, "
+        "o_datatype string, o_lang string",
+    ).withColumn("dataset", F.lit("d"))
+    out = select_text(t, "construct where { ?s ?p ?o }").collect()
+    assert sorted((r["s"], r["p"], r["o"], r["o_kind"]) for r in out) == [
+        ("u:a", "p:x", "u:b", "uri"),
+        ("u:b", "p:y", "lit", "literal"),
+    ]
+    q = parse_select("construct where { ?s a ?o }")
+    assert q.construct[0][1][0].endswith("#type")
+    with pytest.raises(SparqlSyntaxError):
+        parse_select("construct where { ?s ?p ?o filter(?o > 1) }")
+    with pytest.raises(SparqlSyntaxError):
+        parse_select("construct where { ?s ?p ?o optional { ?s ?q ?z } }")
