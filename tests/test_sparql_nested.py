@@ -317,3 +317,21 @@ def test_nested_graph_var_refused(tagged):
             "select ?s { GRAPH ?g { ?s <tag> ?t "
             "OPTIONAL { ?s <alt> ?a } } }"
         )
+
+
+def test_nested_body_scans_push_down(people, tmp_path):
+    """Nested bodies stay pushed-down scan trees: the inner OPTIONAL's
+    predicate constants reach the parquet reader as PushedFilters, and
+    no BatchEvalPython appears anywhere in the plan."""
+    from tools.plan_audit import plan_of
+
+    pq_dir = str(tmp_path / "people")
+    people.write.parquet(pq_dir)
+    pq = people.sparkSession.read.parquet(pq_dir)
+    q = f"""select ?n ?c ?z {{ {NAME}
+      OPTIONAL {{ ?p <http://x/addr> ?a . ?a <http://x/city> ?c
+        OPTIONAL {{ ?a <http://x/zip> ?z }} }} }}"""
+    plan = plan_of(select_text(pq, q))
+    assert "PushedFilters" in plan
+    assert "http://x/zip" in plan and "http://x/city" in plan
+    assert "BatchEvalPython" not in plan
