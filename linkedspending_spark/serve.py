@@ -830,8 +830,12 @@ def select_sparql(
             bound |= set(v.columns)
         elif kind == "bind":
             # BIND(expr AS ?v): evaluate in source order over the
-            # solution so far — a narrow projection, no shuffle
-            sql_expr, name = payload
+            # solution so far — a narrow projection, no shuffle.
+            # Payload is (sql_expr, var) or (sql_expr, var, meta) where
+            # meta carries an RDF term constructor's constant
+            # kind/datatype/lang (sparql._bind_expression).
+            sql_expr, name = payload[0], payload[1]
+            meta = payload[2] if len(payload) > 2 else None
             if name in bound:
                 raise ValueError(
                     f"BIND would rebind already-bound variable ?{name} "
@@ -849,6 +853,28 @@ def select_sparql(
             nullable.add(name)  # the expression may evaluate to NULL
             out_order.append(name)
             bound.add(name)
+            if with_kinds:
+                # constructor meta → constant companions; plain BIND →
+                # NULL companions (the documented "NULL kind = plain
+                # literal" convention), so LANG()/DATATYPE()/isURI()
+                # over a BIND-born variable evaluate instead of failing
+                # name resolution
+                m = meta or {}
+                for suf, key in (("__kind", "kind"),
+                                 ("__datatype", "datatype"),
+                                 ("__lang", "lang")):
+                    # NULL when the value itself is NULL: an unbound
+                    # variable has no term, so no kind either
+                    df = df.withColumn(
+                        name + suf,
+                        F.when(
+                            F.col(name).isNotNull(), F.lit(m.get(key))
+                        ).cast("string"),
+                    )
+                    out_order.append(name + suf)
+                bound.add(name + "__kind")
+                bound.add(name + "__datatype")
+                bound.add(name + "__lang")
         elif kind == "graph":
             g = _eval_graph(triples, payload, kw)
             shared = _join_vars(g.columns)

@@ -922,7 +922,7 @@ class _Parser:
     _LANG_CALL = re.compile(r"(?i)\blang\s*\(\s*(\?\w+)\s*\)")
     _DT_CALL = re.compile(r"(?i)\bdatatype\s*\(\s*(\?\w+)\s*\)")
     _ISKIND_CALL = re.compile(
-        r"(?i)\bis(uri|iri|literal|numeric)\s*\(\s*(\?\w+)\s*\)"
+        r"(?i)\bis(uri|iri|literal|numeric|blank)\s*\(\s*(\?\w+)\s*\)"
     )
     _QUOTE_SPLIT = re.compile(r"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')")
 
@@ -942,6 +942,29 @@ class _Parser:
         r"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')\s*\)"
     )
     _ENC_CALL = re.compile(r"(?i)\bencode_for_uri\s*\(\s*(\?\w+)\s*\)")
+    _TZ_CALL = re.compile(r"(?i)\btz\s*\(\s*(\?\w+)\s*\)")
+    #: quoted-literal token (either quote style), reused by the
+    #: flag-carrying REGEX/REPLACE forms below
+    _LIT_TOK = r"\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'"
+    _REGEX_FLAGS_CALL = re.compile(
+        rf"(?i)\bregex\s*\(\s*(\?\w+)\s*,\s*({_LIT_TOK})\s*,\s*"
+        rf"({_LIT_TOK})\s*\)"
+    )
+    _REPLACE_FLAGS_CALL = re.compile(
+        rf"(?i)\breplace\s*\(\s*(\?\w+)\s*,\s*({_LIT_TOK})\s*,\s*"
+        rf"({_LIT_TOK})\s*,\s*({_LIT_TOK})\s*\)"
+    )
+    #: RDF term constructors, recognized at the TOP LEVEL of a BIND
+    #: expression only (SPARQL 17.4.2.5-8) — the greedy inner group +
+    #: end anchor capture the last comma-separated tail argument
+    _IRI_BIND = re.compile(r"(?is)^\s*(?:iri|uri)\s*\((.*)\)\s*$")
+    _STRLANG_BIND = re.compile(
+        rf"(?is)^\s*strlang\s*\((.*),\s*({_LIT_TOK})\s*\)\s*$"
+    )
+    _STRDT_BIND = re.compile(
+        r"(?is)^\s*strdt\s*\((.*),\s*"
+        r"(<[^<>\s]*>|[A-Za-z_][\w-]*:[\w.-]*)\s*\)\s*$"
+    )
     _SAMETERM_CALL = re.compile(
         r"(?i)\bsameterm\s*\(\s*(\?\w+)\s*,\s*"
         r"(\?\w+|\"(?:[^\"\\]|\\.)*\")\s*\)"
@@ -1002,6 +1025,13 @@ class _Parser:
                 self.q.needs_kinds = True
                 if which in ("uri", "iri"):
                     return f"(coalesce({v}__kind, 'literal') = 'uri')"
+                if which == "blank":
+                    # the converter mints URIs for every node
+                    # (ConvertWorker's observation/dataset URI rules), so
+                    # no blank node survives to the triple table — this
+                    # is constantly false over engine-built tables, but
+                    # evaluates the model's kind column per spec
+                    return f"(coalesce({v}__kind, 'literal') = 'bnode')"
                 return f"(coalesce({v}__kind, 'literal') = 'literal')"
 
             segment = self._ISKIND_CALL.sub(iskind, segment)
@@ -1090,17 +1120,59 @@ class _Parser:
                 f"coalesce({a}__datatype, '{xs}') = '{xs}')"
             )
 
-        # the two forms whose ARGUMENTS are quoted literals must match
+        def _fold_flags(pat_tok: str, flags_tok: str, where: str) -> str:
+            # SPARQL REGEX/REPLACE FLAGS (XPath fn:matches flags) fold
+            # into a Java-regex embedded-flag prefix inside the pattern
+            # literal: i/s/m/x have the same meaning in both engines;
+            # 'q' (literal mode) has no Java embedded form → loud 400.
+            flags = _unescape(flags_tok[1:-1])
+            bad = sorted(set(flags) - set("ismx"))
+            if bad:
+                raise SparqlSyntaxError(
+                    f"unsupported {where} flag(s) {bad} — supported "
+                    "flags are i/s/m/x (XPath 'q' literal mode has no "
+                    "Java-regex embedded form)"
+                )
+            if not flags:
+                return pat_tok
+            return f"{pat_tok[0]}(?{flags}){pat_tok[1:]}"
+
+        def regex_flags(m: re.Match) -> str:
+            v, pat = m.group(1), _fold_flags(m.group(2), m.group(3),
+                                             "REGEX")
+            return f"regex({v}, {pat})"
+
+        def replace_flags(m: re.Match) -> str:
+            v, pat = m.group(1), _fold_flags(m.group(2), m.group(4),
+                                             "REPLACE")
+            return f"replace({v}, {pat}, {m.group(3)})"
+
+        # the forms whose ARGUMENTS are quoted literals must match
         # against the full text (the quote-split below would hide their
         # needles) — same whole-text treatment as langMatches above
+        raw = self._REGEX_FLAGS_CALL.sub(regex_flags, raw)
+        raw = self._REPLACE_FLAGS_CALL.sub(replace_flags, raw)
         raw = self._STRBA_CALL.sub(strba, raw)
         raw = self._SAMETERM_CALL.sub(same, raw)
+
+        def tz(m: re.Match) -> str:
+            # SPARQL TZ (17.4.5.7): the timezone part of the LEXICAL
+            # form — "Z", "+05:00", or "" when absent (regexp_extract
+            # returns '' on no match, which is exactly the spec value).
+            # Pattern deliberately backslash-free so the main pass's
+            # literal re-tokenization is idempotent over it.
+            v = m.group(1)
+            return (
+                f"(regexp_extract({v}, "
+                "'(Z|[+-][0-9][0-9]:[0-9][0-9])$', 1))"
+            )
 
         def outside(segment: str) -> str:
             segment = self._ROUND_CALL.sub(rnd, segment)
             segment = self._NUM1_CALL.sub(num1, segment)
             segment = self._DATEPART_CALL.sub(datepart, segment)
             segment = self._SHA2_CALL.sub(sha2, segment)
+            segment = self._TZ_CALL.sub(tz, segment)
             return self._ENC_CALL.sub(enc, segment)
 
         parts = self._QUOTE_SPLIT.split(raw)
@@ -1149,6 +1221,26 @@ class _Parser:
                 name = m.group("func").lower()
                 if name == "str":  # STR(?x): lexical form — already is
                     return ""
+                if name in ("rand", "now", "uuid", "struuid", "bnode"):
+                    raise SparqlSyntaxError(
+                        f"built-in {name.upper()}() is nondeterministic "
+                        "and unsupported by design: a solution must be "
+                        "reproducible across retried Spark tasks, and a "
+                        "nondeterministic expression could differ "
+                        "between a task attempt and its retry"
+                    )
+                if name == "timezone":
+                    raise SparqlSyntaxError(
+                        "TIMEZONE() returns xsd:dayTimeDuration, which "
+                        "the engine does not model — use TZ() (the "
+                        "lexical timezone string: 'Z', '+05:00', or '')"
+                    )
+                if name in ("iri", "uri", "strlang", "strdt"):
+                    raise SparqlSyntaxError(
+                        f"term constructor {name.upper()}() is supported "
+                        "only as the top-level form of a "
+                        "BIND(... AS ?v) expression"
+                    )
                 if name not in self._FILTER_FUNCS:
                     raise SparqlSyntaxError(
                         f"unknown aggregate or built-in function {name!r} "
@@ -1164,6 +1256,42 @@ class _Parser:
             return " NOT "
 
         return self._FILTER_PIECE.sub(sub, raw)
+
+    def _bind_expression(self, body: str) -> tuple[str, dict | None]:
+        """BIND expression → ``(translated SQL, term metadata)``.
+
+        The three RDF term CONSTRUCTORS (SPARQL 17.4.2.5-8) are
+        recognized at the TOP level of the expression only: the value
+        column is the inner expression's lexical form, and the
+        constructed term's kind / datatype / language tag ride along as
+        constant metadata — serve attaches them as companion columns
+        under ``with_kinds``, so LANG()/DATATYPE()/isURI() over the
+        bound variable and the REST layer's W3C term typing both see
+        the constructed type. ``IRI()`` does not resolve relative
+        references (the dialect has no BASE — operands are expected to
+        be absolute, as every URI the engine mints is)."""
+        m = self._IRI_BIND.match(body)
+        if m:
+            self.q.needs_kinds = True
+            return self._translate_filter(m.group(1)), {"kind": "uri"}
+        m = self._STRLANG_BIND.match(body)
+        if m:
+            self.q.needs_kinds = True
+            return (
+                self._translate_filter(m.group(1)),
+                {"kind": "literal",
+                 "lang": _unescape(m.group(2)[1:-1])},
+            )
+        m = self._STRDT_BIND.match(body)
+        if m:
+            self.q.needs_kinds = True
+            dt = m.group(2)
+            dt = dt[1:-1] if dt.startswith("<") else self._expand(dt)
+            return (
+                self._translate_filter(m.group(1)),
+                {"kind": "literal", "datatype": dt},
+            )
+        return self._translate_filter(body), None
 
     # -- top level ---------------------------------------------------------
 
@@ -1442,9 +1570,9 @@ class _Parser:
                     raise SparqlSyntaxError(
                         "BIND needs the form (expression AS ?var)"
                     )
+                expr_sql, meta = self._bind_expression(raw[: m.start()])
                 self.q.groups.append(
-                    ("bind",
-                     (self._translate_filter(raw[: m.start()]), m.group(1)))
+                    ("bind", (expr_sql, m.group(1), meta))
                 )
             elif word == "values":
                 self.lx.next()
@@ -2354,8 +2482,9 @@ def select_text(
     eval_kinds = with_kinds or q.needs_kinds
     if q.needs_kinds and "o_kind" not in triples.columns:
         raise SparqlSyntaxError(
-            "LANG()/DATATYPE()/langMatches() need a triple table carrying "
-            "term metadata (o_kind/o_datatype/o_lang columns)"
+            "LANG()/DATATYPE()/langMatches()/is*() and the IRI/STRLANG/"
+            "STRDT constructors need a triple table carrying term "
+            "metadata (o_kind/o_datatype/o_lang columns)"
         )
     df = select_sparql(
         triples,

@@ -207,9 +207,22 @@ def test_sparql_endpoint_textual_query(rest_server):
     assert status == 200 and sols == []
     status, err = _post(
         base + "/sparql",
-        {"query": "select ?x { ?x ?p ?o filter(isBlank(?o)) }"},
+        {"query": "select ?x { ?x ?p ?o filter(levenshtein(?o)) }"},
     )
     assert status == 400 and "unknown aggregate or" in err["error"]
+    # isBlank executes now (round 5): constantly false over engine
+    # tables (the converter mints URIs — no blank nodes survive)
+    status, sols = _post(
+        base + "/sparql",
+        {"query": "select ?x { ?x ?p ?o filter(isBlank(?o)) }"},
+    )
+    assert status == 200 and sols == []
+    # nondeterministic built-ins are named 400s, not misparses
+    status, err = _post(
+        base + "/sparql",
+        {"query": "select ?x { ?x ?p ?o filter(rand() < 0.5) }"},
+    )
+    assert status == 400 and "nondeterministic" in err["error"]
     # langMatches executes now (round 5) over the kinds-carrying table
     status, sols = _post(
         base + "/sparql",

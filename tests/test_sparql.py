@@ -690,7 +690,11 @@ def test_offset_paging(spark, catalog):
 
 def test_unknown_builtin_and_cast_rejected_at_parse_time():
     with pytest.raises(SparqlSyntaxError, match="unknown aggregate or"):
-        parse_select("select ?x { ?x ?p ?o filter(isBlank(?o)) }")
+        parse_select("select ?x { ?x ?p ?o filter(levenshtein(?o)) }")
+    # isBlank is supported now (round 5) and flags needs_kinds
+    assert parse_select(
+        "select ?x { ?x ?p ?o filter(isBlank(?o)) }"
+    ).needs_kinds
     # sameTerm is supported (term identity via companions) and flags
     # needs_kinds; the unsupported-shape fallthrough still rejects
     assert parse_select(
@@ -1268,3 +1272,185 @@ def test_construct_where_shorthand(spark):
         parse_select("construct where { ?s ?p ?o filter(?o > 1) }")
     with pytest.raises(SparqlSyntaxError):
         parse_select("construct where { ?s ?p ?o optional { ?s ?q ?z } }")
+
+
+def test_regex_replace_flags_and_tz(spark):
+    """Flag-carrying REGEX/REPLACE fold the XPath flags into a
+    Java-regex embedded prefix inside the pattern literal (i/s/m/x
+    share semantics across both engines; 'q' has no embedded form and
+    is a loud 400); TZ() extracts the lexical timezone string — "Z",
+    "+05:00", or "" when the form carries none."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "Hello World"),
+        ("b", "2024-06-15T12:30:45Z"),
+        ("c", "2024-06-15T12:30:45+05:00"),
+        ("d", "2024-06-15T12:30:45"),
+    ]
+    t = (
+        spark.createDataFrame(rows, "s string, o string")
+        .select("s", F.lit("http://x/p").alias("p"), "o")
+        .withColumn("dataset", F.lit("d"))
+    )
+
+    def subs(f):
+        q = "select ?s { ?s ?p ?o filter(%s) }" % f
+        return sorted(r["s"] for r in select_text(t, q).collect())
+
+    # case-insensitive REGEX via the FLAGS argument
+    assert subs('regex(?o, "^hello", "i")') == ["a"]
+    assert subs('regex(?o, "^hello")') == []
+    # 4-arg REPLACE: flags fold the same way
+    assert subs('replace(?o, "HELLO", "bye", "i") = "bye World"') == ["a"]
+    # empty flags literal is a no-op fold
+    assert subs('regex(?o, "^Hello", "")') == ["a"]
+    with pytest.raises(SparqlSyntaxError, match="REGEX flag"):
+        subs('regex(?o, "^hello", "q")')
+    # TZ over the lexical form
+    assert subs('tz(?o) = "Z"') == ["b"]
+    assert subs('tz(?o) = "+05:00"') == ["c"]
+    assert subs('tz(?o) = ""') == ["a", "d"]
+    # TIMEZONE (xsd:dayTimeDuration) is a named refusal pointing at TZ
+    with pytest.raises(SparqlSyntaxError, match="TIMEZONE"):
+        subs("timezone(?o) = ?o")
+
+
+def test_nondeterministic_builtins_refused(spark, catalog):
+    """RAND/NOW/UUID/STRUUID/BNODE are nondeterministic: a solution
+    must be reproducible across retried Spark tasks, so they refuse at
+    parse time (a 400 at the endpoint) with an explanatory message."""
+    for form in (
+        "filter(rand() < 0.5)",
+        "filter(?m < now())",
+        "bind(uuid() as ?u)",
+        "bind(struuid() as ?u)",
+        "bind(bnode() as ?b)",
+    ):
+        with pytest.raises(SparqlSyntaxError, match="nondeterministic"):
+            parse_select("select * { ?d ?p ?m %s }" % form)
+
+
+def test_isblank_false_over_engine_tables(spark):
+    """isBlank(): the converter mints URIs for every node, so no blank
+    node survives to the triple table — isBlank is constantly false
+    over engine-built data but still evaluates the model's kind
+    column (URI and literal objects both fail the test)."""
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [
+            ("http://x/a", "http://x/p", "http://x/b", "uri", None, None),
+            ("http://x/a", "http://x/q", "42", "literal", None, None),
+        ],
+        "s string, p string, o string, o_kind string, "
+        "o_datatype string, o_lang string",
+    ).withColumn("dataset", F.lit("d"))
+    got = select_text(
+        t, "select ?o { ?s ?p ?o filter(isBlank(?o)) }"
+    ).collect()
+    assert got == []
+    got = select_text(
+        t, "select ?o { ?s ?p ?o filter(!isBlank(?o)) }"
+    ).collect()
+    assert len(got) == 2
+
+
+def test_bind_term_constructors(spark):
+    """IRI/STRLANG/STRDT at the top level of BIND construct a typed
+    term: the value column is the inner expression's lexical form and
+    the constructed kind/datatype/lang ride along as companions —
+    visible to LANG()/DATATYPE()/isURI() downstream and to the REST
+    layer's W3C term typing."""
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [
+            ("http://x/a", "http://x/name", "alpha", "literal",
+             None, None),
+        ],
+        "s string, p string, o string, o_kind string, "
+        "o_datatype string, o_lang string",
+    ).withColumn("dataset", F.lit("d"))
+
+    # IRI(): kind=uri, visible to a downstream isURI filter
+    got = select_text(
+        t,
+        'select ?u { ?s <http://x/name> ?o '
+        'bind(iri(concat("http://y/", ?o)) as ?u) '
+        "filter(isURI(?u)) }",
+        with_kinds=True,
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["u"] == "http://y/alpha" and r["u__kind"] == "uri"
+
+    # STRLANG(): lang tag set, LANG() sees it
+    got = select_text(
+        t,
+        "select ?l ?tag { ?s <http://x/name> ?o "
+        'bind(strlang(?o, "en-GB") as ?l) bind(lang(?l) as ?tag) }',
+        with_kinds=True,
+    ).collect()
+    r = got[0]
+    assert r["l"] == "alpha" and r["l__lang"] == "en-GB"
+    assert r["tag"] == "en-GB"
+
+    # STRDT(): datatype set (prefixed name expands), DATATYPE() sees it
+    got = select_text(
+        t,
+        "select ?v ?dt { ?s <http://x/name> ?o "
+        "bind(strdt(?o, xsd:token) as ?v) bind(datatype(?v) as ?dt) }",
+        with_kinds=True,
+    ).collect()
+    r = got[0]
+    assert r["v"] == "alpha"
+    assert r["v__datatype"].endswith("XMLSchema#token")
+    assert r["dt"].endswith("XMLSchema#token")
+
+    # plain BIND under with_kinds: NULL companions = plain literal —
+    # LANG() returns "" instead of failing name resolution
+    got = select_text(
+        t,
+        "select ?w ?wl { ?s <http://x/name> ?o "
+        'bind(concat(?o, "!") as ?w) bind(lang(?w) as ?wl) }',
+        with_kinds=True,
+    ).collect()
+    r = got[0]
+    assert r["w"] == "alpha!" and r["w__kind"] is None and r["wl"] == ""
+
+    # constructors OUTSIDE a BIND top level stay loud
+    with pytest.raises(SparqlSyntaxError, match="BIND"):
+        parse_select("select * { ?s ?p ?o filter(iri(?o) = ?s) }")
+
+
+def test_w3c_typing_of_constructed_terms(spark):
+    """The REST serializer types constructor-bound variables from the
+    attached companions: IRI() comes back as a uri binding even though
+    BIND-born values used to fall to the http:// heuristic, and
+    STRLANG carries xml:lang."""
+    from pyspark.sql import functions as F
+
+    from linkedspending_spark.rest import _w3c_results
+
+    t = spark.createDataFrame(
+        [
+            ("http://x/a", "http://x/name", "alpha", "literal",
+             None, None),
+        ],
+        "s string, p string, o string, o_kind string, "
+        "o_datatype string, o_lang string",
+    ).withColumn("dataset", F.lit("d"))
+    df = select_text(
+        t,
+        "select ?u ?l { ?s <http://x/name> ?o "
+        'bind(iri(concat("http://y/", ?o)) as ?u) '
+        'bind(strlang(?o, "en") as ?l) }',
+        with_kinds=True,
+    )
+    out = _w3c_results(df.columns, [r.asDict() for r in df.collect()])
+    assert out["head"]["vars"] == ["u", "l"]
+    b = out["results"]["bindings"][0]
+    assert b["u"] == {"type": "uri", "value": "http://y/alpha"}
+    assert b["l"] == {"type": "literal", "value": "alpha",
+                      "xml:lang": "en"}
