@@ -72,6 +72,81 @@ def write_triples(
     )
 
 
+def list_dataset_partitions(path: str) -> list[str]:
+    """Dataset (named-graph) partition values present under *path*."""
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        d[len("dataset="):]
+        for d in os.listdir(path)
+        if d.startswith("dataset=")
+    )
+
+
+def delete_datasets(
+    path: str,
+    names: list[str],
+    manifest_path: str | None = None,
+    spark: SparkSession | None = None,
+    run_id: str | None = None,
+) -> int:
+    """Drop dataset partitions — the named-graph delete
+    (Virtuoso.java:39-49 ``DROP SILENT GRAPH``; DeleteAllSubGraphs.java
+    loops it over the whole catalog, see :func:`delete_all_datasets`).
+
+    An O(partitions-deleted) metadata/storage operation, never a data
+    rewrite — at deployment scale this is Iceberg ``DROP PARTITION``
+    (drop the manifest entries; data files age out via snapshot
+    expiry), here it unlinks the ``dataset=<name>`` directories.
+
+    Order matters for crash safety: when a manifest is given, the
+    deletion TOMBSTONE commits FIRST — a crash between tombstone and
+    unlink leaves the dataset visible to raw readers but re-exposed to
+    :meth:`ManifestStore.pending` (re-convert or re-run the delete,
+    both idempotent), never "manifest says converted but data gone".
+    ``SILENT`` semantics: missing partitions are fine; returns the
+    number of partition directories actually removed.
+    """
+    import os
+    import shutil
+
+    if manifest_path is not None:
+        if spark is None:
+            raise ValueError("manifest tombstones need the spark session")
+        from .manifest import ManifestStore, new_run_id
+
+        ManifestStore(spark, manifest_path).tombstone(
+            list(names), run_id or new_run_id()
+        )
+    removed = 0
+    for name in names:
+        d = os.path.join(path, f"dataset={name}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            removed += 1
+    return removed
+
+
+def delete_all_datasets(
+    path: str,
+    manifest_path: str | None = None,
+    spark: SparkSession | None = None,
+    run_id: str | None = None,
+) -> int:
+    """Drop EVERY dataset partition (DeleteAllSubGraphs.java:10-20 —
+    its interactive 'type delete to confirm' guard belongs to the
+    caller, not the library)."""
+    return delete_datasets(
+        path,
+        list_dataset_partitions(path),
+        manifest_path=manifest_path,
+        spark=spark,
+        run_id=run_id,
+    )
+
+
 def read_triples(spark: SparkSession, path: str) -> DataFrame:
     """Read a BATCH-layout triple table (partitioned by ``bucket`` only).
 

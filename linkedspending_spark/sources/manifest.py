@@ -30,6 +30,10 @@ from pyspark.sql import types as T
 
 from ..model import TRANSFORMATION_VERSION
 
+#: version stamp of a deletion tombstone row — sorts below every real
+#: transformation version, so a tombstoned dataset is never "completed"
+TOMBSTONE_VERSION = -1
+
 MANIFEST_SCHEMA = T.StructType(
     [
         T.StructField("dataset", T.StringType(), False),
@@ -87,14 +91,43 @@ class ManifestStore:
         )
         df.coalesce(1).write.mode("append").parquet(self.path)
 
-    def completed(self, version: int = TRANSFORMATION_VERSION) -> DataFrame:
-        """Datasets already converted at this version (P6 skip predicate)."""
-        return (
-            self.read()
-            .where(F.col("version") >= version)
-            .select("dataset")
-            .distinct()
+    def tombstone(self, datasets: list[str], run_id: str) -> None:
+        """Mark datasets DELETED (one append commit, version -1).
+
+        The log-structured delete mark (Virtuoso.java:39-49 ``DROP
+        SILENT GRAPH`` analog): the data partition is dropped
+        separately by :func:`~linkedspending_spark.sources.io.
+        delete_datasets`; the tombstone row makes :meth:`completed`
+        forget the dataset FIRST, so a crash between the two steps
+        re-exposes the dataset to :meth:`pending` (re-convert or
+        re-delete) instead of silently losing it.
+        """
+        self.record_many(
+            [(d, None, None) for d in datasets],
+            run_id,
+            version=TOMBSTONE_VERSION,
         )
+
+    def completed(self, version: int = TRANSFORMATION_VERSION) -> DataFrame:
+        """Datasets already converted at this version (P6 skip predicate).
+
+        Latest-row-wins per dataset (the log-structured-table read
+        semantic): a deletion tombstone or a newer lower-version row
+        supersedes an older completion. The manifest is tiny (one row
+        per dataset lifecycle event), so the per-dataset max is a
+        broadcast-sized aggregation.
+        """
+        latest = (
+            self.read()
+            .groupBy("dataset")
+            .agg(
+                F.max(F.struct("finished_at", "run_id", "version")).alias(
+                    "__last"
+                )
+            )
+            .select("dataset", F.col("__last.version").alias("version"))
+        )
+        return latest.where(F.col("version") >= version).select("dataset")
 
     def pending(
         self, work: DataFrame, version: int = TRANSFORMATION_VERSION
