@@ -147,6 +147,111 @@ def delete_all_datasets(
     )
 
 
+def delete_datasets_bucketed(
+    spark: SparkSession,
+    path: str,
+    names: list[str],
+    n_buckets: int,
+    manifest_path: str | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """Delete datasets from the BUCKET-partitioned landed table
+    (``jobs.py`` lands ``partition_col="bucket"`` — many datasets
+    co-live in one partition, so a dataset delete is copy-on-write
+    confined to the AFFECTED bucket partitions, the Iceberg
+    copy-on-write DELETE shape; never a table rewrite).
+
+    ``n_buckets`` MUST be the bucket count the table was landed with
+    (``--buckets``): victims map to buckets via the same
+    ``pmod(xxhash64(dataset), n)`` expression, and only those
+    partitions are scanned (partition-pruned) and rewritten. A wrong
+    ``n_buckets`` rewrites the wrong partitions and leaves victims in
+    place — it cannot lose OTHER datasets' rows.
+
+    Protocol (crash windows documented in order):
+
+    1. manifest TOMBSTONE first (when ``manifest_path`` given) — same
+       rationale as :func:`delete_datasets`;
+    2. stage: remaining rows of the affected buckets write to a
+       sibling ``.__delete_stage__`` directory (Spark refuses to
+       overwrite a path it is reading, and an in-place rewrite would
+       lose co-bucketed datasets on crash);
+    3. swap per bucket: live → ``_old_N`` (the ``_`` prefix is
+       invisible to Spark's partition discovery, so crash leftovers
+       never corrupt reads), staged → live, trash removed. A crash
+       mid-swap leaves a half-swapped partition next to its trash dir;
+       every entry into this function first ROLLS BACK such half-swaps
+       (trash → live when live is missing), so a re-run recovers the
+       co-bucketed datasets and completes the delete. At deployment
+       scale the whole swap is one Iceberg metadata commit instead.
+
+    Returns ``{"buckets_rewritten": ..., "rows_deleted": ...}``;
+    ``rows_deleted`` counts victim rows actually present (one extra
+    pruned scan of the affected buckets).
+    """
+    import os
+    import shutil
+
+    if not names:
+        return {"buckets_rewritten": 0, "rows_deleted": 0}
+    if manifest_path is not None:
+        from .manifest import ManifestStore, new_run_id
+
+        ManifestStore(spark, manifest_path).tombstone(
+            list(names), run_id or new_run_id()
+        )
+    # crash recovery FIRST: a leftover trash dir whose live partition
+    # is missing is a half-completed swap — roll it back before
+    # scanning, or the rewrite would see (and stage) an empty bucket
+    # and the co-bucketed datasets' rows would be lost on re-run
+    for d in os.listdir(path) if os.path.isdir(path) else []:
+        if d.startswith("_old_"):
+            live = os.path.join(
+                path, "bucket=" + d[len("_old_"):]
+            )
+            if not os.path.isdir(live):
+                os.rename(os.path.join(path, d), live)
+            else:
+                shutil.rmtree(os.path.join(path, d))
+    # VALUES-literal victim table (LocalTableScan — no parallelize job)
+    vals = ", ".join("('" + n.replace("'", "''") + "')" for n in names)
+    victims = spark.sql(
+        f"SELECT dataset, cast(pmod(xxhash64(dataset), {int(n_buckets)}) "
+        f"as int) AS bucket FROM (VALUES {vals}) AS t(dataset)"
+    )
+    buckets = sorted({r["bucket"] for r in victims.collect()})
+    table = spark.read.parquet(path)
+    affected = table.where(F.col("bucket").isin(buckets))
+    rows_deleted = affected.join(
+        F.broadcast(victims.select("dataset")), "dataset", "left_semi"
+    ).count()
+    remaining = affected.join(
+        F.broadcast(victims.select("dataset")), "dataset", "left_anti"
+    )
+    stage = path.rstrip("/") + ".__delete_stage__"
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        remaining.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(stage)
+    )
+    for b in buckets:
+        live = os.path.join(path, f"bucket={b}")
+        staged = os.path.join(stage, f"bucket={b}")
+        # leading "_" = invisible to Spark's partition discovery, so a
+        # crash-leftover trash dir can never corrupt reads of the table
+        trash = os.path.join(path, f"_old_{b}")
+        shutil.rmtree(trash, ignore_errors=True)
+        if os.path.isdir(live):
+            os.rename(live, trash)
+        if os.path.isdir(staged):
+            os.rename(staged, live)
+        shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    return {"buckets_rewritten": len(buckets), "rows_deleted": rows_deleted}
+
+
 def read_triples(spark: SparkSession, path: str) -> DataFrame:
     """Read a BATCH-layout triple table (partitioned by ``bucket`` only).
 

@@ -102,3 +102,116 @@ def test_delete_all(spark, tmp_path):
     # idempotent over the now-empty table
     assert delete_all_datasets(out) == 0
     assert os.path.isdir(out)  # the table root survives
+
+
+def _bucketed(spark, tmp_path, n_buckets=4):
+    from linkedspending_spark.jobs import bucket_of
+
+    out = str(tmp_path / "bucketed")
+    t = synth_transcripts_df(spark, n_convs=10, base_turns=4)
+    triples = convert_transcripts(spark, t).withColumn(
+        "bucket", bucket_of(F.col("dataset"), n_buckets)
+    )
+    write_triples(triples, out, partition_col="bucket")
+    table = spark.read.parquet(out)
+    counts = {
+        r["dataset"]: r["n"]
+        for r in table.groupBy("dataset").agg(F.count("*").alias("n")).collect()
+    }
+    return out, counts
+
+
+def test_delete_bucketed_copy_on_write(spark, tmp_path):
+    """Dataset delete from the bucket-partitioned landed table: only
+    the affected bucket partitions rewrite; co-bucketed datasets keep
+    every row."""
+    from linkedspending_spark.sources.io import delete_datasets_bucketed
+
+    out, counts = _bucketed(spark, tmp_path)
+    names = sorted(counts)
+    victims = names[:2]
+    before_total = sum(counts.values())
+
+    rep = delete_datasets_bucketed(spark, out, victims, n_buckets=4)
+    assert rep["rows_deleted"] == sum(counts[v] for v in victims)
+    assert 1 <= rep["buckets_rewritten"] <= 2
+
+    after = {
+        r["dataset"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("dataset")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(after) == set(names[2:])
+    for n in names[2:]:
+        assert after[n] == counts[n]  # co-bucketed rows all intact
+    assert sum(after.values()) == before_total - rep["rows_deleted"]
+
+    # idempotent: deleting the same victims again touches nothing
+    rep2 = delete_datasets_bucketed(spark, out, victims, n_buckets=4)
+    assert rep2["rows_deleted"] == 0
+
+
+def test_delete_bucketed_empties_a_bucket(spark, tmp_path):
+    """Deleting every dataset of a bucket drops the partition dir
+    entirely (dynamic overwrite writes nothing for it) and the table
+    still reads."""
+    from linkedspending_spark.jobs import bucket_of
+    from linkedspending_spark.sources.io import delete_datasets_bucketed
+
+    out, counts = _bucketed(spark, tmp_path)
+    # find one bucket's full dataset membership
+    b_of = {
+        r["dataset"]: r["b"]
+        for r in spark.sql(
+            "SELECT dataset, cast(pmod(xxhash64(dataset), 4) as int) b "
+            "FROM (VALUES "
+            + ", ".join(f"('{n}')" for n in counts)
+            + ") AS t(dataset)"
+        ).collect()
+    }
+    target_b = next(iter(b_of.values()))
+    victims = [n for n, b in b_of.items() if b == target_b]
+
+    delete_datasets_bucketed(spark, out, victims, n_buckets=4)
+    assert not os.path.isdir(os.path.join(out, f"bucket={target_b}"))
+    survivors = {
+        r["dataset"]
+        for r in spark.read.parquet(out).select("dataset").distinct().collect()
+    }
+    assert survivors == set(counts) - set(victims)
+
+
+def test_delete_bucketed_crash_rollback(spark, tmp_path):
+    """A half-completed swap (live renamed to trash, staged not yet
+    moved in) rolls back on the next entry — co-bucketed rows are
+    recovered, and the interrupted delete completes."""
+    from linkedspending_spark.sources.io import delete_datasets_bucketed
+
+    out, counts = _bucketed(spark, tmp_path)
+    names = sorted(counts)
+    victim = names[0]
+    # simulate the crash window: some bucket's live dir moved to trash
+    lives = [d for d in os.listdir(out) if d.startswith("bucket=")]
+    crashed = lives[0]
+    b = crashed[len("bucket="):]
+    os.rename(
+        os.path.join(out, crashed), os.path.join(out, f"_old_{b}")
+    )
+    # trash dirs are invisible to partition discovery (no read errors),
+    # the crashed bucket's rows are simply absent until rollback
+    spark.read.parquet(out).count()
+
+    rep = delete_datasets_bucketed(spark, out, [victim], n_buckets=4)
+    assert rep["rows_deleted"] == counts[victim]
+    after = {
+        r["dataset"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("dataset")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # every non-victim row — including the crashed bucket's — is back
+    assert after == {n: counts[n] for n in names[1:]}
+    assert not any(d.startswith("_old_") for d in os.listdir(out))
