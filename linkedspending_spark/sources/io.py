@@ -137,14 +137,52 @@ def delete_all_datasets(
 ) -> int:
     """Drop EVERY dataset partition (DeleteAllSubGraphs.java:10-20 —
     its interactive 'type delete to confirm' guard belongs to the
-    caller, not the library)."""
-    return delete_datasets(
-        path,
-        list_dataset_partitions(path),
-        manifest_path=manifest_path,
-        spark=spark,
-        run_id=run_id,
+    caller, not the library). Handles both layouts: ``dataset=``
+    partitions unlink per dataset; the landed ``bucket=`` layout
+    unlinks every bucket partition (tombstoning the dataset names
+    first needs one distinct-scan of the table — acceptable for a
+    delete-everything). Returns partition directories removed."""
+    names = list_dataset_partitions(path)
+    if names:
+        return delete_datasets(
+            path,
+            names,
+            manifest_path=manifest_path,
+            spark=spark,
+            run_id=run_id,
+        )
+    import os
+    import shutil
+
+    bucket_dirs = (
+        [d for d in os.listdir(path) if d.startswith("bucket=")]
+        if os.path.isdir(path)
+        else []
     )
+    if not bucket_dirs:
+        return 0
+    if manifest_path is not None:
+        if spark is None:
+            raise ValueError("manifest tombstones need the spark session")
+        from .manifest import ManifestStore, new_run_id
+
+        # the bucketed pipeline's manifest is keyed by WORK UNIT
+        # (bucket id), not dataset name — tombstone the manifest's own
+        # keys so a future convert re-lists every bucket as pending,
+        # never "manifest says converted but data gone". Config
+        # sentinels ("__n_buckets__", "__canonicalize__") are NOT work
+        # units: they survive (jobs.py reads their n_rows directly).
+        store = ManifestStore(spark, manifest_path)
+        keys = [
+            r["dataset"]
+            for r in store.read().select("dataset").distinct().collect()
+            if not r["dataset"].startswith("__")
+        ]
+        if keys:
+            store.tombstone(keys, run_id or new_run_id())
+    for d in bucket_dirs:
+        shutil.rmtree(os.path.join(path, d))
+    return len(bucket_dirs)
 
 
 def delete_datasets_bucketed(
@@ -170,8 +208,13 @@ def delete_datasets_bucketed(
 
     Protocol (crash windows documented in order):
 
-    1. manifest TOMBSTONE first (when ``manifest_path`` given) — same
-       rationale as :func:`delete_datasets`;
+    1. manifest TOMBSTONE first (when ``manifest_path`` given). NOTE:
+       the bucketed pipeline's manifest is keyed by WORK UNIT (bucket
+       id), so per-dataset tombstones there are an AUDIT TRAIL — the
+       bucket rightly stays completed (its remaining co-bucketed data
+       IS converted), and a re-convert will skip it, keeping the
+       victim deleted. Only :func:`delete_all_datasets` un-completes
+       work units;
     2. stage: remaining rows of the affected buckets write to a
        sibling ``.__delete_stage__`` directory (Spark refuses to
        overwrite a path it is reading, and an in-place rewrite would

@@ -77,7 +77,53 @@ def main(argv: list[str] | None = None) -> int:
         help="reliable checkpoint dir (HDFS-compatible) for the "
         "connected-components loop; executor-loss-safe on clusters",
     )
+    ap.add_argument(
+        "--delete-datasets",
+        help="comma-separated dataset names to DELETE from the bucketed "
+        "output table (copy-on-write over affected buckets only; "
+        "manifest tombstones commit first), then exit",
+    )
+    ap.add_argument(
+        "--delete-all",
+        action="store_true",
+        help="delete EVERY dataset partition under --output (the "
+        "DeleteAllSubGraphs admin surface; requires --yes), then exit",
+    )
+    ap.add_argument(
+        "--yes",
+        action="store_true",
+        help="confirm --delete-all non-interactively (the reference "
+        "script's \"type 'delete'\" prompt)",
+    )
     args = ap.parse_args(argv)
+
+    if args.delete_datasets or args.delete_all:
+        from linkedspending_spark.session import get_spark
+        from linkedspending_spark.sources.io import (
+            delete_all_datasets,
+            delete_datasets_bucketed,
+        )
+
+        spark = get_spark(args.cpus, app_name="ls_delete")
+        if args.delete_all:
+            if not args.yes:
+                print("refusing --delete-all without --yes", file=sys.stderr)
+                return 2
+            removed = delete_all_datasets(
+                args.output, manifest_path=args.manifests, spark=spark
+            )
+            print(json.dumps({"deleted_partitions": removed}))
+            return 0
+        names = [n for n in args.delete_datasets.split(",") if n]
+        report = delete_datasets_bucketed(
+            spark,
+            args.output,
+            names,
+            n_buckets=args.buckets,
+            manifest_path=args.manifests,
+        )
+        print(json.dumps(report))
+        return 0
 
     from linkedspending_spark.jobs import (
         run_canonicalize_job,

@@ -215,3 +215,26 @@ def test_delete_bucketed_crash_rollback(spark, tmp_path):
     # every non-victim row — including the crashed bucket's — is back
     assert after == {n: counts[n] for n in names[1:]}
     assert not any(d.startswith("_old_") for d in os.listdir(out))
+
+
+def test_delete_all_bucketed_uncompletes_work_units(spark, tmp_path):
+    """delete_all over the LANDED bucket layout: every bucket dir
+    unlinks and the manifest's own work-unit keys (bucket ids)
+    tombstone — a future convert re-lists every bucket as pending —
+    while config sentinels ("__n_buckets__") survive (jobs.py reads
+    their n_rows directly; int(None) would crash the resume guard)."""
+    out, counts = _bucketed(spark, tmp_path)
+    man = str(tmp_path / "man_bucketed")
+    store = ManifestStore(spark, man)
+    # the transcripts job's manifest shape: bucket ids + the sentinel
+    store.record_many(
+        [(str(b), None, 10) for b in range(4)] + [("__n_buckets__", 4, None)],
+        new_run_id(),
+    )
+    n_dirs = len([d for d in os.listdir(out) if d.startswith("bucket=")])
+    removed = delete_all_datasets(out, manifest_path=man, spark=spark)
+    assert removed == n_dirs and n_dirs > 0
+    assert os.path.isdir(out)
+    assert not any(d.startswith("bucket=") for d in os.listdir(out))
+    done = {r["dataset"] for r in store.completed().collect()}
+    assert done == {"__n_buckets__"}
