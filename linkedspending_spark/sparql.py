@@ -344,6 +344,11 @@ class ParsedQuery:
     having: list[str] = field(default_factory=list)
     #: (translated-sql-expr, alias) per non-aggregate SELECT expression
     select_exprs: list[tuple[str, str]] = field(default_factory=list)
+    #: hidden pre-projections backing EXPRESSION aggregates
+    #: (``SUM(?a * ?b)``): appended to ``groups`` as reserved-name
+    #: BINDs AFTER the body parses (so they evaluate over the full
+    #: solution), aggregated like plain variables, dropped post-agg
+    agg_expr_binds: list[tuple[str, str]] = field(default_factory=list)
     #: query uses LANG()/DATATYPE()/langMatches(): evaluation must
     #: thread the <v>__kind/__datatype/__lang companions internally
     needs_kinds: bool = False
@@ -1453,6 +1458,11 @@ class _Parser:
                 )
         else:
             self.lx.expect_punct(closing)
+        # hidden expression-aggregate operands evaluate as trailing
+        # BINDs — appended AFTER the body so they see every bound
+        # variable (OPTIONAL/UNION/subquery-born included)
+        for sql, name in self.q.agg_expr_binds:
+            self.q.groups.append(("bind", (sql, name, None)))
         q = self.q
         expr_aliases = [a for _, a in q.select_exprs]
         if q.aggregates or q.group_by:
@@ -1784,10 +1794,37 @@ class _Parser:
         if re.match(r"(?is)^\s*(count|sum|min|max|avg|sample)\s*\(", raw):
             m = self._AGG_SPEC.match(raw)
             if m is None:
-                raise SparqlSyntaxError(
-                    f"malformed aggregate ({raw.strip()}) — expected "
-                    "FUNC([DISTINCT] ?var | *) AS ?alias"
+                # EXPRESSION operand — SUM(?a * ?b), COUNT(strlen(?x))
+                # ...: evaluate the inner expression as a hidden
+                # reserved-name BIND over the solution, then aggregate
+                # the hidden column like a plain variable (its NATIVE
+                # column type governs the sum typing — see
+                # _apply_aggregates). DISTINCT over an expression stays
+                # unsupported.
+                me = re.match(
+                    r"(?is)^\s*(count|sum|min|max|avg|sample)\s*"
+                    r"\((.+)\)\s+as\s+\?(\w+)\s*$",
+                    raw,
                 )
+                if me is None or re.match(
+                    r"(?is)^\s*distinct\b", me.group(2)
+                ):
+                    raise SparqlSyntaxError(
+                        f"malformed aggregate ({raw.strip()}) — expected "
+                        "FUNC([DISTINCT] ?var | * | expression) AS ?alias "
+                        "(DISTINCT combines only with a plain ?var)"
+                    )
+                func, body, alias = (
+                    me.group(1).lower(),
+                    me.group(2),
+                    me.group(3),
+                )
+                hidden = f"__aggx{len(self.q.agg_expr_binds)}"
+                self.q.agg_expr_binds.append(
+                    (self._translate_filter(body), hidden)
+                )
+                self.q.aggregates.append((func, hidden, False, alias))
+                return alias
             func, dist, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
             if arg == "*" and func != "count":
                 raise SparqlSyntaxError(f"{func.upper()} needs a ?var")
@@ -2191,16 +2228,31 @@ def _aggregate(df: DataFrame, q: ParsedQuery) -> DataFrame:
     sum separately). AVG casts to double (SPARQL says ``xsd:decimal``
     for integer operands — documented divergence). Non-numeric lexical
     forms → NULL, ignored by the aggregate, matching SPARQL's
-    error-drop; MIN/MAX/SAMPLE stay on the lexical string."""
+    error-drop; MIN/MAX/SAMPLE stay on the lexical string.
+
+    EXPRESSION operands (``SUM(?a * ?b)``) aggregate their hidden
+    BIND column's native type directly (integer expressions sum as
+    long → ``xsd:integer``). Raw arithmetic over a MALFORMED lexical
+    form throws under ANSI (same as BIND — Spark's error message
+    itself points at ``try_cast``); route dirty data through the
+    exposed ``try_cast(?v as double)`` escape hatch for SPARQL's
+    error-drop semantics."""
     missing = [v for v in q.group_by if v not in df.columns]
     if missing:
         raise SparqlSyntaxError(
             f"GROUP BY variable(s) {missing} are bound by no pattern"
         )
+    dtypes = dict(df.dtypes)
     sum_vars = sorted({
         var
         for func, var, _, _ in q.aggregates
-        if func == "sum" and var is not None and var in df.columns
+        # the lexical-form long-vs-double pre-scan applies to STRING
+        # columns only: a hidden expression column already carries its
+        # native numeric type (try_cast(double AS long) truncates, so
+        # running the pre-scan on one would mistype fractional sums)
+        if func == "sum"
+        and var is not None
+        and dtypes.get(var) == "string"
     })
     int_sum: set[str] = set()
     if sum_vars:
@@ -2234,6 +2286,11 @@ def _aggregate(df: DataFrame, q: ParsedQuery) -> DataFrame:
                 expr = F.count(F.col(var))
         elif func == "sum" and var in int_sum:
             expr = F.sum(F.col(var).try_cast("long"))
+        elif func in ("sum", "avg") and dtypes.get(var) != "string":
+            # expression operand with a native (non-string) type:
+            # aggregate directly — Spark's own typing governs (long
+            # sums stay long, double stays double)
+            expr = F.sum(F.col(var)) if func == "sum" else F.avg(F.col(var))
         elif func in ("sum", "avg"):
             # try_cast, not cast: under ANSI a non-numeric lexical form
             # must DROP from the aggregate (SPARQL error-drop), not
@@ -2250,10 +2307,9 @@ def _aggregate(df: DataFrame, q: ParsedQuery) -> DataFrame:
             # partitionings/retries (documented choice — an unordered
             # concat is useless as a stable serving response).
             # collect_list/collect_set skip NULLs = SPARQL error-drop.
+            gc_col = F.col(var).cast("string")  # exprs may be non-string
             collected = (
-                F.collect_set(F.col(var))
-                if dist
-                else F.collect_list(F.col(var))
+                F.collect_set(gc_col) if dist else F.collect_list(gc_col)
             )
             expr = F.array_join(
                 F.array_sort(collected), q.agg_separators.get(alias, " ")

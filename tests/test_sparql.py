@@ -1454,3 +1454,54 @@ def test_w3c_typing_of_constructed_terms(spark):
     assert b["u"] == {"type": "uri", "value": "http://y/alpha"}
     assert b["l"] == {"type": "literal", "value": "alpha",
                       "xml:lang": "en"}
+
+
+def test_expression_aggregates(spark):
+    """Aggregates over EXPRESSIONS — SUM(?a * ?b), COUNT(strlen(?x)) —
+    evaluate the operand as a hidden reserved-name BIND and aggregate
+    its native column type: integer expressions sum as long
+    (xsd:integer in W3C output), fractional as double. try_cast is the
+    documented escape hatch for malformed operands (error-drop); raw
+    arithmetic over dirty lexical forms follows BIND's ANSI semantics."""
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [("a", "p", "2"), ("a", "p", "3"), ("b", "p", "4"), ("b", "q", "x")],
+        "s string, p string, o string",
+    ).withColumn("dataset", F.lit("d"))
+
+    got = select_text(
+        t,
+        "select ?s (sum(?o * 2) as ?x) { ?s <p> ?o } "
+        "group by ?s order by ?s",
+    )
+    assert [tuple(r) for r in got.collect()] == [("a", 10), ("b", 8)]
+    assert dict(got.dtypes)["x"] == "bigint"  # integer expr sums long
+
+    got = select_text(t, "select (avg(?o * 10) as ?x) { ?s <p> ?o }")
+    assert [tuple(r) for r in got.collect()] == [(30.0,)]
+
+    # error-drop via the try_cast escape hatch: 'x' -> NULL -> ignored
+    got = select_text(
+        t,
+        "select (sum(try_cast(?o as double) * 0.5) as ?x) { ?s ?p ?o }",
+    ).collect()
+    assert got[0]["x"] == 4.5
+
+    # built-ins compose inside the operand
+    got = select_text(
+        t,
+        "select ?s (sum(strlen(?o)) as ?x) { ?s ?p ?o } "
+        "group by ?s order by ?s",
+    ).collect()
+    assert [tuple(r) for r in got] == [("a", 2), ("b", 2)]
+
+    # the hidden column never leaks into the output
+    got = select_text(
+        t, "select (max(?o * 1) as ?x) { ?s <p> ?o }"
+    )
+    assert got.columns == ["x"]
+
+    # DISTINCT over an expression stays a loud parse error
+    with pytest.raises(SparqlSyntaxError, match="DISTINCT"):
+        parse_select("select (sum(distinct ?o * 2) as ?x) { ?s ?p ?o }")
