@@ -1729,9 +1729,13 @@ class _Parser:
         r"\(\s*(distinct\s+)?(\?\w+|\*)\s*\)\s+as\s+\?(\w+)\s*$"
     )
 
+    #: aggregate call inside a direct-form HAVING; the operand group
+    #: admits one paren-nesting level so EXPRESSION operands with
+    #: built-in calls (SUM(strlen(?x))) match — deeper nesting falls
+    #: through to the loud aggregates-belong-in-SELECT refusal
     _HAVING_AGG = re.compile(
         r"(?i)\b(count|sum|min|max|avg|sample)\s*"
-        r"\(\s*(distinct\s+)?(\?\w+|\*)\s*\)"
+        r"\(\s*(distinct\s+)?((?:[^()]|\([^()]*\))*)\)"
     )
 
     def _rewrite_having_aggs(self) -> str:
@@ -1745,7 +1749,7 @@ class _Parser:
             func, dist, arg = (
                 m.group(1).lower(),
                 bool(m.group(2)),
-                m.group(3),
+                m.group(3).strip(),
             )
             if arg == "*" and func != "count":
                 raise SparqlSyntaxError(f"{func.upper()} needs a ?var")
@@ -1753,8 +1757,20 @@ class _Parser:
                 raise SparqlSyntaxError(
                     f"DISTINCT inside {func.upper()} is not supported"
                 )
-            var = None if arg == "*" else arg[1:]
             alias = f"__agg{len(self.q.aggregates)}"
+            if arg == "*" or re.fullmatch(r"\?\w+", arg):
+                var = None if arg == "*" else arg[1:]
+            else:
+                # EXPRESSION operand — same hidden-BIND machinery as
+                # the SELECT-clause form
+                if dist:
+                    raise SparqlSyntaxError(
+                        "DISTINCT combines only with a plain ?var"
+                    )
+                var = f"__aggx{len(self.q.agg_expr_binds)}"
+                self.q.agg_expr_binds.append(
+                    (self._translate_filter(arg), var)
+                )
             self.q.aggregates.append((func, var, dist, alias))
             return "?" + alias
 

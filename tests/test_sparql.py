@@ -1505,3 +1505,27 @@ def test_expression_aggregates(spark):
     # DISTINCT over an expression stays a loud parse error
     with pytest.raises(SparqlSyntaxError, match="DISTINCT"):
         parse_select("select (sum(distinct ?o * 2) as ?x) { ?s ?p ?o }")
+
+
+def test_having_expression_aggregates(spark):
+    """Direct-form HAVING admits EXPRESSION operands too —
+    HAVING(SUM(?o * 2) > 5) — via the same hidden-BIND machinery; the
+    operand regex takes one paren-nesting level (SUM(strlen(?x)))."""
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [("a", "p", "2"), ("a", "p", "3"), ("b", "p", "4"), ("c", "p", "1")],
+        "s string, p string, o string",
+    ).withColumn("dataset", F.lit("d"))
+    got = select_text(
+        t,
+        "select ?s { ?s ?p ?o } group by ?s "
+        "having(sum(?o * 2) > 5) order by ?s",
+    ).collect()
+    assert [r["s"] for r in got] == ["a", "b"]
+    got = select_text(
+        t,
+        "select ?s { ?s ?p ?o } group by ?s "
+        "having(sum(strlen(?o)) >= 2) order by ?s",
+    ).collect()
+    assert [r["s"] for r in got] == ["a"]
