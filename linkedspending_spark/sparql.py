@@ -1738,6 +1738,16 @@ class _Parser:
         r"\(\s*(distinct\s+)?((?:[^()]|\([^()]*\))*)\)"
     )
 
+    def _order_expr_key(self, body: str) -> str:
+        """ORDER BY expression key → hidden BIND column (same
+        machinery as expression aggregates; evaluated over full
+        solutions, dropped from the output)."""
+        name = "__ordx%d" % sum(
+            1 for _, n in self.q.agg_expr_binds if n.startswith("__ordx")
+        )
+        self.q.agg_expr_binds.append((self._translate_filter(body), name))
+        return name
+
     def _rewrite_having_aggs(self) -> str:
         """``HAVING(COUNT(?x) > 5)`` — the spec's direct form: each
         aggregate call becomes a HIDDEN aggregate alias (``?__aggN``,
@@ -1888,14 +1898,36 @@ class _Parser:
                     self.lx.next()
                     self.q.order_by.append(text)
                 elif kind == "word" and text.lower() in ("asc", "desc"):
+                    sign = "-" if text.lower() == "desc" else ""
                     self.lx.next()
-                    self.lx.expect_punct("(")
-                    k, v = self.lx.next()
-                    if k != "var":
-                        raise SparqlSyntaxError("ASC/DESC needs a ?var")
-                    self.lx.expect_punct(")")
+                    raw = self.lx.raw_parens().strip()
+                    if re.fullmatch(r"\?\w+", raw):
+                        self.q.order_by.append(sign + raw)
+                    else:  # ASC/DESC over an EXPRESSION
+                        self.q.order_by.append(
+                            sign + "?" + self._order_expr_key(raw)
+                        )
+                elif (
+                    kind == "word"
+                    and text.lower() not in ("limit", "offset", "values")
+                ) or text == "(":
+                    # bare expression key — BUILTIN(...) call or a
+                    # parenthesized expression. The follower clauses
+                    # LIMIT/OFFSET/VALUES are excluded by name
+                    # (multi-var VALUES (?a ?b) {...} starts with a
+                    # paren); any other word is a key only when a "("
+                    # follows.
+                    st = self.lx.save()
+                    if kind == "word":
+                        self.lx.next()
+                        if self.lx.peek()[1] != "(":
+                            self.lx.restore(st)
+                            break
+                        raw = text + "(" + self.lx.raw_parens() + ")"
+                    else:
+                        raw = "(" + self.lx.raw_parens() + ")"
                     self.q.order_by.append(
-                        ("-" if text.lower() == "desc" else "") + v
+                        "?" + self._order_expr_key(raw)
                     )
                 else:
                     break
@@ -2666,6 +2698,12 @@ def select_text(
             desc = tok.startswith("-")
             var = tok.lstrip("-").lstrip("?")
             if var not in d.columns:
+                if var.startswith("__ordx"):
+                    raise SparqlSyntaxError(
+                        "ORDER BY expression keys are not supported "
+                        "with DISTINCT or aggregation — order by a "
+                        "projected/grouped variable or aggregate alias"
+                    )
                 raise SparqlSyntaxError(
                     f"ORDER BY ?{var} must be projected when DISTINCT "
                     "is used"
@@ -2703,6 +2741,11 @@ def select_text(
             df = _order(df)
         if q.project is not None:
             df = _project(df)
+    ordx = [c for c in df.columns if c.startswith("__ordx")]
+    if ordx:
+        # expression ORDER BY keys are internal — SELECT * must not
+        # leak them (projection already excludes them when explicit)
+        df = df.drop(*ordx)
     limit = q.limit
     if limit_cap is not None:
         limit = limit_cap if limit is None else min(limit, limit_cap)

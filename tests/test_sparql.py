@@ -1529,3 +1529,37 @@ def test_having_expression_aggregates(spark):
         "having(sum(strlen(?o)) >= 2) order by ?s",
     ).collect()
     assert [r["s"] for r in got] == ["a"]
+
+
+def test_order_by_expressions(spark):
+    """ORDER BY takes expression keys — bare BUILTIN(...) calls,
+    parenthesized expressions, ASC/DESC over either — via hidden BIND
+    columns evaluated over full solutions and dropped from the output
+    (SELECT * never leaks them). DISTINCT + expression key refuses
+    (the spec's ORDER-keys-must-be-projected restriction); trailing
+    VALUES after ORDER BY still parses (keyword excluded by name)."""
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [("a", "p", "xx"), ("b", "p", "y"), ("c", "p", "zzz")],
+        "s string, p string, o string",
+    ).withColumn("dataset", F.lit("d"))
+
+    got = select_text(t, "select ?s { ?s ?p ?o } order by strlen(?o)")
+    assert [r["s"] for r in got.collect()] == ["b", "a", "c"]
+    got = select_text(
+        t, "select * { ?s ?p ?o } order by desc(strlen(?o))"
+    )
+    assert got.columns == ["s", "p", "o"]  # no hidden-key leak
+    assert [r["s"] for r in got.collect()] == ["c", "a", "b"]
+    with pytest.raises(SparqlSyntaxError, match="expression keys"):
+        select_text(
+            t, "select distinct ?s { ?s ?p ?o } order by strlen(?o)"
+        ).collect()
+    # trailing VALUES still follows ORDER BY
+    got = select_text(
+        t,
+        "select ?s { ?s ?p ?o } order by strlen(?o) "
+        'values ?s { "a" "c" }',
+    ).collect()
+    assert [r["s"] for r in got] == ["a", "c"]
