@@ -57,11 +57,24 @@ evaluates):
   ``sameTerm`` (term identity, not lexical equality); LANG of a
   URI / DATATYPE of a URI is NULL = SPARQL's expression error (row
   drops in FILTER). ``isNumeric(?x)`` tests the lexical form via
-  try_cast (works on kinds-less tables). Other unknown function
-  names and ``xsd:type(?x)`` cast syntax are rejected at translate
-  time (a clean 400 on the REST path, not an analyzer 500).
+  try_cast (works on kinds-less tables); ``isBlank(?x)`` evaluates
+  the kind column — constantly false over engine-built tables (the
+  converter mints URIs). ``REGEX``/``REPLACE`` take the optional
+  FLAGS argument (i/s/m/x fold into a Java embedded-flag prefix;
+  XPath 'q' has no Java form — loud 400); ``TZ(?x)`` extracts the
+  lexical timezone string ("Z", "+05:00", or ""). Other unknown
+  function names and ``xsd:type(?x)`` cast syntax are rejected at
+  translate time (a clean 400 on the REST path, not an analyzer 500).
 * ``BIND(expr AS ?v)`` — the expression (same translator as FILTER)
-  is evaluated in source order and bound to a new variable.
+  is evaluated in source order and bound to a new variable. The RDF
+  term CONSTRUCTORS ``IRI/URI(expr)``, ``STRLANG(expr, "tag")`` and
+  ``STRDT(expr, <dt>)`` are recognized at the BIND top level: the
+  value is the inner expression's lexical form and the constructed
+  kind/datatype/lang ride along as constant companions (visible to
+  LANG()/DATATYPE()/isURI() downstream and to the REST layer's W3C
+  term typing). Nondeterministic built-ins (RAND/NOW/UUID/STRUUID/
+  BNODE) refuse by name — solutions must be reproducible across
+  retried Spark tasks; TIMEZONE() points at TZ().
 * ``SELECT (expr AS ?v)`` — non-aggregate projection expressions,
   applied after grouping (expressions may reference aggregate
   aliases and grouped variables).
@@ -78,8 +91,12 @@ evaluates):
 * Aggregates: ``SELECT (COUNT(?x) AS ?n) ?g ... GROUP BY ?g
   HAVING(...)`` with COUNT / COUNT(DISTINCT ?x) / COUNT(*) / SUM / AVG
   / MIN / MAX / SAMPLE / GROUP_CONCAT([DISTINCT] ?x [; SEPARATOR=".."]);
+  operands may be full EXPRESSIONS (``SUM(?a * ?b)``,
+  ``COUNT(strlen(?x))``) — evaluated as hidden BINDs and aggregated by
+  their native column type (integer expressions sum as long);
   HAVING takes alias references AND the spec's direct form
-  (``HAVING(COUNT(?x) > 5)`` — rewritten to hidden aliases); a trailing
+  (``HAVING(COUNT(?x) > 5)`` / ``HAVING(SUM(?a * 2) > 5)`` — rewritten
+  to hidden aliases); a trailing
   ``VALUES`` clause joins after grouping (§18.2.4)
   — GROUP_CONCAT sorts the collected values first (SPARQL leaves the
   order unspecified; deterministic output is the serving-path choice). SUM aggregates as long when every operand's
@@ -88,10 +105,13 @@ evaluates):
   (SPARQL says ``xsd:decimal`` for integers — documented divergence);
   MIN/MAX compare lexical forms (ISO dates order correctly;
   zero-padded numbers do too).
-* ``ORDER BY [ASC(?v)|DESC(?v)|?v]...``, ``LIMIT n`` and ``OFFSET n``
-  (either order). NOTE: OFFSET paging is only stable under a total
-  ORDER BY — an unordered offset walks an arbitrary (plan-dependent)
-  solution order, same as SQL.
+* ``ORDER BY [ASC(key)|DESC(key)|key]...`` where a key is a ``?var``
+  or an EXPRESSION (``strlen(?o)``, ``(?a + ?b)`` — hidden BIND
+  columns, never leaked into SELECT * output; refused under DISTINCT /
+  aggregation per the projected-keys restriction), ``LIMIT n`` and
+  ``OFFSET n`` (either order). NOTE: OFFSET paging is only stable
+  under a total ORDER BY — an unordered offset walks an arbitrary
+  (plan-dependent) solution order, same as SQL.
 * ``CONSTRUCT { template } WHERE { ... }`` — returns a GRAPH as the
   engine's own triple-table shape (s, p, o, o_kind, o_datatype,
   o_lang): one narrow projection per template triple, plan-level
