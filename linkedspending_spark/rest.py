@@ -25,6 +25,11 @@ Endpoints::
                            (Rest.java:120-123 datasets cache analog)
     GET  /jobs             jobs.list_runs rollup (one row per run)
     GET  /jobs/active      this process's in-flight submissions
+    GET  /jobs/{id}        one submission's state (Job.java:130 analog)
+    GET|POST /jobs/removeinactive  prune finished/failed/cancelled
+                           submissions from the in-process table
+                           (Job.java:104 analog; persisted history
+                           untouched)
     POST /jobs/convert     {"input": <transcripts parquet>, "output": ...,
                            "manifests": ..., "n_buckets": N, ...}
                            run_transcripts_job on a worker thread
@@ -63,6 +68,7 @@ Endpoints::
 from __future__ import annotations
 
 import json
+import re
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -115,6 +121,8 @@ class RestService:
             "jobs_active": "/jobs/active",
             "convert": "POST /jobs/convert",
             "cancel": "POST /jobs/cancel/{id}",
+            "job_status": "/jobs/{id}",
+            "remove_inactive": "/jobs/removeinactive",
             "history": "/jobs/history/{run_id}",
             "feed": "/feed (RSS 2.0 of recent job events)",
             "triples": "/triples?s=&p=&o=&dataset=&limit=",
@@ -156,7 +164,15 @@ class RestService:
                 F.sum("n_triples").alias("n_triples"),
                 F.max("finished_at").alias("finished_at"),
                 F.count(F.lit(1)).alias("n_commits"),
+                # latest-row-wins (the manifest's log-structured read):
+                # a dataset whose newest row is a deletion tombstone is
+                # GONE from the listing, like the dropped named graph
+                F.max(
+                    F.struct("finished_at", "run_id", "version")
+                ).alias("__last"),
             )
+            .where(F.col("__last.version") >= 0)
+            .drop("__last")
             .orderBy("dataset")
         )
         with self._cache_lock:
@@ -340,6 +356,43 @@ class RestService:
                 }
                 for jid, e in sorted(self._jobs.items())
             ]
+
+    def job_status(self, jid: str) -> dict:
+        """GET /jobs/{id}: one submission's state (the Job.java:130
+        ``/jobs/{datasetname}`` analog, keyed by submission id)."""
+        with self._jobs_lock:
+            e = self._jobs.get(jid)
+            if e is None:
+                raise _HttpError(404, f"no job {jid!r}")
+            return {
+                "job": jid,
+                "state": e["state"],
+                "kind": e["kind"],
+                "run_id": e.get("run_id"),
+                "thread_alive": (
+                    e.get("thread") is not None and e["thread"].is_alive()
+                ),
+                "report": e.get("report"),
+                "error": e.get("error"),
+            }
+
+    def job_remove_inactive(self) -> dict:
+        """``/jobs/removeinactive`` (Job.java:104): drop submission
+        entries whose work is over — any non-RUNNING state with no
+        live worker thread (a CANCELLED entry still unwinding its
+        worker survives until the thread exits). The persisted run
+        history (manifests + metrics) is untouched; this prunes only
+        the in-process tracking table."""
+        removed = []
+        with self._jobs_lock:
+            for jid, e in list(self._jobs.items()):
+                alive = (
+                    e.get("thread") is not None and e["thread"].is_alive()
+                )
+                if e["state"] != "RUNNING" and not alive:
+                    removed.append(jid)
+                    del self._jobs[jid]
+        return {"removed": sorted(removed)}
 
     def job_history(self, run_id: str) -> list:
         """GET /jobs/history/{run_id}: the run's persisted lifecycle
@@ -800,6 +853,13 @@ def _make_handler(service: RestService):
             if fn is None and url.path.startswith("/jobs/history/"):
                 run_id = url.path[len("/jobs/history/"):]
                 fn = lambda: service.job_history(run_id)  # noqa: E731
+            if fn is None and url.path == "/jobs/removeinactive":
+                # the reference exposes this as GET (Job.java:104);
+                # also accepted as POST below
+                fn = service.job_remove_inactive
+            if fn is None and re.fullmatch(r"/jobs/[^/]+", url.path):
+                jid = url.path[len("/jobs/"):]
+                fn = lambda: service.job_status(jid)  # noqa: E731
             if fn is None:
                 self._reply(404, {"error": f"no route {url.path}"})
             else:
@@ -847,6 +907,8 @@ def _make_handler(service: RestService):
                 self._dispatch(lambda: service.sparql(body))
             elif url.path == "/jobs/convert":
                 self._dispatch(lambda: service.job_convert(body))
+            elif url.path == "/jobs/removeinactive":
+                self._dispatch(service.job_remove_inactive)
             elif url.path.startswith("/jobs/cancel/"):
                 jid = url.path.rsplit("/", 1)[1]
                 self._dispatch(lambda: service.job_cancel(jid))

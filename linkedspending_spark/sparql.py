@@ -964,7 +964,7 @@ class _Parser:
     )
     _STRBA_CALL = re.compile(
         r"(?i)\bstr(before|after)\s*\(\s*(\?\w+)\s*,\s*"
-        r"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')\s*\)"
+        r"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'|\?\w+)\s*\)"
     )
     _ENC_CALL = re.compile(r"(?i)\bencode_for_uri\s*\(\s*(\?\w+)\s*\)")
     _TZ_CALL = re.compile(r"(?i)\btz\s*\(\s*(\?\w+)\s*\)")
@@ -1081,7 +1081,12 @@ class _Parser:
             return "'" + val.replace("'", "''") + "'", len(val)
 
         def strba(m: re.Match) -> str:
-            v, (s, n) = m.group(2), _needle_sql(m.group(3))
+            v, tok = m.group(2), m.group(3)
+            if tok.startswith("?"):  # variable needle — emit strlen,
+                # the name the MAIN pass maps to Spark's length()
+                s, n = tok, f"strlen({tok})"
+            else:
+                s, n = _needle_sql(tok)
             pos = f"instr({v}, {s})"
             if m.group(1).lower() == "before":
                 # STRBEFORE(x, ""): instr = 1 → substr(x, 1, 0) = "" ✓

@@ -884,3 +884,83 @@ def test_sparql_protocol_post_bindings(rest_server):
     # malformed SPARQL is a 400 with the parser's message
     status, _, body = post_raw(b"selct nope", "application/sparql-query")
     assert status == 400
+
+
+def test_job_status_and_remove_inactive(rest_server, spark, tmp_path):
+    """GET /jobs/{id} answers one submission's state (Job.java:130
+    analog); /jobs/removeinactive (GET per the reference, POST too)
+    prunes terminal submissions from the in-process table while the
+    persisted run history survives."""
+    import time as _time
+
+    from linkedspending_spark.transcripts import synth_transcripts_df
+
+    base, service = rest_server
+    inp = str(tmp_path / "transcripts_ri")
+    synth_transcripts_df(service.spark, n_convs=4, base_turns=3).write.parquet(
+        inp
+    )
+    body = {
+        "input": inp,
+        "output": str(tmp_path / "out_ri"),
+        "manifests": str(tmp_path / "manifests_ri"),
+        "n_buckets": 2,
+    }
+    status, sub = _post(base + "/jobs/convert", body)
+    assert status == 200
+    jid = sub["job"]
+    # single-job status while it exists
+    for _ in range(480):
+        status, e = _get(base + "/jobs/" + jid)
+        assert status == 200 and e["job"] == jid
+        if e["state"] != "RUNNING":
+            break
+        _time.sleep(0.25)
+    assert e["state"] == "FINISHED"
+    run_id = e["run_id"]
+
+    # removeinactive prunes it (GET binding, as the reference exposes)
+    status, out = _get(base + "/jobs/removeinactive")
+    assert status == 200 and jid in out["removed"]
+    assert _get_err(base + "/jobs/" + jid)[0] == 404
+    _, active = _get(base + "/jobs/active")
+    assert all(a["job"] != jid for a in active)
+    # POST binding answers too, now a no-op
+    status, out = _post(base + "/jobs/removeinactive", {})
+    assert status == 200 and out["removed"] == []
+    # the persisted run record survives the prune: the job's manifest
+    # store still carries its completion rows (the prune touches only
+    # the in-process table; history-endpoint restart survival is
+    # covered by test_job_history_endpoint_survives_restart)
+    from linkedspending_spark.sources.manifest import ManifestStore
+
+    rows = (
+        ManifestStore(spark, body["manifests"])
+        .read()
+        .where(F.col("run_id") == run_id)
+        .count()
+    )
+    assert rows > 0
+    # unknown id still 404s
+    assert _get_err(base + "/jobs/nope")[0] == 404
+
+
+def test_datasets_listing_hides_tombstoned(rest_server, spark):
+    """A dataset whose LATEST manifest row is a deletion tombstone
+    drops out of /datasets (latest-row-wins, like the dropped named
+    graph); a later re-completion brings it back."""
+    from linkedspending_spark.sources.manifest import ManifestStore
+
+    base, service = rest_server
+    store = ManifestStore(spark, service.manifest_path)
+    store.record("conv-zz", 5, 77, run_id="run-z")
+    service._datasets_cache = None
+    assert "conv-zz" in {d["dataset"] for d in _get(base + "/datasets")[1]}
+    store.tombstone(["conv-zz"], "run-z2")
+    service._datasets_cache = None
+    assert "conv-zz" not in {
+        d["dataset"] for d in _get(base + "/datasets")[1]
+    }
+    store.record("conv-zz", 5, 78, run_id="run-z3")
+    service._datasets_cache = None
+    assert "conv-zz" in {d["dataset"] for d in _get(base + "/datasets")[1]}

@@ -1195,9 +1195,13 @@ def test_string_numeric_builtins(spark):
     # composite operands stay loud parse errors, never mis-evaluate
     with pytest.raises(SparqlSyntaxError, match="round"):
         select_text(t, "select ?s { ?s ?p ?o filter(round(strlen(?o)) = 2) }")
+    # var needles are supported now (round 5); a COMPOSITE first
+    # argument still refuses loudly
+    assert subs('strbefore(?o, ?o) = ""') == sorted(all_s)
     with pytest.raises(SparqlSyntaxError, match="strbefore"):
         select_text(
-            t, 'select ?s { ?s ?p ?o filter(strbefore(?o, ?o) = "x") }'
+            t,
+            'select ?s { ?s ?p ?o filter(strbefore(ucase(?o), "H") = "x") }',
         )
     # quoted text containing a call shape is data, not a built-in
     assert subs('?o != "round(1)"') == sorted(all_s)
@@ -1563,3 +1567,24 @@ def test_order_by_expressions(spark):
         'values ?s { "a" "c" }',
     ).collect()
     assert [r["s"] for r in got] == ["a", "c"]
+
+
+def test_strbefore_strafter_variable_needle(spark):
+    """STRBEFORE/STRAFTER take a VARIABLE needle too (round 5): the
+    rewrite carries instr + length over the needle column."""
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [("a", "-", "x-y"), ("b", "=", "k=v"), ("c", ":", "noseparator")],
+        "s string, p string, o string",
+    ).withColumn("dataset", F.lit("d"))
+    got = select_text(
+        t,
+        "select ?s (strafter(?o, ?p) as ?tail) "
+        "(strbefore(?o, ?p) as ?head) { ?s ?p ?o } order by ?s",
+    ).collect()
+    assert [(r["s"], r["head"], r["tail"]) for r in got] == [
+        ("a", "x", "y"),
+        ("b", "k", "v"),
+        ("c", "", ""),  # needle absent -> "" per 17.4.3.4
+    ]
