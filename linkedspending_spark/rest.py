@@ -223,6 +223,13 @@ class RestService:
 
             try:
                 p = parse_select(body["query"])
+                # W3C protocol dataset parameters OVERRIDE the query's
+                # own FROM/FROM NAMED (sparql11-protocol 2.1.4)
+                dgu = body.get("default_graph_uri")
+                ngu = body.get("named_graph_uri")
+                if dgu is not None or ngu is not None:
+                    p.from_graphs = list(dgu or [])
+                    p.from_named = list(ngu or [])
                 df = select_text(
                     self.triples,
                     body["query"],
@@ -845,7 +852,13 @@ def _make_handler(service: RestService):
                     q = qs.get("query", [None])[0]
                     if not q:
                         raise _HttpError(400, "GET /sparql needs ?query=")
-                    return service.sparql({"query": q, "format": fmt})
+                    body = {"query": q, "format": fmt}
+                    # protocol dataset parameters (2.1.4)
+                    if "default-graph-uri" in qs:
+                        body["default_graph_uri"] = qs["default-graph-uri"]
+                    if "named-graph-uri" in qs:
+                        body["named_graph_uri"] = qs["named-graph-uri"]
+                    return service.sparql(body)
 
                 self._dispatch(_sparql_get)
                 return
@@ -886,15 +899,25 @@ def _make_handler(service: RestService):
                 fmt = _accept_format(self.headers.get("Accept"))
 
                 def _w3c_post():
+                    # protocol dataset params: from the URL query
+                    # string (direct-body form) or the form fields
+                    params = parse_qs(urlparse(self.path).query)
                     if ctype == "application/sparql-query":
                         q = raw.decode("utf-8")
                     else:
-                        q = parse_qs(raw.decode("utf-8")).get(
-                            "query", [None]
-                        )[0]
+                        form = parse_qs(raw.decode("utf-8"))
+                        q = form.get("query", [None])[0]
+                        for k in ("default-graph-uri", "named-graph-uri"):
+                            if k in form:
+                                params[k] = form[k]
                     if not q:
                         raise _HttpError(400, "POST /sparql needs a query")
-                    return service.sparql({"query": q, "format": fmt})
+                    body = {"query": q, "format": fmt}
+                    if "default-graph-uri" in params:
+                        body["default_graph_uri"] = params["default-graph-uri"]
+                    if "named-graph-uri" in params:
+                        body["named_graph_uri"] = params["named-graph-uri"]
+                    return service.sparql(body)
 
                 self._dispatch(_w3c_post)
                 return

@@ -123,6 +123,10 @@ def match(
     """
     df = triples
     if dataset is not None:
+        # a list = a SET of graphs (FROM dataset clauses); an empty
+        # list = the EMPTY default graph (SPARQL 13.2: FROM NAMED
+        # without FROM) — matches nothing
+        names = [dataset] if isinstance(dataset, str) else sorted(dataset)
         if manifest_path is not None:
             recorded = manifest_n_buckets(triples.sparkSession, manifest_path)
             if (
@@ -137,10 +141,25 @@ def match(
                 )
             n_buckets = recorded if recorded is not None else n_buckets
         if n_buckets is not None and "bucket" in df.columns:
+            from functools import reduce
+
             from .jobs import bucket_of
 
-            df = df.where(F.col("bucket") == bucket_of(F.lit(dataset), n_buckets))
-        df = df.where(F.col("dataset") == dataset)
+            df = df.where(
+                reduce(
+                    lambda a, b: a | b,
+                    [
+                        F.col("bucket") == bucket_of(F.lit(x), n_buckets)
+                        for x in names
+                    ],
+                    F.lit(False),
+                )
+            )
+        df = df.where(
+            F.col("dataset") == names[0]
+            if len(names) == 1
+            else F.col("dataset").isin(names)
+        )
     df = _term_filter(df, "s", s)
     df = _term_filter(df, "p", p)
     df = _term_filter(df, "o", o)
@@ -500,12 +519,13 @@ def select_sparql(
     distinct: bool = False,
     order_by: Sequence[str] = (),
     limit: int | None = None,
-    dataset: str | None = None,
+    dataset: str | list[str] | None = None,
     n_buckets: int | None = None,
     manifest_path: str | None = None,
     stats: dict | None = None,
     groups: Sequence[tuple] | None = None,
     with_kinds: bool = False,
+    named_datasets: list[str] | None = None,
 ) -> DataFrame:
     """SPARQL SELECT beyond the conjunctive BGP: OPTIONAL + FILTER +
     UNION + DISTINCT/ORDER BY/LIMIT over :func:`select_bgp` groups
@@ -649,7 +669,7 @@ def select_sparql(
         nullable |= set(sub_nullable)
     elif groups and groups[0][0] == "graph":
         # a query that IS a GRAPH group: its scoped BGP is the base
-        df = _eval_graph(triples, groups.pop(0)[1], kw)
+        df = _eval_graph(triples, groups.pop(0)[1], kw, named_datasets)
     elif groups and groups[0][0] == "path":
         # a query that IS a quantified property path: the closure's
         # solutions are the base
@@ -876,7 +896,7 @@ def select_sparql(
                 bound.add(name + "__datatype")
                 bound.add(name + "__lang")
         elif kind == "graph":
-            g = _eval_graph(triples, payload, kw)
+            g = _eval_graph(triples, payload, kw, named_datasets)
             shared = _join_vars(g.columns)
             if with_kinds and shared:
                 g = g.drop(
@@ -1053,7 +1073,9 @@ def _values_df(spark: SparkSession, names: Sequence[str], rows) -> DataFrame:
     return spark.sql(f"SELECT * FROM (VALUES {body}) AS t({cols})")
 
 
-def _eval_graph(triples: DataFrame, payload: tuple, kw: dict) -> DataFrame:
+def _eval_graph(
+    triples: DataFrame, payload: tuple, kw: dict, named: list | None = None
+) -> DataFrame:
     """One ``GRAPH term { patterns }`` group. Named graphs are the
     triple table's ``dataset`` partitions, addressed as the reference's
     sub-graph URIs ``<PREFIX_GRAPH><datasetName>`` (Virtuoso.java:30).
@@ -1072,7 +1094,16 @@ def _eval_graph(triples: DataFrame, payload: tuple, kw: dict) -> DataFrame:
 
     g_term, pats = payload
     if _is_var(g_term):
-        return select_bgp(triples, pats, graph_var=g_term, **kw)
+        kw2 = dict(kw)
+        if named is not None:
+            # FROM NAMED: the graph variable ranges over exactly the
+            # listed graphs ([] = no named graphs = zero solutions)
+            kw2["dataset"] = named
+        elif isinstance(kw2.get("dataset"), (list, tuple)):
+            # a FROM default-graph scope does NOT constrain GRAPH —
+            # the clause switches the active graph
+            kw2["dataset"] = None
+        return select_bgp(triples, pats, graph_var=g_term, **kw2)
     if "dataset" not in triples.columns:
         raise ValueError(
             "GRAPH needs a triple table carrying the 'dataset' "
@@ -1083,8 +1114,11 @@ def _eval_graph(triples: DataFrame, payload: tuple, kw: dict) -> DataFrame:
     else:
         name = g_term[len(_M.PREFIX_GRAPH):]
     caller_ds = kw.get("dataset")
-    if caller_ds is not None and caller_ds != name:
-        # outer scope and the GRAPH clause name different graphs
+    if isinstance(caller_ds, str) and caller_ds != name:
+        # outer serving scope and the GRAPH clause name different graphs
+        return select_bgp(triples, pats, **kw).where(F.lit(False))
+    if named is not None and name not in named:
+        # dataset description present: GRAPH sees only FROM NAMED graphs
         return select_bgp(triples, pats, **kw).where(F.lit(False))
     kw2 = dict(kw)
     kw2["dataset"] = name

@@ -364,6 +364,12 @@ class ParsedQuery:
     having: list[str] = field(default_factory=list)
     #: (translated-sql-expr, alias) per non-aggregate SELECT expression
     select_exprs: list[tuple[str, str]] = field(default_factory=list)
+    #: dataset description (SPARQL 13.2): FROM graph URIs (merged as
+    #: the default graph) and FROM NAMED graph URIs (the graphs GRAPH
+    #: clauses may address). Empty lists when absent — a present
+    #: description with no FROM means the EMPTY default graph.
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
     #: hidden pre-projections backing EXPRESSION aggregates
     #: (``SUM(?a * ?b)``): appended to ``groups`` as reserved-name
     #: BINDs AFTER the body parses (so they evaluate over the full
@@ -1342,6 +1348,7 @@ class _Parser:
         if word == "ask":  # ASK { ... }: any solution exists?
             self.lx.next()
             self.q.ask = True
+            self._dataset_clauses()
             if self.lx.next_word() == "where":
                 self.lx.next()
             self._group_body()
@@ -1371,6 +1378,7 @@ class _Parser:
                     "DESCRIBE needs at least one <resource> or ?var"
                 )
             self.q.describe = terms
+            self._dataset_clauses()
             if self.lx.next_word() == "where":
                 self.lx.next()
                 self._group_body()
@@ -1393,6 +1401,15 @@ class _Parser:
             return self.q
         if word == "construct":
             self.lx.next()
+            if self.lx.next_word() == "from":
+                # §10.2.2 shorthand grammar admits DatasetClause*
+                # between CONSTRUCT and WHERE
+                self._dataset_clauses()
+                if self.lx.next_word() != "where":
+                    raise SparqlSyntaxError(
+                        "CONSTRUCT FROM ... needs WHERE { ... } (the "
+                        "shorthand form) or a template before FROM"
+                    )
             if self.lx.next_word() == "where":
                 # §10.2.2 CONSTRUCT WHERE { ... } shorthand: the WHERE
                 # group IS the template. Parse the braced block twice —
@@ -1422,6 +1439,7 @@ class _Parser:
                     )
                 return self.q
             self.q.construct = self._construct_template()
+            self._dataset_clauses()
             if self.lx.next_word() == "where":
                 self.lx.next()
             self._group_body()
@@ -1466,6 +1484,7 @@ class _Parser:
             if not proj:
                 raise SparqlSyntaxError("SELECT needs ?vars, aggregates or *")
             self.q.project = proj
+        self._dataset_clauses(allowed=closing is None)
         if self.lx.next_word() == "where":
             self.lx.next()
         self._group_body()
@@ -1762,6 +1781,31 @@ class _Parser:
         r"(?i)\b(count|sum|min|max|avg|sample)\s*"
         r"\(\s*(distinct\s+)?((?:[^()]|\([^()]*\))*)\)"
     )
+
+    def _dataset_clauses(self, allowed: bool = True) -> None:
+        """``(FROM [NAMED] <uri>)*`` — the dataset description between
+        the projection/template and WHERE (SPARQL 13.2)."""
+        while self.lx.next_word() == "from":
+            if not allowed:
+                raise SparqlSyntaxError(
+                    "FROM/FROM NAMED are not allowed in a subquery"
+                )
+            self.lx.next()
+            named = False
+            if self.lx.next_word() == "named":
+                self.lx.next()
+                named = True
+            kind, text = self.lx.next()
+            if kind == "uri":
+                uri = text[1:-1]
+            elif kind == "pname":
+                uri = self._expand(text)
+            else:
+                raise SparqlSyntaxError(
+                    f"FROM{' NAMED' if named else ''} needs a graph "
+                    f"<uri>, got {text!r}"
+                )
+            (self.q.from_named if named else self.q.from_graphs).append(uri)
 
     def _order_expr_key(self, body: str) -> str:
         """ORDER BY expression key → hidden BIND column (same
@@ -2103,10 +2147,11 @@ def _spec_vars(q: ParsedQuery) -> set[str]:
 def _eval_subqueries(
     triples: DataFrame,
     q: ParsedQuery,
-    dataset: str | None,
+    dataset,
     n_buckets: int | None,
     manifest_path: str | None,
     stats: dict | None,
+    named_datasets: list | None = None,
 ) -> list[tuple]:
     """Replace parse-level nested-algebra group entries with evaluated
     ones, bottom-up per spec (each inner body runs the FULL pipeline —
@@ -2148,6 +2193,7 @@ def _eval_subqueries(
         n_buckets=n_buckets,
         manifest_path=manifest_path,
         stats=stats,
+        named_datasets=named_datasets,
     )
     out: list[tuple] = []
     for kind, payload in q.groups:
@@ -2259,9 +2305,13 @@ def _eval_subqueries(
             kw2 = dict(ev_kw)
             kw2["dataset"] = name
             gdf = select_text(triples, "", parsed=body, **kw2)
-            if dataset is not None and dataset != name:
-                # outer scope and the GRAPH clause name different
-                # graphs: an absent graph is an empty graph
+            if isinstance(dataset, str) and dataset != name:
+                # outer serving scope and the GRAPH clause name
+                # different graphs: an absent graph is an empty graph
+                gdf = gdf.where(F.lit(False))
+            if named_datasets is not None and name not in named_datasets:
+                # dataset description present: GRAPH addresses only
+                # the FROM NAMED graphs
                 gdf = gdf.where(F.lit(False))
             nn = _subquery_nonnull_vars(body)
             out.append(
@@ -2496,6 +2546,20 @@ def _instantiate_construct(df: DataFrame, template: list[tuple]) -> DataFrame:
     return out.dropDuplicates()
 
 
+def _from_dataset_names(uris: list[str]) -> list[str]:
+    """FROM graph URIs → dataset partition names (the reference's
+    <PREFIX_GRAPH><name> sub-graph rule, Virtuoso.java:30). A URI
+    outside the namespace names no dataset — it maps to an impossible
+    partition name, so the merged graph simply contributes nothing
+    (SPARQL: merging an absent graph merges the empty graph)."""
+    return [
+        u[len(M.PREFIX_GRAPH):]
+        if u.startswith(M.PREFIX_GRAPH)
+        else "\x00absent:" + u
+        for u in uris
+    ]
+
+
 def select_text(
     triples: DataFrame,
     query: str,
@@ -2506,6 +2570,7 @@ def select_text(
     limit_cap: int | None = None,
     parsed: ParsedQuery | None = None,
     with_kinds: bool = False,
+    named_datasets: list | None = None,
 ) -> DataFrame:
     """Run a textual SPARQL SELECT (the reference's ``Sparql.select``
     analog, Sparql.java:26-29) over the triple table.
@@ -2532,8 +2597,28 @@ def select_text(
     variables born in BIND/SELECT expressions or VALUES carry none.
     """
     q = parsed if parsed is not None else parse_select(query)
+    if q.from_graphs or q.from_named:
+        # SPARQL 13.2 dataset description: FROM graphs merge into the
+        # default graph (= a SET of dataset partitions; none listed =
+        # the EMPTY default graph), FROM NAMED lists the graphs GRAPH
+        # clauses may address. Mutually exclusive with the serving
+        # API's own dataset= scope — refusing beats guessing their
+        # intersection semantics.
+        if dataset is not None:
+            raise SparqlSyntaxError(
+                "FROM/FROM NAMED cannot combine with the dataset= "
+                "serving scope"
+            )
+        if "dataset" not in triples.columns:
+            raise SparqlSyntaxError(
+                "FROM/FROM NAMED need a triple table carrying the "
+                "'dataset' partition column"
+            )
+        dataset = _from_dataset_names(q.from_graphs)
+        named_datasets = _from_dataset_names(q.from_named)
     eval_groups = _eval_subqueries(
-        triples, q, dataset, n_buckets, manifest_path, stats
+        triples, q, dataset, n_buckets, manifest_path, stats,
+        named_datasets=named_datasets,
     )
     if q.describe is not None:
         # DESCRIBE: the resource's outgoing triples (the simplest
@@ -2550,10 +2635,17 @@ def select_text(
         base = ["s", "p", "o", *meta]
         consts = [t for t in q.describe if not t.startswith("?")]
         vars_ = [t[1:] for t in q.describe if t.startswith("?")]
+        # under a FROM dataset description the description itself
+        # comes from the merged default graph, not the whole store
+        desc_src = (
+            triples.where(F.col("dataset").isin(list(dataset)))
+            if isinstance(dataset, (list, tuple))
+            else triples
+        )
         parts = []
         if consts:
             parts.append(
-                triples.where(F.col("s").isin(consts)).select(*base)
+                desc_src.where(F.col("s").isin(consts)).select(*base)
             )
         if vars_:
             sols = select_sparql(
@@ -2565,6 +2657,7 @@ def select_text(
                 n_buckets=n_buckets,
                 manifest_path=manifest_path,
                 stats=stats,
+                named_datasets=named_datasets,
             )
             missing = [v for v in vars_ if v not in sols.columns]
             if missing:
@@ -2597,7 +2690,7 @@ def select_text(
             for v in vars_[1:]:
                 ids = ids.unionAll(sols.select(F.col(v).alias("s")))
             parts.append(
-                triples.join(ids.distinct(), on="s", how="left_semi")
+                desc_src.join(ids.distinct(), on="s", how="left_semi")
                 .select(*base)
             )
         out = parts[0]
@@ -2625,6 +2718,7 @@ def select_text(
         manifest_path=manifest_path,
         stats=stats,
         with_kinds=eval_kinds,
+        named_datasets=named_datasets,
     )
     if eval_kinds and not with_kinds:
         # companions were threaded only for the kind built-ins'

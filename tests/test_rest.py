@@ -964,3 +964,52 @@ def test_datasets_listing_hides_tombstoned(rest_server, spark):
     store.record("conv-zz", 5, 78, run_id="run-z3")
     service._datasets_cache = None
     assert "conv-zz" in {d["dataset"] for d in _get(base + "/datasets")[1]}
+
+
+def test_sparql_protocol_dataset_params(rest_server):
+    """sparql11-protocol 2.1.4: default-graph-uri / named-graph-uri
+    request parameters OVERRIDE the query's own FROM clauses — the
+    GET binding and the form-encoded POST both accept them."""
+    from urllib.parse import quote, urlencode
+
+    from linkedspending_spark import model as M
+
+    base, service = rest_server
+    # one known dataset partition scoped via the protocol param
+    g = M.PREFIX_GRAPH + "conv-0000"
+    q = "select ?s { ?s ?p ?o } limit 5"
+    status, r = _get_err(
+        base
+        + "/sparql?"
+        + urlencode({"query": q, "default-graph-uri": g})
+    )
+    assert status == 200
+    subs = {b["s"]["value"] for b in r["results"]["bindings"]}
+    assert subs and all("conv-0000" in s for s in subs)
+    # an unknown graph = empty default graph
+    status, r = _get_err(
+        base
+        + "/sparql?"
+        + urlencode({"query": q, "default-graph-uri": "http://nope/g"})
+    )
+    assert status == 200 and r["results"]["bindings"] == []
+    # the protocol param OVERRIDES the query's own FROM
+    q_from = f"select ?s FROM <http://nope/g> {{ ?s ?p ?o }} limit 5"
+    status, r = _get_err(
+        base
+        + "/sparql?"
+        + urlencode({"query": q_from, "default-graph-uri": g})
+    )
+    assert status == 200 and len(r["results"]["bindings"]) > 0
+    # form-encoded POST carries the same parameters
+    import urllib.request
+
+    req = urllib.request.Request(
+        base + "/sparql",
+        data=urlencode({"query": q, "default-graph-uri": g}).encode(),
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        out = json.loads(resp.read())
+    assert out["results"]["bindings"]

@@ -1588,3 +1588,78 @@ def test_strbefore_strafter_variable_needle(spark):
         ("b", "k", "v"),
         ("c", "", ""),  # needle absent -> "" per 17.4.3.4
     ]
+
+
+def test_from_and_from_named(spark):
+    """SPARQL 13.2 dataset description: FROM graphs merge into the
+    default graph (partition-set scope), a URI outside the graph
+    namespace merges the empty graph, FROM NAMED alone leaves an EMPTY
+    default graph, and GRAPH clauses address exactly the FROM NAMED
+    set (constant outside it = empty graph; ?g ranges over the set)."""
+    G = M.PREFIX_GRAPH
+    t = spark.createDataFrame(
+        [("s1", "p", "a", "g1"), ("s2", "p", "b", "g2"),
+         ("s3", "p", "c", "g3")],
+        "s string, p string, o string, dataset string",
+    )
+
+    def vals(q):
+        return sorted(r["o"] for r in select_text(t, q).collect())
+
+    assert vals(f"select ?o FROM <{G}g1> {{ ?s <p> ?o }}") == ["a"]
+    assert vals(
+        f"select ?o FROM <{G}g1> FROM <{G}g3> {{ ?s <p> ?o }}"
+    ) == ["a", "c"]
+    assert vals("select ?o FROM <http://elsewhere/g> { ?s <p> ?o }") == []
+    assert vals(f"select ?o FROM NAMED <{G}g2> {{ ?s <p> ?o }}") == []
+    assert vals(
+        f"select ?o FROM NAMED <{G}g2> {{ graph <{G}g2> {{ ?s <p> ?o }} }}"
+    ) == ["b"]
+    assert vals(
+        f"select ?o FROM NAMED <{G}g2> {{ graph <{G}g1> {{ ?s <p> ?o }} }}"
+    ) == []
+    got = select_text(
+        t,
+        f"select ?g ?o FROM NAMED <{G}g2> FROM NAMED <{G}g3> "
+        "{ graph ?g { ?s <p> ?o } }",
+    ).collect()
+    assert sorted((r["g"], r["o"]) for r in got) == [
+        (G + "g2", "b"), (G + "g3", "c"),
+    ]
+    # default-graph scope + named graphs compose across a UNION
+    assert vals(
+        f"select ?o FROM <{G}g1> FROM NAMED <{G}g2> "
+        "{ { ?s <p> ?o } union { graph ?g { ?x <p> ?o } } }"
+    ) == ["a", "b"]
+    # refusals: subquery FROM; FROM + the serving dataset= scope
+    with pytest.raises(SparqlSyntaxError, match="subquery"):
+        parse_select("select ?o { { select ?o FROM <http://g> { ?s <p> ?o } } }")
+    with pytest.raises(SparqlSyntaxError, match="serving scope"):
+        select_text(
+            t, f"select ?o FROM <{G}g1> {{ ?s <p> ?o }}", dataset="g1"
+        )
+
+
+def test_from_partition_pruning(spark, tmp_path):
+    """A FROM graph set reaches the scan as a partition filter over the
+    dataset column (and the bucket column when the layout is bucketed) —
+    the merged default graph is a pruned scan, not a post-filter."""
+    from pyspark.sql import functions as F
+
+    from linkedspending_spark.jobs import bucket_of
+
+    G = M.PREFIX_GRAPH
+    t = spark.createDataFrame(
+        [("s%d" % i, "p", "o%d" % i, "g%d" % (i % 4)) for i in range(20)],
+        "s string, p string, o string, dataset string",
+    ).withColumn("bucket", bucket_of(F.col("dataset"), 4))
+    pq = str(tmp_path / "pq")
+    t.write.partitionBy("bucket").parquet(pq)
+    table = spark.read.parquet(pq)
+    df = select_text(
+        table, f"select ?o FROM <{G}g1> FROM <{G}g2> {{ ?s <p> ?o }}",
+        n_buckets=4,
+    )
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    assert df.count() == 10
