@@ -177,6 +177,18 @@ evaluates):
   (evaluated bottom-up; anti/semi joined on always-bound shared
   variables).
 
+* ``FROM <g>`` / ``FROM NAMED <g>`` dataset descriptions (13.2), on
+  all four query forms: FROM graphs merge into the default graph — a
+  partition SET that reaches every scan as ``PartitionFilters``; a URI
+  outside the graph namespace merges the empty graph; FROM NAMED
+  lists the graphs GRAPH clauses may address (constants outside the
+  set are empty graphs, ``GRAPH ?g`` ranges over the set); FROM NAMED
+  without FROM leaves the EMPTY default graph, per spec. Refused:
+  FROM in a subquery, FROM combined with the serving API's own
+  ``dataset=`` scope. The W3C protocol's ``default-graph-uri`` /
+  ``named-graph-uri`` request parameters override the query's
+  description at the endpoint (sparql11-protocol 2.1.4).
+
 * Blank nodes: ``[ p o; ... ]`` property lists (subject or object,
   nestable) and ``_:label`` terms — both desugar to reserved
   existential variables (same ``?__pp`` family as path chains: joined
