@@ -89,8 +89,10 @@ evaluates):
   (UNDEF → unbound), joined in source order as a VALUES-literal
   LocalTableScan.
 * Aggregates: ``SELECT (COUNT(?x) AS ?n) ?g ... GROUP BY ?g
-  HAVING(...)`` with COUNT / COUNT(DISTINCT ?x) / COUNT(*) / SUM / AVG
-  / MIN / MAX / SAMPLE / GROUP_CONCAT([DISTINCT] ?x [; SEPARATOR=".."]);
+  HAVING(...)`` with COUNT / COUNT(*) / SUM / AVG / MIN / MAX / SAMPLE
+  / GROUP_CONCAT([DISTINCT] ?x [; SEPARATOR=".."]) — DISTINCT works in
+  every aggregate (native distinct aggregation for COUNT/SUM/AVG;
+  MIN/MAX/SAMPLE accept and ignore it, dedup cannot change them);
   operands may be full EXPRESSIONS (``SUM(?a * ?b)``,
   ``COUNT(strlen(?x))``) — evaluated as hidden BINDs and aggregated by
   their native column type (integer expressions sum as long);
@@ -1844,10 +1846,6 @@ class _Parser:
             )
             if arg == "*" and func != "count":
                 raise SparqlSyntaxError(f"{func.upper()} needs a ?var")
-            if dist and func != "count":
-                raise SparqlSyntaxError(
-                    f"DISTINCT inside {func.upper()} is not supported"
-                )
             alias = f"__agg{len(self.q.aggregates)}"
             if arg == "*" or re.fullmatch(r"\?\w+", arg):
                 var = None if arg == "*" else arg[1:]
@@ -1935,10 +1933,6 @@ class _Parser:
             func, dist, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
             if arg == "*" and func != "count":
                 raise SparqlSyntaxError(f"{func.upper()} needs a ?var")
-            if dist and func != "count":
-                raise SparqlSyntaxError(
-                    f"DISTINCT inside {func.upper()} is not supported"
-                )
             var = None if arg == "*" else arg[1:]
             self.q.aggregates.append((func, var, dist, m.group(4)))
             return m.group(4)
@@ -2420,18 +2414,31 @@ def _aggregate(df: DataFrame, q: ParsedQuery) -> DataFrame:
             else:
                 expr = F.count(F.col(var))
         elif func == "sum" and var in int_sum:
-            expr = F.sum(F.col(var).try_cast("long"))
+            expr = (
+                F.expr(f"sum(DISTINCT try_cast(`{var}` as long))")
+                if dist
+                else F.sum(F.col(var).try_cast("long"))
+            )
         elif func in ("sum", "avg") and dtypes.get(var) != "string":
             # expression operand with a native (non-string) type:
             # aggregate directly — Spark's own typing governs (long
             # sums stay long, double stays double)
-            expr = F.sum(F.col(var)) if func == "sum" else F.avg(F.col(var))
+            expr = (
+                F.expr(f"{func}(DISTINCT `{var}`)")
+                if dist
+                else (F.sum(F.col(var)) if func == "sum" else F.avg(F.col(var)))
+            )
         elif func in ("sum", "avg"):
             # try_cast, not cast: under ANSI a non-numeric lexical form
             # must DROP from the aggregate (SPARQL error-drop), not
             # throw from inside codegen
-            col = F.col(var).try_cast("double")
-            expr = F.sum(col) if func == "sum" else F.avg(col)
+            if dist:
+                expr = F.expr(
+                    f"{func}(DISTINCT try_cast(`{var}` as double))"
+                )
+            else:
+                col = F.col(var).try_cast("double")
+                expr = F.sum(col) if func == "sum" else F.avg(col)
         elif func == "min":
             expr = F.min(F.col(var))
         elif func == "max":
@@ -2451,10 +2458,9 @@ def _aggregate(df: DataFrame, q: ParsedQuery) -> DataFrame:
             )
         else:  # sample: any value from the group
             expr = F.first(F.col(var), ignorenulls=True)
-        if dist and func not in ("count", "group_concat"):
-            raise SparqlSyntaxError(
-                f"DISTINCT inside {func.upper()} is not supported"
-            )
+        # MIN/MAX/SAMPLE(DISTINCT ?x) = MIN/MAX/SAMPLE(?x) per spec —
+        # dedup cannot change an extremum or an arbitrary pick, so
+        # DISTINCT is accepted and ignored there
         aggs.append(expr.alias(alias))
     if not aggs:  # bare GROUP BY: one row per group
         df = df.select(*q.group_by).dropDuplicates()

@@ -1663,3 +1663,34 @@ def test_from_partition_pruning(spark, tmp_path):
     plan = plan_of(df)
     assert "PartitionFilters" in plan
     assert df.count() == 10
+
+
+def test_distinct_aggregates(spark):
+    """SUM/AVG(DISTINCT ?x) aggregate over the deduped operand
+    multiset (Spark native distinct aggregates; integer typing
+    preserved); MIN/MAX/SAMPLE accept DISTINCT and ignore it (dedup
+    cannot change an extremum), per the spec's definitions."""
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [("a", "p", "2"), ("a", "p", "2"), ("a", "p", "3"),
+         ("a", "q", "x")],
+        "s string, p string, o string",
+    ).withColumn("dataset", F.lit("d"))
+    got = select_text(
+        t,
+        "select (sum(distinct ?o) as ?sd) (sum(?o) as ?sa) "
+        "(avg(distinct ?o) as ?ad) (min(distinct ?o) as ?m) "
+        "{ ?s <p> ?o }",
+    )
+    r = got.collect()[0]
+    assert r["sd"] == 5 and r["sa"] == 7  # 2+3 vs 2+2+3
+    assert r["ad"] == 2.5 and r["m"] == "2"
+    assert dict(got.dtypes)["sd"] == "bigint"  # integer typing kept
+    # HAVING direct form takes DISTINCT too
+    got = select_text(
+        t,
+        "select ?s { ?s <p> ?o } group by ?s "
+        "having(sum(distinct ?o) = 5)",
+    ).collect()
+    assert [r["s"] for r in got] == ["a"]
