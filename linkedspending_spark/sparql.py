@@ -1467,9 +1467,22 @@ class _Parser:
                     f"trailing input at {self.lx.peek()[1]!r}"
                 )
             return self.q
+        if word in (
+            "insert", "delete", "load", "clear", "drop",
+            "create", "with", "move", "copy", "add",
+        ):
+            raise SparqlSyntaxError(
+                f"SPARQL Update ({word.upper()}) is not supported on "
+                "the read endpoint — graph lifecycle goes through the "
+                "pipeline surfaces: write_triples (per-graph "
+                "replace), sources.io.delete_datasets / "
+                "run_pipeline.py --delete-datasets (DROP GRAPH), "
+                "run_transcripts_job (load)"
+            )
         if word != "select":
             raise SparqlSyntaxError(
-                "query must start with SELECT, ASK or CONSTRUCT"
+                "query must start with SELECT, ASK, CONSTRUCT or "
+                "DESCRIBE"
             )
         self.lx.next()
         return self._parse_select_rest()

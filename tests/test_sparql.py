@@ -1694,3 +1694,16 @@ def test_distinct_aggregates(spark):
         "having(sum(distinct ?o) = 5)",
     ).collect()
     assert [r["s"] for r in got] == ["a"]
+
+
+def test_update_forms_named_refusal():
+    """SPARQL Update verbs refuse with a pointer at the engine's
+    mutation surfaces (write_triples / delete_datasets / jobs), not a
+    generic parse error."""
+    for verb in ("INSERT DATA { <s> <p> <o> }",
+                 "DELETE WHERE { ?s ?p ?o }",
+                 "DROP GRAPH <http://g>",
+                 "CLEAR ALL",
+                 "LOAD <http://x> INTO GRAPH <http://g>"):
+        with pytest.raises(SparqlSyntaxError, match="Update"):
+            parse_select(verb)
