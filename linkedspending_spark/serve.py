@@ -608,6 +608,12 @@ def select_sparql(
     (consumers fall back per-binding). Note DISTINCT then dedups by
     TERM identity (lexical form + kind + datatype + lang) — the more
     SPARQL-faithful reading.
+
+    ``dataset`` takes a single partition name or a SET (the FROM
+    default-graph merge; ``[]`` = the empty default graph).
+    ``named_datasets`` lists the graphs GRAPH clauses may address
+    (SPARQL 13.2 FROM NAMED — ``None`` = no dataset description, GRAPH
+    ranges over every partition).
     """
     kw = dict(
         dataset=dataset,
