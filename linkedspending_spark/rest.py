@@ -266,7 +266,7 @@ class RestService:
                 # CONSTRUCT/DESCRIBE answer a GRAPH: W3C clients get
                 # N-Triples (the protocol's RDF response; format "nt"
                 # works too), JSON clients get the triple-table rows
-                if w3c or body.get("format") == "nt":
+                if w3c or fmt in ("nt", "ttl") or body.get("format") == "nt":
                     from .functions.nt import nt_statement
 
                     d = df
@@ -290,7 +290,9 @@ class RestService:
                     )
                     return _Raw(
                         "".join(r["nt"] + "\n" for r in lines),
-                        "application/n-triples; charset=utf-8",
+                        "text/turtle; charset=utf-8"
+                        if fmt == "ttl"
+                        else "application/n-triples; charset=utf-8",
                     )
                 return self._bounded_rows(df)
         else:
@@ -661,6 +663,12 @@ def _accept_format(accept: str | None) -> str:
             return "csv"
         if mt == "text/tab-separated-values":
             return "tsv"
+        if mt == "application/n-triples":
+            return "nt"
+        if mt == "text/turtle":
+            # N-Triples is syntactically valid Turtle — same body,
+            # Turtle media type for clients that only accept it
+            return "ttl"
     return "w3c"
 
 

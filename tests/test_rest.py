@@ -1013,3 +1013,20 @@ def test_sparql_protocol_dataset_params(rest_server):
     with urllib.request.urlopen(req, timeout=60) as resp:
         out = json.loads(resp.read())
     assert out["results"]["bindings"]
+
+
+def test_construct_accept_turtle_and_ntriples(rest_server):
+    """A CONSTRUCT under Accept: text/turtle answers the N-Triples
+    body (valid Turtle) under the Turtle media type; explicit
+    application/n-triples gets its own type."""
+    from urllib.parse import quote
+
+    base, _ = rest_server
+    q2 = quote("construct { ?d <http://y/p> ?label } where { ?d a qb:DataSet . ?d rdfs:label ?label }")
+    url = base + "/sparql?query=" + q2
+    status, ctype, text = _get_raw(url, "text/turtle")
+    assert status == 200 and ctype.startswith("text/turtle")
+    assert text.strip().endswith(".") and "<http://y/p>" in text
+    status, ctype, text2 = _get_raw(url, "application/n-triples")
+    assert status == 200 and ctype.startswith("application/n-triples")
+    assert text2 == text  # same body, negotiated media type
