@@ -1531,8 +1531,16 @@ class _Parser:
             self.lx.expect_punct(closing)
         # hidden expression-aggregate operands evaluate as trailing
         # BINDs — appended AFTER the body so they see every bound
-        # variable (OPTIONAL/UNION/subquery-born included)
+        # variable (OPTIONAL/UNION/subquery-born included). ORDER BY
+        # expression keys (?__ordxN) under aggregation are NOT appended:
+        # aggregation would drop the pre-aggregation column, so
+        # ``select_text._order`` recomputes them over the grouped
+        # solutions (where they may reference grouped vars and
+        # aggregate aliases alike)
+        agg_query = bool(self.q.aggregates or self.q.group_by)
         for sql, name in self.q.agg_expr_binds:
+            if agg_query and name.startswith("__ordx"):
+                continue
             self.q.groups.append(("bind", (sql, name, None)))
         q = self.q
         expr_aliases = [a for _, a in q.select_exprs]
@@ -1560,10 +1568,10 @@ class _Parser:
                 raise SparqlSyntaxError(
                     "SELECT * cannot be combined with aggregation"
                 )
-            if q.distinct:
-                raise SparqlSyntaxError(
-                    "SELECT DISTINCT with aggregation is not supported"
-                )
+            # SELECT DISTINCT + aggregation is plain spec semantics:
+            # DISTINCT dedups the PROJECTED rows after grouping — it
+            # only changes the result when the projection drops some
+            # GROUP BY variables (select_text's distinct branch)
         else:
             if q.having:
                 raise SparqlSyntaxError("HAVING needs GROUP BY or aggregates")
@@ -2843,23 +2851,51 @@ def select_text(
             )
 
     def _order(d: DataFrame) -> DataFrame:
+        from .serve import _filter_vars, _translate_filter as _vars_to_cols
+
         keys = []
         for tok in q.order_by:
             desc = tok.startswith("-")
             var = tok.lstrip("-").lstrip("?")
             if var not in d.columns:
                 if var.startswith("__ordx"):
-                    raise SparqlSyntaxError(
-                        "ORDER BY expression keys are not supported "
-                        "with DISTINCT or aggregation — order by a "
-                        "projected/grouped variable or aggregate alias"
+                    # expression key whose hidden pre-aggregation BIND
+                    # was skipped (aggregation) or dropped (explicit
+                    # DISTINCT projection): recompute it HERE, over the
+                    # grouped/projected solutions — so it may reference
+                    # grouped variables and aggregate aliases, and under
+                    # DISTINCT only projected variables (the spec's own
+                    # ORDER-BY-must-be-projected restriction, applied
+                    # to the expression's inputs)
+                    sql = next(
+                        (s for s, n in q.agg_expr_binds if n == var), None
                     )
-                raise SparqlSyntaxError(
-                    f"ORDER BY ?{var} must be projected when DISTINCT "
-                    "is used"
-                    if q.distinct
-                    else f"ORDER BY ?{var} is unbound"
-                )
+                    if sql is None:  # pragma: no cover — parser invariant
+                        raise SparqlSyntaxError(
+                            f"internal: no expression for ORDER BY {var}"
+                        )
+                    missing = sorted(
+                        v for v in _filter_vars(sql) if v not in d.columns
+                    )
+                    if missing:
+                        raise SparqlSyntaxError(
+                            f"ORDER BY expression references variable(s) "
+                            f"{missing} that are "
+                            + (
+                                "neither grouped nor aggregated"
+                                if (q.aggregates or q.group_by)
+                                else "not projected — DISTINCT restricts "
+                                "ORDER BY to the projected variables"
+                            )
+                        )
+                    d = d.withColumn(var, F.expr(_vars_to_cols(sql)))
+                else:
+                    raise SparqlSyntaxError(
+                        f"ORDER BY ?{var} must be projected when DISTINCT "
+                        "is used"
+                        if q.distinct
+                        else f"ORDER BY ?{var} is unbound"
+                    )
             keys.append(F.col(var).desc() if desc else F.col(var).asc())
         return d.orderBy(*keys)
 

@@ -1539,9 +1539,11 @@ def test_order_by_expressions(spark):
     """ORDER BY takes expression keys — bare BUILTIN(...) calls,
     parenthesized expressions, ASC/DESC over either — via hidden BIND
     columns evaluated over full solutions and dropped from the output
-    (SELECT * never leaks them). DISTINCT + expression key refuses
-    (the spec's ORDER-keys-must-be-projected restriction); trailing
-    VALUES after ORDER BY still parses (keyword excluded by name)."""
+    (SELECT * never leaks them). Under DISTINCT the key recomputes
+    over the PROJECTED solutions, so it may only reference projected
+    variables (the spec's ORDER-keys-must-be-projected restriction,
+    applied to the expression's inputs); trailing VALUES after ORDER
+    BY still parses (keyword excluded by name)."""
     from pyspark.sql import functions as F
 
     t = spark.createDataFrame(
@@ -1556,7 +1558,16 @@ def test_order_by_expressions(spark):
     )
     assert got.columns == ["s", "p", "o"]  # no hidden-key leak
     assert [r["s"] for r in got.collect()] == ["c", "a", "b"]
-    with pytest.raises(SparqlSyntaxError, match="expression keys"):
+    # DISTINCT + expression over a PROJECTED variable: recomputed
+    # post-dedup, never leaked into the output
+    got = select_text(
+        t, "select distinct ?o { ?s ?p ?o } order by desc(strlen(?o))"
+    )
+    assert got.columns == ["o"]
+    assert [r["o"] for r in got.collect()] == ["zzz", "xx", "y"]
+    # ... but an expression key reading a NON-projected variable
+    # refuses (the spec's projected-keys restriction)
+    with pytest.raises(SparqlSyntaxError, match="not projected"):
         select_text(
             t, "select distinct ?s { ?s ?p ?o } order by strlen(?o)"
         ).collect()
@@ -1694,6 +1705,85 @@ def test_distinct_aggregates(spark):
         "having(sum(distinct ?o) = 5)",
     ).collect()
     assert [r["s"] for r in got] == ["a"]
+
+
+def test_distinct_with_aggregation(spark):
+    """SELECT DISTINCT + aggregation: DISTINCT dedups the PROJECTED
+    rows after grouping (spec modifier order) — it changes the result
+    exactly when the projection drops some GROUP BY variable."""
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [("a", "p", "1"), ("a", "p", "2"), ("b", "p", "1"),
+         ("b", "q", "3"), ("c", "q", "4")],
+        "s string, p string, o string",
+    ).withColumn("dataset", F.lit("d"))
+    # grouped by (?s, ?p) but projecting ?p only: 4 groups → 2 rows
+    got = select_text(
+        t, "select distinct ?p { ?s ?p ?o } group by ?s ?p"
+    )
+    assert sorted(r["p"] for r in got.collect()) == ["p", "q"]
+    # projecting an aggregate alias only: counts 2,1,1,1 → {2,1}
+    got = select_text(
+        t,
+        "select distinct (count(?o) as ?n) { ?s ?p ?o } group by ?s ?p",
+    )
+    assert sorted(r["n"] for r in got.collect()) == [1, 2]
+    # DISTINCT over the full (group var, aggregate) projection is a
+    # no-op — grouping already yields one row per group
+    got = select_text(
+        t,
+        "select distinct ?s (count(?o) as ?n) { ?s ?p ?o } group by ?s",
+    )
+    assert sorted((r["s"], r["n"]) for r in got.collect()) == [
+        ("a", 2), ("b", 2), ("c", 1)
+    ]
+    # ORDER BY an aggregate alias composes with DISTINCT (alias is a
+    # projected column)
+    got = select_text(
+        t,
+        "select distinct (count(?o) as ?n) { ?s ?p ?o } group by ?s ?p "
+        "order by desc(?n)",
+    ).collect()
+    assert [r["n"] for r in got] == [2, 1]
+
+
+def test_order_by_expressions_with_aggregation(spark):
+    """ORDER BY expression keys over GROUPED solutions: the hidden
+    key recomputes AFTER aggregation, so it may reference grouped
+    variables and aggregate aliases; a non-grouped variable in the
+    key refuses with the grouped-nor-aggregated message."""
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [("aa", "p", "1"), ("aa", "p", "2"), ("z", "p", "3"),
+         ("mmm", "q", "4")],
+        "s string, p string, o string",
+    ).withColumn("dataset", F.lit("d"))
+    # expression over the grouped variable
+    got = select_text(
+        t,
+        "select ?s (count(?o) as ?n) { ?s ?p ?o } group by ?s "
+        "order by strlen(?s)",
+    ).collect()
+    assert [r["s"] for r in got] == ["z", "aa", "mmm"]
+    # expression over an aggregate alias (0 - ?n = descending count)
+    got = select_text(
+        t,
+        "select ?s (count(?o) as ?n) { ?s ?p ?o } group by ?s "
+        "order by (0 - ?n) strlen(?s)",
+    ).collect()
+    assert [r["s"] for r in got] == ["aa", "z", "mmm"]
+    # hidden keys never leak
+    assert [c for c in ("__ordx0",) if c in
+            select_text(t, "select ?s (count(?o) as ?n) { ?s ?p ?o } "
+                        "group by ?s order by strlen(?s)").columns] == []
+    with pytest.raises(SparqlSyntaxError, match="grouped nor aggregated"):
+        select_text(
+            t,
+            "select ?s (count(?o) as ?n) { ?s ?p ?o } group by ?s "
+            "order by strlen(?o)",
+        ).collect()
 
 
 def test_update_forms_named_refusal():
