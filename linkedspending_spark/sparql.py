@@ -172,9 +172,15 @@ evaluates):
   whole group inside one graph. An absent graph is an empty graph
   (zero solutions), and a GRAPH clause never widens an outer
   ``dataset=`` scope. A CONSTANT graph's body takes the full group
-  grammar (the whole nested evaluation scopes to that partition); a
-  graph VARIABLE keeps plain patterns (sequence/inverse paths
-  included) — nested algebra under ``GRAPH ?var`` stays refused.
+  grammar (the whole nested evaluation scopes to that partition). A
+  graph VARIABLE takes it too: the scope DISTRIBUTES over the body
+  (``_scope_graph_var`` — every pattern context wraps in its own
+  ``GRAPH ?var`` entry; the shared join variable keeps the whole
+  group inside one graph, the algebra identity ``Graph(g, Join(A,B))
+  = Join(Graph(g,A), Graph(g,B))`` under the ``?g`` equi-join).
+  Refused under ``GRAPH ?var``, by name: quantified property paths
+  (the closure would run per graph) and subqueries (the active graph
+  substitutes past the projection).
   MINUS and FILTER [NOT] EXISTS bodies likewise take the full grammar
   (evaluated bottom-up; anti/semi joined on always-bound shared
   variables).
@@ -1691,15 +1697,20 @@ class _Parser:
                     )
                 if cq.groups or cq.filters:
                     if _is_pat_var(g):
-                        raise SparqlSyntaxError(
-                            "nested algebra inside GRAPH ?var is not "
-                            "supported (bind the graph with a constant, "
-                            "or keep the body to plain patterns)"
+                        # GRAPH ?var + nested algebra: distribute the
+                        # graph scope over the body — every pattern
+                        # context binds ?var from its scan's dataset
+                        # column and the shared join variable keeps
+                        # the whole group inside ONE graph
+                        # (see _scope_graph_var)
+                        self.q.groups.append(
+                            ("graph_var_sub", _scope_graph_var(cq, g))
                         )
-                    # constant graph + nested body: the body evaluates
-                    # bottom-up with its dataset scope bound (every
-                    # scan in it partition-prunes)
-                    self.q.groups.append(("graph_sub", (g, cq)))
+                    else:
+                        # constant graph + nested body: the body
+                        # evaluates bottom-up with its dataset scope
+                        # bound (every scan in it partition-prunes)
+                        self.q.groups.append(("graph_sub", (g, cq)))
                 else:
                     self.q.groups.append(("graph", (g, cq.patterns)))
             elif text == "{" and self._braces_open_subquery():
@@ -2052,6 +2063,104 @@ class _Parser:
                 break
 
 
+def _scope_graph_var(q: ParsedQuery, gvar: str) -> ParsedQuery:
+    """Distribute a ``GRAPH ?var`` scope over a nested-algebra body.
+
+    SPARQL's ``Graph(?g, P)`` is the union over named graphs G of
+    ``Join(eval(P, activeGraph=G), {?g → G})``. Because every algebra
+    operator distributes over that union once the graph is carried as
+    a JOIN VARIABLE — ``Graph(g, Join(A,B)) = Join(Graph(g,A),
+    Graph(g,B))`` under the equi-join on ``?g``, and likewise for
+    LeftJoin/Minus/Exists (a match in a DIFFERENT graph fails the
+    ``?g`` key) — the body rewrites into an equivalent group where
+    every triple-pattern context is wrapped in its own
+    ``("graph", (?g, patterns))`` entry and the shared ``?g`` column
+    keeps the whole group inside ONE graph per solution. BIND/VALUES/
+    FILTER entries do not read the active graph and pass through;
+    nested GRAPH clauses override the active graph and pass through
+    untouched.
+
+    Quantified property paths (their closure would have to run
+    per-graph) and subqueries (the spec substitutes the active graph
+    INTO the subquery, past its projection) stay loud refusals."""
+    groups: list[tuple] = []
+    if q.patterns:
+        groups.append(("graph", (gvar, list(q.patterns))))
+    for kind, payload in q.groups:
+        if kind in ("graph", "graph_sub", "graph_var_sub"):
+            # an inner GRAPH clause switches the active graph — the
+            # outer ?var scope does not reach inside it
+            groups.append((kind, payload))
+        elif kind == "optional":
+            pats, filts = payload
+            groups.append((
+                "optional_sub",
+                ParsedQuery(
+                    groups=[("graph", (gvar, list(pats)))],
+                    filters=list(filts),
+                ),
+            ))
+        elif kind == "optional_sub":
+            groups.append(("optional_sub", _scope_graph_var(payload, gvar)))
+        elif kind == "union":
+            groups.append((
+                "union_sub",
+                [
+                    ParsedQuery(groups=[("graph", (gvar, list(b)))])
+                    for b in payload
+                ],
+            ))
+        elif kind == "union_sub":
+            groups.append((
+                "union_sub",
+                [_scope_graph_var(b, gvar) for b in payload],
+            ))
+        elif kind == "minus":
+            groups.append((
+                "minus_sub",
+                ParsedQuery(groups=[("graph", (gvar, list(payload)))]),
+            ))
+        elif kind == "minus_sub":
+            groups.append(("minus_sub", _scope_graph_var(payload, gvar)))
+        elif kind == "exists":
+            pats, positive = payload
+            groups.append((
+                "exists_sub",
+                (
+                    ParsedQuery(groups=[("graph", (gvar, list(pats)))]),
+                    positive,
+                ),
+            ))
+        elif kind == "exists_sub":
+            body, positive = payload
+            groups.append(
+                ("exists_sub", (_scope_graph_var(body, gvar), positive))
+            )
+        elif kind in ("bind", "values"):
+            groups.append((kind, payload))
+        elif kind == "path":
+            raise SparqlSyntaxError(
+                "a quantified property path inside GRAPH ?var is not "
+                "supported (the closure would have to run per named "
+                "graph) — bind the graph with a constant"
+            )
+        elif kind == "subquery":
+            raise SparqlSyntaxError(
+                "a subquery inside GRAPH ?var is not supported (the "
+                "active graph would have to substitute past the "
+                "subquery's projection) — bind the graph with a "
+                "constant, or move the subquery outside the GRAPH "
+                "clause"
+            )
+        else:  # pragma: no cover — future group kinds fail loudly
+            raise SparqlSyntaxError(
+                f"{kind} inside GRAPH ?var is not supported"
+            )
+    return dc_replace(
+        q, patterns=[], optionals=[], unions=[], groups=groups
+    )
+
+
 def _subquery_nonnull_vars(q: ParsedQuery) -> set[str]:
     """Variables a (sub)query binds UNCONDITIONALLY — everything else it
     projects may come back NULL (unbound) and refuses as an outer join
@@ -2098,6 +2207,8 @@ def _subquery_nonnull_vars(q: ParsedQuery) -> set[str]:
                         nn.add(t[1:])
         elif kind == "graph_sub":
             nn |= _subquery_nonnull_vars(payload[1])
+        elif kind == "graph_var_sub":
+            nn |= _subquery_nonnull_vars(payload)
         elif kind == "subquery":
             inner_nn = _subquery_nonnull_vars(payload)
             if payload.project is not None:
@@ -2163,6 +2274,8 @@ def _spec_vars(q: ParsedQuery) -> set[str]:
             pats_vars(pats)
         elif kind == "graph_sub":
             vs |= _spec_vars(payload[1])
+        elif kind == "graph_var_sub":
+            vs |= _spec_vars(payload)
         elif kind == "subquery":
             if payload.project is not None:
                 vs |= set(payload.project)
@@ -2212,6 +2325,7 @@ def _eval_subqueries(
         "minus_sub",
         "exists_sub",
         "graph_sub",
+        "graph_var_sub",
     )
     if not any(g[0] in nested_kinds for g in q.groups):
         return q.groups
@@ -2311,6 +2425,27 @@ def _eval_subqueries(
                             c for c in edf.columns if c not in nn
                         ),
                         positive,
+                    ),
+                )
+            )
+        elif kind == "graph_var_sub":
+            # GRAPH ?var + nested algebra: the parse-time rewrite
+            # (_scope_graph_var) already wrapped every pattern context
+            # in a ("graph", (?var, pats)) entry, so the body evaluates
+            # through the ordinary bottom-up pipeline — each inner
+            # GRAPH entry goes through serve._eval_graph's variable
+            # case, which applies the FROM NAMED range / list-dataset
+            # de-scoping / single-dataset serving-scope rules per scan
+            gdf = select_text(triples, "", parsed=payload, **ev_kw)
+            nn = _subquery_nonnull_vars(payload)
+            out.append(
+                (
+                    "solutions",
+                    (
+                        gdf,
+                        frozenset(
+                            c for c in gdf.columns if c not in nn
+                        ),
                     ),
                 )
             )

@@ -151,12 +151,125 @@ def test_kindless_table_refuses_graph_var(spark):
 def test_graph_parse_refusals():
     with pytest.raises(SparqlSyntaxError, match="GRAPH needs"):
         parse_select('SELECT ?s { GRAPH "lit" { ?s ?p ?o } }')
-    # nested algebra needs a CONSTANT graph (the body evaluates with
-    # its dataset scope bound); GRAPH ?var keeps plain patterns only
-    with pytest.raises(SparqlSyntaxError, match="inside GRAPH"):
+    # the two nested-algebra forms a GRAPH ?var scope cannot
+    # distribute over: a quantified path's closure would have to run
+    # per named graph, and a subquery's projection blocks the active-
+    # graph substitution — both refuse by name
+    with pytest.raises(SparqlSyntaxError, match="property path inside"):
         parse_select(
-            "SELECT ?s { GRAPH ?g { ?s ?p ?o OPTIONAL { ?s ?p ?z } } }"
+            "SELECT ?s { GRAPH ?g { ?s <p:a>+ ?o . ?s <p:b> ?x } }"
+        )
+    with pytest.raises(SparqlSyntaxError, match="subquery inside"):
+        parse_select(
+            "SELECT ?s { GRAPH ?g { ?s ?p ?o "
+            "{ SELECT ?s { ?s ?q ?v } } } }"
         )
     # a pattern-free GRAPH ?var body is degenerate either way
     with pytest.raises(SparqlSyntaxError, match="at least one triple"):
         parse_select("SELECT ?s { GRAPH ?g { } }")
+
+
+def test_graph_var_optional_same_graph(graph):
+    """GRAPH ?g distributes over OPTIONAL: the optional match must
+    come from the SAME graph (u:a's age is 30 in ds1 and 31 in ds2;
+    its name is only in ds1 — a cross-graph OPTIONAL would yield both
+    ages)."""
+    got = _run(
+        graph,
+        "SELECT ?g ?n ?a { GRAPH ?g { ?s p:name ?n "
+        "OPTIONAL { ?s p:age ?a } } }",
+    )
+    assert got == [
+        (B + "ds1", "Alice", "30"),
+        (B + "ds2", "Bob", None),  # u:b has no age anywhere
+    ]
+
+
+def test_graph_var_union(graph):
+    got = _run(
+        graph,
+        "SELECT ?g ?x { GRAPH ?g { { ?s p:name ?x } UNION "
+        "{ ?s p:age ?x } } }",
+    )
+    assert got == [
+        (B + "ds1", "30"),
+        (B + "ds1", "Alice"),
+        (B + "ds2", "31"),
+        (B + "ds2", "Bob"),
+    ]
+
+
+def test_graph_var_filter_and_bind(graph):
+    got = _run(
+        graph,
+        "SELECT ?g ?a ?b { GRAPH ?g { ?s p:age ?a FILTER(?a > 30) "
+        "BIND(strlen(?a) AS ?b) } }",
+    )
+    assert got == [(B + "ds2", "31", 2)]
+
+
+def test_graph_var_minus_same_graph(graph):
+    """MINUS inside GRAPH ?g removes only SAME-graph matches: u:a has
+    a name in ds1 (its ds1 age solution is removed) but not in ds2
+    (its ds2 age solution survives — a cross-graph MINUS would remove
+    both)."""
+    got = _run(
+        graph,
+        "SELECT ?g ?a { GRAPH ?g { ?s p:age ?a "
+        "MINUS { ?s p:name ?n } } }",
+    )
+    assert got == [(B + "ds2", "31")]
+
+
+def test_graph_var_exists_same_graph(graph):
+    got = _run(
+        graph,
+        "SELECT ?g ?a { GRAPH ?g { ?s p:age ?a "
+        "FILTER EXISTS { ?s p:name ?n } } }",
+    )
+    assert got == [(B + "ds1", "30")]
+    got = _run(
+        graph,
+        "SELECT ?g ?a { GRAPH ?g { ?s p:age ?a "
+        "FILTER NOT EXISTS { ?s p:name ?n } } }",
+    )
+    assert got == [(B + "ds2", "31")]
+
+
+def test_graph_var_nested_constant_graph_overrides(graph):
+    """An inner constant GRAPH switches the active graph — the outer
+    ?g scope does not reach inside it."""
+    got = _run(
+        graph,
+        f"SELECT ?g ?n ?a {{ GRAPH ?g {{ ?s p:name ?n "
+        f"GRAPH <{B}ds2> {{ ?t p:age ?a }} }} }}",
+    )
+    assert got == [
+        (B + "ds1", "Alice", "31"),
+        (B + "ds2", "Bob", "31"),
+    ]
+
+
+def test_graph_var_nested_joins_outer(graph):
+    """?g bound by a nested-algebra GRAPH group equi-joins the outer
+    solutions (here: a second, pattern-only GRAPH ?g group)."""
+    got = _run(
+        graph,
+        "SELECT ?g ?n ?a { GRAPH ?g { ?s p:name ?n "
+        "OPTIONAL { ?s p:missing ?m } } GRAPH ?g { ?t p:age ?a } }",
+    )
+    assert got == [
+        (B + "ds1", "Alice", "30"),
+        (B + "ds2", "Bob", "31"),
+    ]
+
+
+def test_graph_var_nested_from_named_range(graph):
+    """FROM NAMED restricts the graphs a nested GRAPH ?var ranges
+    over (SPARQL 13.2), reaching every wrapped scan."""
+    got = _run(
+        graph,
+        f"SELECT ?g ?n FROM NAMED <{B}ds2> "
+        "{ GRAPH ?g { ?s p:name ?n OPTIONAL { ?s p:age ?a } } }",
+    )
+    assert got == [(B + "ds2", "Bob")]

@@ -311,12 +311,23 @@ def test_nested_graph_body(tagged):
     assert got == [("Ada", None), ("Bob", None), ("Eve", None)]
 
 
-def test_nested_graph_var_refused(tagged):
-    with pytest.raises(SparqlSyntaxError, match="inside GRAPH"):
-        parse_select(
-            "select ?s { GRAPH ?g { ?s <tag> ?t "
-            "OPTIONAL { ?s <alt> ?a } } }"
-        )
+def test_nested_graph_var_distributes(tagged):
+    """GRAPH ?g + nested algebra: the scope distributes over the body
+    (every pattern context binds ?g from its scan, the shared join
+    variable keeps the group in ONE graph) — p1's tag x and alt A.
+    are both in g1, p2's tag y is in g2 where no alt exists."""
+    from linkedspending_spark import model as M
+
+    got = sorted(
+        tuple(r)
+        for r in select_text(
+            tagged,
+            "select ?g ?t ?a { GRAPH ?g { ?s <tag> ?t "
+            "OPTIONAL { ?s <alt> ?a } } }",
+        ).collect()
+    )
+    G = M.PREFIX_GRAPH
+    assert got == [(G + "g1", "x", "A."), (G + "g2", "y", None)]
 
 
 def test_nested_body_scans_push_down(people, tmp_path):
