@@ -1856,7 +1856,11 @@ class _Parser:
     def _order_expr_key(self, body: str) -> str:
         """ORDER BY expression key → hidden BIND column (same
         machinery as expression aggregates; evaluated over full
-        solutions, dropped from the output)."""
+        solutions — or recomputed over the GROUPED solutions under
+        aggregation — and dropped from the output). Aggregate calls
+        in the key (``ORDER BY DESC(COUNT(?x))``) rewrite to hidden
+        aggregate aliases first, like HAVING's direct form."""
+        body = self._rewrite_agg_calls(body)
         name = "__ordx%d" % sum(
             1 for _, n in self.q.agg_expr_binds if n.startswith("__ordx")
         )
@@ -1869,6 +1873,12 @@ class _Parser:
         computed alongside the SELECT aggregates, dropped after the
         HAVING filter applies) so the raw expression translates like
         any other filter over alias variables."""
+        return self._rewrite_agg_calls(self.lx.raw_parens())
+
+    def _rewrite_agg_calls(self, raw: str) -> str:
+        """Replace each aggregate call in ``raw`` with a hidden
+        ``?__aggN`` aggregate alias (shared by the direct-form HAVING
+        and ORDER BY aggregate keys)."""
 
         def sub(m: re.Match) -> str:
             func, dist, arg = (
@@ -1895,7 +1905,7 @@ class _Parser:
             self.q.aggregates.append((func, var, dist, alias))
             return "?" + alias
 
-        return self._HAVING_AGG.sub(sub, self.lx.raw_parens())
+        return self._HAVING_AGG.sub(sub, raw)
 
     _GC_SPEC = re.compile(
         r"(?is)^\s*group_concat\s*\(\s*(distinct\s+)?(\?\w+)\s*"
@@ -2628,9 +2638,22 @@ def _aggregate(df: DataFrame, q: ParsedQuery) -> DataFrame:
         from .serve import _translate_filter as _vars_to_cols
 
         df = df.where(F.expr(_vars_to_cols(h)))
-    hidden = [c for c in df.columns if c.startswith("__agg")]
+    # hidden aliases exist only for a direct-form HAVING or an ORDER BY
+    # aggregate key — keep the ones a pending ?__ordx expression still
+    # reads (select_text._order recomputes it over THIS output; the
+    # projection drops them afterwards), drop the rest here
+    from .serve import _filter_vars
+
+    ordx_reads: set[str] = set()
+    for sql, name in q.agg_expr_binds:
+        if name.startswith("__ordx"):
+            ordx_reads |= _filter_vars(sql)
+    hidden = [
+        c
+        for c in df.columns
+        if c.startswith("__agg") and c not in ordx_reads
+    ]
     if hidden:
-        # aggregates that exist only for a direct-form HAVING
         df = df.drop(*hidden)
     return df
 
@@ -3012,6 +3035,16 @@ def select_text(
                     missing = sorted(
                         v for v in _filter_vars(sql) if v not in d.columns
                     )
+                    if any(v.startswith("__agg") for v in missing):
+                        # a hidden ORDER BY aggregate key, but DISTINCT
+                        # already projected it away — the spec's
+                        # projected-keys restriction, stated usefully
+                        raise SparqlSyntaxError(
+                            "ORDER BY aggregate keys combine with "
+                            "DISTINCT only through a projected alias — "
+                            "SELECT (AGG(...) AS ?alias) and ORDER BY "
+                            "?alias"
+                        )
                     if missing:
                         raise SparqlSyntaxError(
                             f"ORDER BY expression references variable(s) "

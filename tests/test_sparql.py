@@ -1786,6 +1786,52 @@ def test_order_by_expressions_with_aggregation(spark):
         ).collect()
 
 
+def test_order_by_aggregate_keys(spark):
+    """Aggregate calls in ORDER BY (``ORDER BY DESC(COUNT(?x))``)
+    rewrite to hidden aggregate aliases (the HAVING direct-form
+    machinery) computed alongside the SELECT aggregates and read by
+    the recomputed expression key — even when the SELECT clause has
+    no aggregate of its own (using one forces grouping per spec)."""
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [("a", "p", "1"), ("a", "p", "2"), ("a", "q", "9"),
+         ("b", "p", "3"), ("c", "q", "4"), ("c", "q", "5")],
+        "s string, p string, o string",
+    ).withColumn("dataset", F.lit("d"))
+    # plain aggregate key, no SELECT aggregate
+    got = select_text(
+        t, "select ?s { ?s ?p ?o } group by ?s order by desc(count(?o))"
+    )
+    assert got.columns == ["s"]  # hidden alias never leaks
+    assert [r["s"] for r in got.collect()] == ["a", "c", "b"]
+    # aggregate inside a larger expression, plus a SELECT aggregate
+    got = select_text(
+        t,
+        "select ?s (min(?o) as ?m) { ?s ?p ?o } group by ?s "
+        "order by (0 - count(?o)) ?s",
+    )
+    assert got.columns == ["s", "m"]
+    assert [(r["s"], r["m"]) for r in got.collect()] == [
+        ("a", "1"), ("c", "4"), ("b", "3")
+    ]
+    # HAVING and ORDER BY aggregate keys compose (independent hidden
+    # aliases)
+    got = select_text(
+        t,
+        "select ?s { ?s ?p ?o } group by ?s "
+        "having(count(?o) > 1) order by desc(sum(?o)) ",
+    ).collect()
+    assert [r["s"] for r in got] == ["a", "c"]  # sums 12 vs 9
+    # DISTINCT + hidden aggregate key refuses with the alias hint
+    with pytest.raises(SparqlSyntaxError, match="projected alias"):
+        select_text(
+            t,
+            "select distinct ?s { ?s ?p ?o } group by ?s "
+            "order by desc(count(?o))",
+        ).collect()
+
+
 def test_update_forms_named_refusal():
     """SPARQL Update verbs refuse with a pointer at the engine's
     mutation surfaces (write_triples / delete_datasets / jobs), not a
