@@ -75,9 +75,9 @@ evaluates):
   term typing). Nondeterministic built-ins (RAND/NOW/UUID/STRUUID/
   BNODE) refuse by name — solutions must be reproducible across
   retried Spark tasks; TIMEZONE() points at TZ().
-* ``SELECT (expr AS ?v)`` — non-aggregate projection expressions,
-  applied after grouping (expressions may reference aggregate
-  aliases and grouped variables).
+* ``SELECT (expr AS ?v)`` — projection expressions, applied after
+  grouping (expressions may reference aggregate aliases, grouped
+  variables, and aggregate CALLS — see the aggregates bullet).
 * ``{ A } UNION { B }`` (each branch a triple-pattern group).
 * ``MINUS { ... }`` — SPARQL Minus as a LEFT ANTI equi-join on the
   shared variables (positional, like OPTIONAL); no shared variable →
@@ -96,9 +96,18 @@ evaluates):
   operands may be full EXPRESSIONS (``SUM(?a * ?b)``,
   ``COUNT(strlen(?x))``) — evaluated as hidden BINDs and aggregated by
   their native column type (integer expressions sum as long);
+  aggregates also embed in LARGER projection expressions
+  (``(COUNT(?x) * 2 AS ?d)``, ``(SUM(?o)/COUNT(?o) AS ?m)`` — calls
+  rewrite to hidden aliases, the expression evaluates over the
+  grouped solutions); GROUP BY takes expression conditions
+  (``GROUP BY (substr(?o,1,4) AS ?year)`` — alias projectable and
+  visible to HAVING/ORDER BY; parenthesized or bare-builtin forms
+  without AS group on a hidden key); SELECT DISTINCT composes with
+  aggregation (dedup over the projected rows, spec modifier order);
   HAVING takes alias references AND the spec's direct form
   (``HAVING(COUNT(?x) > 5)`` / ``HAVING(SUM(?a * 2) > 5)`` — rewritten
-  to hidden aliases); a trailing
+  to hidden aliases); ORDER BY takes aggregate keys the same way
+  (``ORDER BY DESC(COUNT(?x))``); a trailing
   ``VALUES`` clause joins after grouping (§18.2.4)
   — GROUP_CONCAT sorts the collected values first (SPARQL leaves the
   order unspecified; deterministic output is the serving-path choice). SUM aggregates as long when every operand's
@@ -109,8 +118,10 @@ evaluates):
   zero-padded numbers do too).
 * ``ORDER BY [ASC(key)|DESC(key)|key]...`` where a key is a ``?var``
   or an EXPRESSION (``strlen(?o)``, ``(?a + ?b)`` — hidden BIND
-  columns, never leaked into SELECT * output; refused under DISTINCT /
-  aggregation per the projected-keys restriction), ``LIMIT n`` and
+  columns, never leaked into SELECT * output; under aggregation the
+  key recomputes over the grouped solutions and may reference grouped
+  vars, aggregate aliases and aggregate calls; under DISTINCT it is
+  restricted to the projected variables), ``LIMIT n`` and
   ``OFFSET n`` (either order). NOTE: OFFSET paging is only stable
   under a total ORDER BY — an unordered offset walks an arbitrary
   (plan-dependent) solution order, same as SQL.
@@ -351,6 +362,41 @@ class _Lexer:
                     return raw
             i += 1
         raise SparqlSyntaxError("unterminated FILTER expression")
+
+
+def _call_spans_spec(raw: str) -> bool:
+    """True when the FIRST function call in a ``(FUNC(...) AS ?alias)``
+    SELECT item spans the whole spec — i.e. the matching close paren is
+    followed only by ``AS ?alias``. Distinguishes a pure aggregate item
+    (``SUM(?x) AS ?s`` / ``SUM(?a * ?b) AS ?p``) from an aggregate
+    embedded in a larger expression (``SUM(?x) * 2 AS ?y``), which
+    routes through the SELECT-expression path with its aggregate calls
+    rewritten to hidden aliases."""
+    i = raw.find("(")
+    if i < 0:
+        return False
+    depth, quote, j = 0, None, i
+    while j < len(raw):
+        c = raw[j]
+        if quote:
+            if c == "\\":
+                j += 1  # skip the escaped character
+            elif c == quote:
+                quote = None
+        elif c in "\"'":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return bool(
+                    re.fullmatch(
+                        r"(?is)\s+as\s+\?\w+\s*", raw[j + 1:]
+                    )
+                )
+        j += 1
+    return False
 
 
 @dataclass
@@ -1938,7 +1984,9 @@ class _Parser:
                 _unescape(sep) if sep is not None else " "
             )
             return alias
-        if re.match(r"(?is)^\s*(count|sum|min|max|avg|sample)\s*\(", raw):
+        if re.match(
+            r"(?is)^\s*(count|sum|min|max|avg|sample)\s*\(", raw
+        ) and _call_spans_spec(raw):
             m = self._AGG_SPEC.match(raw)
             if m is None:
                 # EXPRESSION operand — SUM(?a * ?b), COUNT(strlen(?x))
@@ -1983,8 +2031,18 @@ class _Parser:
             raise SparqlSyntaxError(
                 "SELECT (...) needs an aggregate or 'expression AS ?alias'"
             )
+        expr = raw[: m.start()]
+        if self._HAVING_AGG.search(expr):
+            # aggregate calls INSIDE a larger projection expression —
+            # (COUNT(?x)/SUM(?y) AS ?r): each call becomes a hidden
+            # aggregate alias (the HAVING direct-form machinery); the
+            # expression itself evaluates as a SELECT expression over
+            # the GROUPED solutions (select_text applies select_exprs
+            # after _aggregate, which keeps the hidden aliases exactly
+            # while something still reads them)
+            expr = self._rewrite_agg_calls(expr)
         self.q.select_exprs.append(
-            (self._translate_filter(raw[: m.start()]), m.group(1))
+            (self._translate_filter(expr), m.group(1))
         )
         return m.group(1)
 
@@ -1994,10 +2052,52 @@ class _Parser:
             if self.lx.next_word() != "by":
                 raise SparqlSyntaxError("GROUP must be followed by BY")
             self.lx.next()
-            while self.lx.peek()[0] == "var":
-                self.q.group_by.append(self.lx.next()[1][1:])
+            while True:
+                kind, text = self.lx.peek()
+                if kind == "var":
+                    self.q.group_by.append(self.lx.next()[1][1:])
+                    continue
+                # GroupCondition's expression forms: '(' expr [AS ?v]
+                # ')' and bare BUILTIN(...) — the expression evaluates
+                # as a pre-aggregation hidden BIND and the alias (or a
+                # reserved __grpx name, groupable but unprojectable)
+                # joins the grouping keys. Follower clauses HAVING/
+                # ORDER/LIMIT/OFFSET/VALUES are excluded by name.
+                if text == "(":
+                    raw = self.lx.raw_parens()
+                elif kind == "word" and text.lower() not in (
+                    "having", "order", "limit", "offset", "values"
+                ):
+                    st = self.lx.save()
+                    self.lx.next()
+                    if self.lx.peek()[1] != "(":
+                        self.lx.restore(st)
+                        break
+                    raw = text + "(" + self.lx.raw_parens() + ")"
+                else:
+                    break
+                m = re.search(r"\s+[Aa][Ss]\s+\?(\w+)\s*$", raw)
+                if m is not None:
+                    name, expr = m.group(1), raw[: m.start()]
+                else:
+                    name = "__grpx%d" % sum(
+                        1
+                        for g in self.q.group_by
+                        if g.startswith("__grpx")
+                    )
+                    expr = raw
+                if name in self.q.group_by:
+                    raise SparqlSyntaxError(
+                        f"GROUP BY binds ?{name} twice"
+                    )
+                self.q.agg_expr_binds.append(
+                    (self._translate_filter(expr), name)
+                )
+                self.q.group_by.append(name)
             if not self.q.group_by:
-                raise SparqlSyntaxError("GROUP BY needs at least one ?var")
+                raise SparqlSyntaxError(
+                    "GROUP BY needs at least one ?var or (expression)"
+                )
         if self.lx.next_word() == "having":
             self.lx.next()
             self.q.having.append(
@@ -2638,20 +2738,23 @@ def _aggregate(df: DataFrame, q: ParsedQuery) -> DataFrame:
         from .serve import _translate_filter as _vars_to_cols
 
         df = df.where(F.expr(_vars_to_cols(h)))
-    # hidden aliases exist only for a direct-form HAVING or an ORDER BY
-    # aggregate key — keep the ones a pending ?__ordx expression still
-    # reads (select_text._order recomputes it over THIS output; the
-    # projection drops them afterwards), drop the rest here
+    # hidden aliases exist only for a direct-form HAVING, an ORDER BY
+    # aggregate key, or an aggregate embedded in a SELECT expression —
+    # keep the ones a pending ?__ordx key or SELECT expression still
+    # reads (select_text applies those over THIS output; the projection
+    # drops the hidden columns afterwards), drop the rest here
     from .serve import _filter_vars
 
-    ordx_reads: set[str] = set()
+    later_reads: set[str] = set()
     for sql, name in q.agg_expr_binds:
         if name.startswith("__ordx"):
-            ordx_reads |= _filter_vars(sql)
+            later_reads |= _filter_vars(sql)
+    for sql, _alias in q.select_exprs:
+        later_reads |= _filter_vars(sql)
     hidden = [
         c
         for c in df.columns
-        if c.startswith("__agg") and c not in ordx_reads
+        if c.startswith("__agg") and c not in later_reads
     ]
     if hidden:
         df = df.drop(*hidden)

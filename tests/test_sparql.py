@@ -1832,6 +1832,89 @@ def test_order_by_aggregate_keys(spark):
         ).collect()
 
 
+def test_group_by_expressions(spark):
+    """GroupCondition's expression forms: ``GROUP BY (expr AS ?v)``
+    (alias projectable, usable in HAVING/ORDER BY), ``GROUP BY
+    (expr)`` / bare ``BUILTIN(...)`` (hidden reserved key, groupable
+    but unprojectable). The expression evaluates as a pre-aggregation
+    hidden BIND."""
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [("a", "p", "2023-05-01"), ("b", "p", "2023-07-09"),
+         ("c", "p", "2024-01-01")],
+        "s string, p string, o string",
+    ).withColumn("dataset", F.lit("d"))
+    got = select_text(
+        t,
+        "select ?y (count(?o) as ?n) { ?s <p> ?o } "
+        "group by (substr(?o, 1, 4) as ?y) order by ?y",
+    )
+    assert got.columns == ["y", "n"]
+    assert [(r["y"], r["n"]) for r in got.collect()] == [
+        ("2023", 2), ("2024", 1)
+    ]
+    # bare builtin key: hidden, groupable, never leaks
+    got = select_text(
+        t,
+        "select (count(?o) as ?n) { ?s ?p ?o } group by strlen(?o)",
+    )
+    assert got.columns == ["n"]
+    assert [r["n"] for r in got.collect()] == [3]  # all len 10
+    # HAVING + ORDER BY see the alias
+    got = select_text(
+        t,
+        "select ?y { ?s <p> ?o } group by (substr(?o, 1, 4) as ?y) "
+        'having(?y = "2023") order by ?y',
+    ).collect()
+    assert [r["y"] for r in got] == ["2023"]
+    # projecting a variable the hidden key derives from still refuses
+    with pytest.raises(SparqlSyntaxError, match="grouped nor aggregated"):
+        parse_select(
+            "select ?o { ?s ?p ?o } group by strlen(?o)"
+        )
+    # (expr AS ?v) refuses to rebind a pattern variable downstream
+    with pytest.raises(Exception, match="rebind|twice"):
+        select_text(
+            t,
+            "select ?o { ?s ?p ?o } group by (strlen(?o) as ?o)",
+        ).collect()
+
+
+def test_select_expression_aggregates(spark):
+    """Aggregates EMBEDDED in SELECT expressions —
+    ``(COUNT(?x) * 2 AS ?d)``, ``(SUM(?o) / COUNT(?o) AS ?avg)`` —
+    rewrite their calls to hidden aggregate aliases; the expression
+    evaluates over the grouped solutions; hidden aliases never leak;
+    a pure aggregate item still takes the native typed path."""
+    from pyspark.sql import functions as F
+
+    t = spark.createDataFrame(
+        [("a", "p", "1"), ("a", "p", "2"), ("b", "p", "6")],
+        "s string, p string, o string",
+    ).withColumn("dataset", F.lit("d"))
+    got = select_text(
+        t,
+        "select ?s (count(?o) * 2 as ?d) "
+        "(try_cast(sum(?o) as double) / count(?o) as ?m) "
+        "{ ?s <p> ?o } group by ?s order by ?s",
+    )
+    assert got.columns == ["s", "d", "m"]
+    assert [(r["s"], r["d"], r["m"]) for r in got.collect()] == [
+        ("a", 4, 1.5), ("b", 2, 6.0)
+    ]
+    # global (ungrouped) aggregate expression
+    got = select_text(
+        t, "select (count(?o) + 1 as ?n) { ?s ?p ?o }"
+    ).collect()
+    assert [r["n"] for r in got] == [4]
+    # a pure expression-OPERAND aggregate still routes natively
+    got = select_text(
+        t, "select (sum(?o * 2) as ?p2) { ?s <p> ?o }"
+    ).collect()
+    assert [r["p2"] for r in got] == [18]
+
+
 def test_update_forms_named_refusal():
     """SPARQL Update verbs refuse with a pointer at the engine's
     mutation surfaces (write_triples / delete_datasets / jobs), not a
