@@ -2673,7 +2673,15 @@ def _aggregate(df: DataFrame, q: ParsedQuery) -> DataFrame:
                 f"aggregate over unbound variable ?{var}"
             )
         if func == "count":
-            if var is None:
+            if var is None and dist:
+                # COUNT(DISTINCT *): distinct SOLUTIONS — struct over
+                # every solution column (companions included when
+                # threaded: term-identity distinctness, the SPARQL-
+                # faithful reading)
+                expr = F.count_distinct(
+                    F.struct(*[F.col(c) for c in df.columns])
+                )
+            elif var is None:
                 expr = F.count(F.lit(1))
             elif dist:
                 expr = F.count_distinct(F.col(var))

@@ -1705,6 +1705,14 @@ def test_distinct_aggregates(spark):
         "having(sum(distinct ?o) = 5)",
     ).collect()
     assert [r["s"] for r in got] == ["a"]
+    # COUNT(DISTINCT *) counts distinct SOLUTIONS (the duplicate
+    # ("a","p","2") row collapses), where COUNT(*) counts all
+    got = select_text(
+        t,
+        "select (count(distinct *) as ?d) (count(*) as ?n) "
+        "{ ?s ?p ?o }",
+    ).collect()[0]
+    assert (got["d"], got["n"]) == (3, 4)
 
 
 def test_distinct_with_aggregation(spark):
