@@ -159,8 +159,11 @@ evaluates):
   property sets ``!p`` / ``!(p1|p2)`` are a pure ``NOT IN`` scan
   constraint in predicate position
   (:class:`~linkedspending_spark.serve.NotTerms` — pushes into
-  parquet, binds nothing). Refused loud: inverse/quantified negated
-  sets, variable path elements, nested quantifiers (``(p+)+``),
+  parquet, binds nothing). Directly-nested quantifiers merge
+  algebraically at parse time (``(p+)+ = p+``, mixed pairs = ``p*``;
+  ``^(p+)`` normalizes to ``(^p)+``). Refused loud: inverse/quantified
+  negated sets, variable path elements, quantifiers buried inside a
+  quantified COMPOSITE element (``(p+/q)+`` — closure-within-closure),
   alternation/quantifiers inside MINUS/EXISTS/GRAPH bodies (fine
   inside OPTIONAL/UNION — full group grammar there; sequence, inverse
   and negated sets are plain patterns and work everywhere).
@@ -646,11 +649,27 @@ class _Parser:
                 "supported)"
             )
         if inv:
-            node = ("inv", node)
+            if node[0] == "quant":
+                # ^(p+) ≡ (^p)+: the inverse of a closure is the
+                # closure of the inverse — push the ^ inside so the
+                # quantifier stays outermost (one canonical shape)
+                node = ("quant", ("inv", node[1]), node[2])
+            else:
+                node = ("inv", node)
         q = self.lx.peek()[1]
         if q in ("+", "*", "?"):
             self.lx.next()
-            node = ("quant", node, q)
+            if node[0] == "quant":
+                # directly-nested quantifiers merge algebraically:
+                # equal quantifiers are idempotent ((p+)+ = p+,
+                # (p?)? = p?, (p*)* = p*); any MIXED pair admits zero
+                # steps on one side and unbounded repetition on the
+                # other, which is exactly p* ((p+)* = (p*)+ = (p?)+ =
+                # (p+)? = ... = p*)
+                inner_q = node[2]
+                node = ("quant", node[1], q if q == inner_q else "*")
+            else:
+                node = ("quant", node, q)
         return node
 
     def _nps_member(self) -> str:

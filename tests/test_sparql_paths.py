@@ -206,6 +206,31 @@ def test_refusals_are_loud(q):
         parse_select(PRE + q)
 
 
+def test_directly_nested_quantifiers_merge(graph):
+    """Directly-nested quantifiers merge algebraically at parse time:
+    equal pairs are idempotent ((p+)+ = p+), mixed pairs admit zero
+    steps and unbounded repetition — exactly p* ((p+)* = (p?)+ = (p+)?
+    = p*). The inverse of a closure normalizes too (^(p+) ≡ (^p)+).
+    A quantifier buried inside a composite element ((p+/q)+) stays a
+    loud refusal — that genuinely needs closure-within-closure."""
+    star = _run(graph, "SELECT ?o { u:a p:knows* ?o }")
+    plus = _run(graph, "SELECT ?o { u:a p:knows+ ?o }")
+    assert _run(graph, "SELECT ?o { u:a (p:knows+)* ?o }") == star
+    assert _run(graph, "SELECT ?o { u:a (p:knows+)? ?o }") == star
+    assert _run(graph, "SELECT ?o { u:a (p:knows?)+ ?o }") == star
+    assert _run(graph, "SELECT ?o { u:a (p:knows+)+ ?o }") == plus
+    # inverse of a closure: ?s such that u:a knows+ ?s
+    assert _run(graph, "SELECT ?s { ?s ^(p:knows+) u:a }") == [
+        ("u:b",), ("u:c",), ("u:d",)
+    ]
+    # nested quantifier over a COMPOSITE element merges the same way
+    two_star = _run(graph, "SELECT ?o { u:a (p:knows/p:knows)* ?o }")
+    assert (
+        _run(graph, "SELECT ?o { u:a ((p:knows/p:knows)+)* ?o }")
+        == two_star
+    )
+
+
 def test_sequence_inside_optional_is_allowed(graph):
     """Sequences/inverses rewrite to plain patterns, so they stay legal
     inside OPTIONAL/UNION — only alternation/quantifiers are group-level."""
