@@ -264,6 +264,31 @@ def test_graph_var_nested_joins_outer(graph):
     ]
 
 
+def test_graph_var_nested_plan_shape(graph, tmp_path):
+    """The distributed GRAPH ?var scope keeps nested bodies as
+    pushed-down scan trees: predicate constants reach the parquet
+    reader as PushedFilters and no Python evaluation appears — the
+    rewrite costs O(body), never O(named graphs)."""
+    pq_dir = str(tmp_path / "g")
+    graph.sparkSession.createDataFrame(
+        graph.collect(), graph.schema
+    ).write.partitionBy("dataset").parquet(pq_dir)
+    pq = graph.sparkSession.read.parquet(pq_dir)
+    df = select_text(
+        pq,
+        PRE + "SELECT ?g ?n ?a { GRAPH ?g { ?s p:name ?n "
+        "OPTIONAL { ?s p:age ?a } } }",
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "p:name" in plan
+    assert "BatchEvalPython" not in plan
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [
+        (B + "ds1", "Alice", "30"),
+        (B + "ds2", "Bob", None),
+    ]
+
+
 def test_graph_var_nested_from_named_range(graph):
     """FROM NAMED restricts the graphs a nested GRAPH ?var ranges
     over (SPARQL 13.2), reaching every wrapped scan."""
