@@ -16,7 +16,8 @@ Supported grammar (a deliberate subset — exactly the forms the
 reference's own queries use, plus the algebra ``select_sparql``
 evaluates):
 
-* ``PREFIX name: <uri>`` declarations; the reference's four standing
+* ``PREFIX name: <uri>`` declarations — including the EMPTY prefix
+  (``PREFIX : <uri>`` … ``:alice``); the reference's four standing
   prefixes (Sparql.java:17-20 — ``dcterms`` ``ls`` ``lso`` ``qb``) plus
   ``rdf rdfs owl xsd dbo`` are predeclared, so ``selectPrefixed``-style
   bodies parse as-is.
@@ -259,7 +260,7 @@ _TOKEN = re.compile(
     | (?P<var>\?\w+)
     | (?P<dt>\^\^)
     | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
-    | (?P<pname>[A-Za-z_][\w-]*:(?:[\w-]+(?:\.[\w-]+)*)?)
+    | (?P<pname>(?:[A-Za-z_][\w-]*)?:(?:[\w-]+(?:\.[\w-]+)*)?)
     | (?P<word>[A-Za-z_]\w*)
     | (?P<num>[+-]?\d+(?:\.\d+)?)
     | (?P<punct>[{}.,;()*^/|+?!\[\]])
@@ -1017,7 +1018,7 @@ class _Parser:
           (?P<lit>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
           (?:\s*\^\^\s*(?:<[^<>\s]*>|[A-Za-z_][\w-]*:[\w.-]*))?
         | (?P<uri><[^<>\s]*>)
-        | (?P<pname>[A-Za-z_][\w-]*:(?:[\w-]+(?:\.[\w-]+)*)?)
+        | (?P<pname>(?:[A-Za-z_][\w-]*)?:(?:[\w-]+(?:\.[\w-]+)*)?)
         | (?P<bound>\b[Bb][Oo][Uu][Nn][Dd]\s*\(\s*(?P<bvar>\?\w+)\s*\))
         | (?P<func>\b[A-Za-z]+)(?=\s*\()
         | (?P<and>&&) | (?P<or>\|\|) | (?P<not>!(?!=))
