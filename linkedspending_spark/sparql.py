@@ -165,9 +165,10 @@ evaluates):
   ``^(p+)`` normalizes to ``(^p)+``). Refused loud: inverse/quantified
   negated sets, variable path elements, quantifiers buried inside a
   quantified COMPOSITE element (``(p+/q)+`` — closure-within-closure),
-  alternation/quantifiers inside MINUS/EXISTS/GRAPH bodies (fine
-  inside OPTIONAL/UNION — full group grammar there; sequence, inverse
-  and negated sets are plain patterns and work everywhere).
+  and quantified paths under ``GRAPH ?var`` (per-graph closure). All
+  path forms work inside OPTIONAL/UNION/MINUS/EXISTS/constant-GRAPH
+  bodies — nested bodies take the full group grammar and evaluate
+  bottom-up.
 
 * Subqueries (SPARQL 1.1 §12): ``{ SELECT ... }`` groups, evaluated
   bottom-up — the inner SELECT runs its own projection / DISTINCT /

@@ -231,6 +231,30 @@ def test_directly_nested_quantifiers_merge(graph):
     )
 
 
+def test_quantified_paths_inside_minus_and_exists(graph):
+    """Quantified/alternation paths work inside MINUS and FILTER
+    [NOT] EXISTS bodies — the nested-body machinery evaluates them
+    bottom-up (b and d sit on the knows-cycle and reach ?x via
+    knows+; a does too; only subjects with names appear)."""
+    got = _run(
+        graph,
+        "SELECT ?n { ?s p:name ?n "
+        "FILTER EXISTS { ?s p:knows+ ?x } }",
+    )
+    assert got == [("Alice",), ("Bob",)]
+    got = _run(
+        graph,
+        "SELECT ?n { ?s p:name ?n MINUS { ?s p:knows+ ?x } }",
+    )
+    assert got == []  # both named nodes reach something
+    got = _run(
+        graph,
+        "SELECT ?n { ?s p:name ?n "
+        "MINUS { ?s p:likes|p:missing ?x } }",
+    )
+    assert got == [("Bob",)]  # only alice likes
+
+
 def test_sequence_inside_optional_is_allowed(graph):
     """Sequences/inverses rewrite to plain patterns, so they stay legal
     inside OPTIONAL/UNION — only alternation/quantifiers are group-level."""
