@@ -988,8 +988,10 @@ class _Parser:
         "try_cast": "try_cast",
         # SPARQL REPLACE is XPath-regex replacement: Spark regexp_replace
         # (Java regex, $1 group refs — same engine family as Jena's ARQ).
-        # The optional 4th FLAGS argument is not supported (the analyzer
-        # rejects the arity at evaluation).
+        # A constant 4th FLAGS argument folds into a Java embedded-flag
+        # prefix BEFORE this mapping applies (_string_builtins_pass);
+        # only a non-constant flags operand reaches the analyzer's
+        # arity rejection.
         "replace": "regexp_replace",
         # hash built-ins over the lexical form (SPARQL 17.4.4.11-12);
         # SHA256/384/512 rewrite to sha2(x, N) in _string_builtins_pass
