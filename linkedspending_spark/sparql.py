@@ -1607,14 +1607,18 @@ class _Parser:
         # hidden expression-aggregate operands evaluate as trailing
         # BINDs — appended AFTER the body so they see every bound
         # variable (OPTIONAL/UNION/subquery-born included). ORDER BY
-        # expression keys (?__ordxN) under aggregation are NOT appended:
-        # aggregation would drop the pre-aggregation column, so
-        # ``select_text._order`` recomputes them over the grouped
-        # solutions (where they may reference grouped vars and
-        # aggregate aliases alike)
+        # expression keys (?__ordxN) are NOT appended when (a) the
+        # query aggregates — grouping would drop the pre-aggregation
+        # column — or (b) the key reads a SELECT-expression alias,
+        # which only exists after select_exprs apply; in both cases
+        # ``select_text._order`` recomputes the key over the grouped /
+        # expression-extended solutions
         agg_query = bool(self.q.aggregates or self.q.group_by)
+        sel_aliases = {a for _, a in self.q.select_exprs}
         for sql, name in self.q.agg_expr_binds:
-            if agg_query and name.startswith("__ordx"):
+            if name.startswith("__ordx") and (
+                agg_query or (sel_aliases & _sv_filter_vars(sql))
+            ):
                 continue
             self.q.groups.append(("bind", (sql, name, None)))
         q = self.q

@@ -1786,6 +1786,20 @@ def test_order_by_expressions_with_aggregation(spark):
     assert [c for c in ("__ordx0",) if c in
             select_text(t, "select ?s (count(?o) as ?n) { ?s ?p ?o } "
                         "group by ?s order by strlen(?s)").columns] == []
+    # an expression key may read a SELECT-expression alias (the key
+    # recomputes after select_exprs apply), with or without DISTINCT
+    got = select_text(
+        t,
+        "select (strlen(?s) as ?l) { ?s ?p ?o } order by desc(?l * 2)",
+    )
+    assert got.columns == ["l"]
+    assert [r["l"] for r in got.collect()] == [3, 2, 2, 1]
+    got = select_text(
+        t,
+        "select distinct (strlen(?s) as ?l) { ?s ?p ?o } "
+        "order by (0 - ?l)",
+    ).collect()
+    assert [r["l"] for r in got] == [3, 2, 1]
     with pytest.raises(SparqlSyntaxError, match="grouped nor aggregated"):
         select_text(
             t,
