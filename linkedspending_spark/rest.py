@@ -31,9 +31,14 @@ Endpoints::
                            (Job.java:104 analog; persisted history
                            untouched)
     POST /jobs/convert     {"input": <transcripts parquet>, "output": ...,
-                           "manifests": ..., "n_buckets": N, ...}
+                           "manifests": ..., "n_buckets": N,
+                           "timeout_sec": T?, ...}
                            run_transcripts_job on a worker thread
-                           (Rest.java /control/convertcomplete analog)
+                           (Rest.java /control/convertcomplete analog);
+                           timeout_sec = an opt-in worker watchdog, the
+                           Boss.java:87-88 future.get(1, HOURS) analog:
+                           on expiry the job group cancels and the
+                           submission lands FAILED with a resume pointer
     POST /jobs/cancel/ID   cancel a running submission via Spark's job
                            group (Rest.java /control/stopconvert analog
                            — safe: the manifest committed only finished
@@ -470,6 +475,16 @@ class RestService:
         n_buckets = _client_int(body.get("n_buckets", 64), "n_buckets")
         if n_buckets == 0:
             raise _HttpError(400, "'n_buckets' must be positive")
+        # optional worker timeout — the Boss.java:87-88 analog
+        # (``future.get(1, HOURS)`` → FAILED). Opt-in rather than a
+        # fixed hour: a 100-TB convert legitimately runs longer, and
+        # committed buckets make a timed-out run RESUMABLE anyway
+        # (pass 3600 to reproduce the reference's bound).
+        timeout_sec = body.get("timeout_sec")
+        if timeout_sec is not None:
+            timeout_sec = _client_int(timeout_sec, "timeout_sec")
+            if timeout_sec == 0:
+                raise _HttpError(400, "'timeout_sec' must be positive")
         from .sources.manifest import new_run_id
 
         # minted HERE so the lifecycle history (GET /jobs/history/{run})
@@ -489,8 +504,28 @@ class RestService:
             self._jobs[jid] = entry
 
         def _cancelled() -> bool:
+            # any terminal transition (client cancel, watchdog timeout)
+            # stops the runner at its next phase boundary
             with self._jobs_lock:
-                return entry["state"] == "CANCELLED"
+                return entry["state"] != "RUNNING"
+
+        watchdog: threading.Timer | None = None
+        if timeout_sec is not None:
+            def _timed_out() -> None:
+                with self._jobs_lock:
+                    if entry["state"] != "RUNNING":
+                        return  # already terminal — nothing to do
+                    entry["state"] = "FAILED"
+                    entry["error"] = (
+                        f"worker timeout after {timeout_sec}s "
+                        "(Boss.java:87-88 analog); committed buckets "
+                        "are in the manifest — resubmit to resume"
+                    )
+                # outside the lock: Spark RPC, like job_cancel
+                self.spark.sparkContext.cancelJobGroup(group)
+
+            watchdog = threading.Timer(timeout_sec, _timed_out)
+            watchdog.daemon = True
 
         def _run() -> None:
             from .jobs import JobCancelled, run_transcripts_job
@@ -503,6 +538,8 @@ class RestService:
             # additionally polls should_stop at phase boundaries, and
             # the success path below never overwrites a CANCELLED state.
             sc.setJobGroup(group, f"rest convert {jid}", interruptOnCancel=True)
+            if watchdog is not None:
+                watchdog.start()
             try:
                 transcripts = self.spark.read.parquet(body["input"])
                 report = run_transcripts_job(
@@ -525,16 +562,18 @@ class RestService:
                         "converted_triples": report.converted_triples,
                         "seconds": report.seconds,
                     }
-                    if entry["state"] != "CANCELLED":
+                    if entry["state"] == "RUNNING":
                         entry["state"] = report.state
             except JobCancelled:
-                pass  # state already CANCELLED by job_cancel
+                pass  # terminal state already set by cancel/watchdog
             except Exception as e:  # noqa: BLE001 — surfaced via /jobs/active
                 with self._jobs_lock:
-                    if entry["state"] != "CANCELLED":
+                    if entry["state"] == "RUNNING":
                         entry["state"] = "FAILED"
                         entry["error"] = f"{type(e).__name__}: {e}"[:500]
             finally:
+                if watchdog is not None:
+                    watchdog.cancel()
                 try:
                     sc.setLocalProperty("spark.jobGroup.id", None)
                 except Exception:  # session already stopped (shutdown race)

@@ -318,6 +318,54 @@ def test_job_cancel_running(rest_server, spark, tmp_path):
     assert e["state"] in ("CANCELLED", "FINISHED"), e
 
 
+def test_job_timeout_watchdog(rest_server, spark, tmp_path):
+    """timeout_sec bounds a convert like the reference's 1-hour worker
+    timeout (Boss.java:87-88, future.get(1, HOURS) → FAILED): the
+    watchdog cancels the job group, the state lands FAILED with a
+    timeout error naming the resume path, and committed buckets stay
+    in the manifest so a resubmit WITHOUT the timeout resumes."""
+    import time as _time
+
+    from linkedspending_spark.transcripts import synth_transcripts_df
+
+    base, service = rest_server
+    inp = str(tmp_path / "transcripts_big")
+    synth_transcripts_df(
+        service.spark, n_convs=400, base_turns=12
+    ).write.parquet(inp)
+    body = {
+        "input": inp,
+        "output": str(tmp_path / "out"),
+        "manifests": str(tmp_path / "manifests"),
+        "n_buckets": 64,
+        "timeout_sec": 1,  # far below this input's convert time
+    }
+    _, sub = _post(base + "/jobs/convert", body)
+    for _ in range(240):
+        _, active = _get(base + "/jobs/active")
+        e = next(a for a in active if a["job"] == sub["job"])
+        if e["state"] != "RUNNING" and not e.get("thread_alive"):
+            break
+        _time.sleep(0.25)
+    assert e["state"] == "FAILED", e
+    assert "timeout" in e.get("error", ""), e
+    # a resubmit without the bound resumes from the committed buckets
+    # and finishes — the timed-out run lost only in-flight work
+    body.pop("timeout_sec")
+    _, sub2 = _post(base + "/jobs/convert", body)
+    for _ in range(480):
+        _, active = _get(base + "/jobs/active")
+        e2 = next(a for a in active if a["job"] == sub2["job"])
+        if e2["state"] != "RUNNING" and not e2.get("thread_alive"):
+            break
+        _time.sleep(0.25)
+    assert e2["state"] == "FINISHED", e2
+    assert e2["report"]["skipped"] > 0  # committed buckets resumed
+    # a zero/invalid bound is a 400, not a job that dies instantly
+    body["timeout_sec"] = 0
+    assert _post(base + "/jobs/convert", body)[0] == 400
+
+
 def test_sparql_w3c_results_format(rest_server):
     """format=w3c returns the W3C sparql-results+json shape: head.vars,
     typed terms (uri vs literal), unbound variables omitted."""
