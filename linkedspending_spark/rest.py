@@ -24,7 +24,9 @@ Endpoints::
     GET  /datasets         per-dataset manifest rollup, TTL-cached
                            (Rest.java:120-123 datasets cache analog)
     GET  /jobs             jobs.list_runs rollup (one row per run)
-    GET  /jobs/active      this process's in-flight submissions
+    GET  /jobs/active      this process's in-flight submissions; RUNNING
+                           entries carry task-level progress from the
+                           statusTracker (Job.java:43-45 percent analog)
     GET  /jobs/{id}        one submission's state (Job.java:130 analog)
     GET|POST /jobs/removeinactive  prune finished/failed/cancelled
                            submissions from the in-process table
@@ -352,14 +354,44 @@ class RestService:
 
     # -- job control (Rest.java /control/* analog) --------------------------
 
+    def _progress_of(self, group: str) -> dict | None:
+        """Task-level progress for a RUNNING submission — the
+        Job.java:43-45 percent-counter analog, read from Spark's own
+        statusTracker for the submission's job group (driver-side
+        metadata, no job launched). None when nothing is in flight
+        (between Spark jobs / before the first one)."""
+        try:
+            tracker = self.spark.sparkContext.statusTracker()
+            done = total = 0
+            for job_id in tracker.getJobIdsForGroup(group):
+                info = tracker.getJobInfo(job_id)
+                if info is None or str(info.status) != "RUNNING":
+                    continue
+                for sid in info.stageIds:
+                    s = tracker.getStageInfo(sid)
+                    if s is None:
+                        continue
+                    done += s.numCompletedTasks
+                    total += s.numTasks
+            if total == 0:
+                return None
+            return {
+                "tasks_done": done,
+                "tasks_total": total,
+                "percent": round(100.0 * done / total, 1),
+            }
+        except Exception:  # tracker races with session shutdown
+            return None
+
     def jobs_active(self) -> list:
         with self._jobs_lock:
-            return [
+            rows = [
                 {
                     "job": jid,
                     "state": e["state"],
                     "kind": e["kind"],
                     "run_id": e.get("run_id"),
+                    "group": e.get("group"),
                     # a CANCELLED state flips at cancel time; the worker
                     # may still be unwinding — this says when it is done
                     "thread_alive": (
@@ -370,6 +402,11 @@ class RestService:
                 }
                 for jid, e in sorted(self._jobs.items())
             ]
+        for r in rows:  # outside the lock: statusTracker RPC-ish reads
+            if r["state"] == "RUNNING" and r["group"]:
+                r["progress"] = self._progress_of(r["group"])
+            r.pop("group", None)
+        return rows
 
     def job_status(self, jid: str) -> dict:
         """GET /jobs/{id}: one submission's state (the Job.java:130

@@ -366,6 +366,43 @@ def test_job_timeout_watchdog(rest_server, spark, tmp_path):
     assert _post(base + "/jobs/convert", body)[0] == 400
 
 
+def test_job_progress_counters(rest_server, spark, tmp_path):
+    """/jobs/active reports task-level progress for RUNNING
+    submissions (the Job.java:43-45 percent-counter analog) from
+    Spark's statusTracker; the field is absent on terminal entries
+    and the endpoint never errors while polling a live run."""
+    import time as _time
+
+    from linkedspending_spark.transcripts import synth_transcripts_df
+
+    base, service = rest_server
+    inp = str(tmp_path / "transcripts_prog")
+    synth_transcripts_df(
+        service.spark, n_convs=400, base_turns=12
+    ).write.parquet(inp)
+    _, sub = _post(base + "/jobs/convert", {
+        "input": inp,
+        "output": str(tmp_path / "out"),
+        "manifests": str(tmp_path / "manifests"),
+        "n_buckets": 64,
+    })
+    seen_progress = []
+    for _ in range(240):
+        status, active = _get(base + "/jobs/active")
+        assert status == 200
+        e = next(a for a in active if a["job"] == sub["job"])
+        if e["state"] == "RUNNING" and e.get("progress"):
+            seen_progress.append(e["progress"])
+        if e["state"] != "RUNNING" and not e.get("thread_alive"):
+            break
+        _time.sleep(0.1)
+    assert e["state"] == "FINISHED", e
+    assert "progress" not in e  # terminal entries carry no tracker read
+    for p in seen_progress:  # any snapshot taken mid-run is well-formed
+        assert 0 <= p["tasks_done"] <= p["tasks_total"]
+        assert 0.0 <= p["percent"] <= 100.0
+
+
 def test_sparql_w3c_results_format(rest_server):
     """format=w3c returns the W3C sparql-results+json shape: head.vars,
     typed terms (uri vs literal), unbound variables omitted."""
