@@ -855,10 +855,50 @@ class _HttpError(Exception):
 
 
 class _Raw:
-    """A non-JSON 200 body (N-Triples, RSS); errors stay JSON."""
+    """A non-JSON 200 body (N-Triples, RSS, HTML); errors stay JSON."""
 
     def __init__(self, text: str, ctype: str):
         self.text, self.ctype = text, ctype
+
+
+def _datasets_as_html(rows: list) -> str:
+    """The reference's color-coded /datasets table (Rest.java:135-143
+    legend + per-dataset rows). Its four freshness colors compare
+    source timestamps against converted ones; this engine's manifest
+    rollup maps onto the two that exist here: current transformation
+    version (lightgreen, 'converted and up to date') vs an older one
+    (lightblue, 'uses an old transformation model')."""
+    import html as _h
+
+    from .model import TRANSFORMATION_VERSION
+
+    out = [
+        '<meta charset="UTF-8"><html><body>',
+        "Color Code Legend: "
+        "<span style='background-color:lightgreen'>converted, current "
+        "transformation version</span> "
+        "<span style='background-color:lightblue'>converted with an "
+        "old transformation model</span>",
+        "<table border=1><tr><th>dataset</th><th>version</th>"
+        "<th>triples</th><th>commits</th><th>finished</th></tr>",
+    ]
+    for r in rows:
+        version = r.get("version")
+        color = (
+            "lightgreen"
+            if version == TRANSFORMATION_VERSION
+            else "lightblue"
+        )
+        out.append(
+            f"<tr style='background-color:{color}'>"
+            f"<td>{_h.escape(str(r.get('dataset')))}</td>"
+            f"<td>{version}</td>"
+            f"<td>{r.get('n_triples')}</td>"
+            f"<td>{r.get('n_commits')}</td>"
+            f"<td>{_h.escape(str(r.get('finished_at')))}</td></tr>"
+        )
+    out.append("</table></body></html>")
+    return "\n".join(out)
 
 
 def _client_int(value, name: str, cap: int | None = None) -> int:
@@ -913,6 +953,19 @@ def _make_handler(service: RestService):
         def do_GET(self) -> None:  # noqa: N802
             url = urlparse(self.path)
             qs = parse_qs(url.query)
+            accept_hdr = self.headers.get("Accept", "") or ""
+            if url.path == "/datasets" and "text/html" in accept_hdr:
+                # the reference's /datasets is TEXT_HTML (Rest.java:120
+                # @Produces + the color-coded table): same rollup rows,
+                # rendered as a table with the freshness legend mapped
+                # onto manifest versions
+                self._dispatch(
+                    lambda: _Raw(
+                        _datasets_as_html(service.datasets()),
+                        "text/html; charset=utf-8",
+                    )
+                )
+                return
             routes = {
                 "/": service.index,
                 "/health": lambda: {"ok": True},

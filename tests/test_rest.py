@@ -853,6 +853,20 @@ def _get_raw(url: str, accept: str | None = None):
         return e.code, e.headers.get("Content-Type"), e.read().decode()
 
 
+def test_datasets_html_negotiation(rest_server):
+    """Accept: text/html renders /datasets as the reference's
+    color-coded table (Rest.java:120 @Produces(TEXT_HTML) + the
+    :135-143 legend); JSON stays the default otherwise."""
+    base, _ = rest_server
+    status, ctype, body = _get_raw(base + "/datasets", accept="text/html")
+    assert status == 200 and ctype.startswith("text/html")
+    assert "Color Code Legend" in body and "<table" in body
+    assert "conv-0" in body
+    # JSON default unchanged
+    status, ds = _get(base + "/datasets")
+    assert status == 200 and isinstance(ds, list)
+
+
 def test_sparql_result_format_negotiation(rest_server):
     """GET /sparql content-negotiates the W3C result serializations:
     CSV/TSV (sparql11-results-csv-tsv) and XML (rdf-sparql-XMLres);
