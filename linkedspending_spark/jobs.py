@@ -71,8 +71,16 @@ def run_transcripts_job(
     countries: DataFrame | None = None,
     should_stop=None,
     run_id: str | None = None,
+    force: bool = False,
 ) -> JobReport:
     """Convert all not-yet-done buckets of ``transcripts`` and materialize.
+
+    ``force`` re-converts EVERY bucket with data, ignoring the
+    manifest's done-set (the reference's ``forceConvert`` toggle,
+    Job.java:156) — safe because the landing is a dynamic partition
+    OVERWRITE (each re-converted bucket partition is replaced, never
+    appended) and the manifest's latest-row-wins read makes the new
+    rows authoritative.
 
     ``fail_after_write`` simulates a crash between the data commit and
     the manifest record (for resume tests). ``metrics_path`` appends
@@ -158,15 +166,22 @@ def run_transcripts_job(
             bucketed.select(F.col("bucket").cast("string").alias("dataset"))
             .distinct()
         )
-        pending = sorted(
-            int(r["dataset"]) for r in store.pending(work, version).collect()
-        )
+        if force:
+            # forceConvert: every bucket with data re-converts; the
+            # dynamic-partition-overwrite landing replaces each one
+            pending = sorted(int(r["dataset"]) for r in work.collect())
+        else:
+            pending = sorted(
+                int(r["dataset"])
+                for r in store.pending(work, version).collect()
+            )
         report.pending = pending
         report.skipped = n_buckets - len(pending)
         _event(
             1,
             "resume_resolved",
-            f"pending={len(pending)} skipped={report.skipped}",
+            f"pending={len(pending)} skipped={report.skipped}"
+            + (" force" if force else ""),
         )
         if pending:
             _check_cancel()  # last pre-write boundary (see docstring)

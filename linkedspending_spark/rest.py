@@ -589,6 +589,9 @@ class RestService:
                     metrics_path=metrics_path,
                     should_stop=_cancelled,
                     run_id=run_id,
+                    # the reference's forceConvert toggle + ?force=
+                    # param (Job.java:144,156): re-convert every bucket
+                    force=bool(body.get("force", False)),
                 )
                 with self._jobs_lock:
                     entry["report"] = {
@@ -968,6 +971,9 @@ def _make_handler(service: RestService):
                 return
             routes = {
                 "/": service.index,
+                # the reference's listcommands self-description
+                # (Rest.java:48) — same payload as the index
+                "/listcommands": service.index,
                 "/health": lambda: {"ok": True},
                 "/datasets": service.datasets,
                 "/jobs": service.jobs,

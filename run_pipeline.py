@@ -46,6 +46,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--no-mentions", action="store_true")
     ap.add_argument(
+        "--force",
+        action="store_true",
+        help="re-convert every bucket, ignoring the manifest done-set "
+        "(the reference's forceConvert toggle; dynamic partition "
+        "overwrite replaces each re-converted bucket)",
+    )
+    ap.add_argument(
         "--mention-mode",
         choices=["native", "pandas"],
         default="native",
@@ -199,6 +206,7 @@ def main(argv: list[str] | None = None) -> int:
         metrics_path=metrics_path,
         currencies=currencies,
         countries=countries,
+        force=args.force,
     )
     out = {
         "run_id": report.run_id,

@@ -29,6 +29,26 @@ def test_clean_run_then_skip(spark, tmp_path):
     assert _triples_set(spark, out) == before
 
 
+def test_force_reconverts_all_buckets(spark, tmp_path):
+    """force=True (the reference's forceConvert toggle, Job.java:156)
+    re-converts every bucket with data, ignoring the done-set; the
+    dynamic-partition-overwrite landing replaces — never duplicates —
+    each bucket, so the output is byte-identical to the first run."""
+    t = synth_transcripts_df(spark, n_convs=10, base_turns=4, seed=3)
+    out, man = str(tmp_path / "out"), str(tmp_path / "man")
+    r1 = run_transcripts_job(spark, t, out, man, n_buckets=8)
+    before = _triples_set(spark, out)
+    r3 = run_transcripts_job(spark, t, out, man, n_buckets=8, force=True)
+    assert r3.state == "FINISHED"
+    assert r3.pending == r1.pending  # every data bucket re-converted
+    assert r3.converted_triples == r1.converted_triples
+    assert _triples_set(spark, out) == before  # replaced, not appended
+    # the manifest now carries both runs; latest-row-wins still reads
+    # every bucket as done (a plain rerun skips everything)
+    r4 = run_transcripts_job(spark, t, out, man, n_buckets=8)
+    assert r4.pending == [] and r4.converted_triples == 0
+
+
 def test_crash_resume_equals_clean_run(spark, tmp_path):
     t = synth_transcripts_df(spark, n_convs=10, base_turns=4, seed=3)
     # clean reference run
