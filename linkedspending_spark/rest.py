@@ -21,7 +21,11 @@ Endpoints::
 
     GET  /                 service index (Rest.java:233-240 root node)
     GET  /health           liveness probe
-    GET  /datasets         per-dataset manifest rollup, TTL-cached
+    GET  /datasets         per-dataset manifest rollup, TTL-cached; HTML
+                           table under Accept: text/html (Rest.java:120)
+    POST /datasets/delete  {"names": [...]} — DROP SILENT GRAPH binding
+                           (tombstone-first delete_datasets; served only
+                           when the service was built with data_path)
                            (Rest.java:120-123 datasets cache analog)
     GET  /jobs             jobs.list_runs rollup (one row per run)
     GET  /jobs/active      this process's in-flight submissions; RUNNING
@@ -101,11 +105,15 @@ class RestService:
         max_rows: int = 1000,
         datasets_ttl_sec: float = 5.0,
         with_stats: bool = True,
+        data_path: str | None = None,
     ):
         self.spark = spark
         self.triples = triples
         self.manifest_path = manifest_path
         self.metrics_path = metrics_path
+        #: dataset-partitioned triple store root — enables the
+        #: POST /datasets/delete binding (None = deletion not served)
+        self.data_path = data_path
         self.max_rows = max_rows
         self.datasets_ttl_sec = datasets_ttl_sec
         # one-time selectivity table for BGP join ordering (serve.bgp_stats)
@@ -122,7 +130,7 @@ class RestService:
     # -- endpoint bodies (each returns a JSON-serializable value) ----------
 
     def index(self) -> dict:
-        return {
+        out = {
             "datasets": "/datasets",
             "jobs": "/jobs",
             "jobs_active": "/jobs/active",
@@ -136,6 +144,9 @@ class RestService:
             "sparql": "POST /sparql (JSON) or GET /sparql?query= (W3C)",
             "health": "/health",
         }
+        if self.data_path is not None:
+            out["delete"] = 'POST /datasets/delete {"names": [...]}'
+        return out
 
     def _bounded_rows(self, df: DataFrame, limit: int | None = None) -> list:
         """THE single point where a DataFrame crosses into driver memory
@@ -426,6 +437,44 @@ class RestService:
                 "report": e.get("report"),
                 "error": e.get("error"),
             }
+
+    def datasets_delete(self, body: dict) -> dict:
+        """POST /datasets/delete {"names": [...]} — the named-graph
+        delete over HTTP (Virtuoso.java:39-49 ``DROP SILENT GRAPH``;
+        the surface the SPARQL ``DROP`` refusal points at). Tombstone
+        commits first, then the dataset partitions unlink
+        (:func:`~linkedspending_spark.sources.io.delete_datasets`).
+        Deliberately narrower than the CLI: no delete-all binding —
+        catalog-wide destruction stays behind ``run_pipeline.py
+        --delete-all --yes``."""
+        if self.data_path is None:
+            raise _HttpError(
+                404,
+                "deletion is not served (RestService has no data_path)",
+            )
+        names = body.get("names")
+        if (
+            not isinstance(names, list)
+            or not names
+            or not all(isinstance(n, str) and n for n in names)
+        ):
+            raise _HttpError(
+                400, "'names' must be a non-empty list of dataset names"
+            )
+        from .sources.io import delete_datasets
+
+        removed = delete_datasets(
+            self.data_path,
+            names,
+            manifest_path=self.manifest_path,
+            spark=self.spark if self.manifest_path else None,
+        )
+        with self._cache_lock:  # the /datasets listing changed
+            self._datasets_cache = None
+        return {
+            "removed_partitions": removed,
+            "tombstoned": sorted(names) if self.manifest_path else [],
+        }
 
     def job_remove_inactive(self) -> dict:
         """``/jobs/removeinactive`` (Job.java:104): drop submission
@@ -1075,6 +1124,8 @@ def _make_handler(service: RestService):
                 self._dispatch(lambda: service.job_convert(body))
             elif url.path == "/jobs/removeinactive":
                 self._dispatch(service.job_remove_inactive)
+            elif url.path == "/datasets/delete":
+                self._dispatch(lambda: service.datasets_delete(body))
             elif url.path.startswith("/jobs/cancel/"):
                 jid = url.path.rsplit("/", 1)[1]
                 self._dispatch(lambda: service.job_cancel(jid))

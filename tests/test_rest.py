@@ -853,6 +853,67 @@ def _get_raw(url: str, accept: str | None = None):
         return e.code, e.headers.get("Content-Type"), e.read().decode()
 
 
+def test_datasets_delete_endpoint(spark, tmp_path):
+    """POST /datasets/delete — the DROP SILENT GRAPH binding the SPARQL
+    Update refusal points at: tombstone-first, partition unlink, TTL
+    cache invalidated so the listing hides the dataset immediately; no
+    data_path configured → 404; bad names → 400."""
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from linkedspending_spark.rest import RestService, make_server
+    from linkedspending_spark.sources.manifest import ManifestStore
+
+    data = str(tmp_path / "triples")
+    man = str(tmp_path / "man")
+    t = spark.createDataFrame(
+        [("s1", "p", "o", "alpha"), ("s2", "p", "o", "beta")],
+        "s string, p string, o string, dataset string",
+    )
+    t.write.partitionBy("dataset").parquet(data)
+    store = ManifestStore(spark, man)
+    store.record("alpha", 1, 1, run_id="r1")
+    store.record("beta", 1, 1, run_id="r1")
+    svc = RestService(
+        spark, manifest_path=man, data_path=data, with_stats=False
+    )
+    srv = make_server(svc)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        _, before = _get(base + "/datasets")
+        assert {d["dataset"] for d in before} == {"alpha", "beta"}
+        status, res = _post(
+            base + "/datasets/delete", {"names": ["alpha", "ghost"]}
+        )
+        assert status == 200
+        assert res["removed_partitions"] == 1  # SILENT: ghost is fine
+        assert res["tombstoned"] == ["alpha", "ghost"]
+        assert not os.path.isdir(os.path.join(data, "dataset=alpha"))
+        assert os.path.isdir(os.path.join(data, "dataset=beta"))
+        _, after = _get(base + "/datasets")  # cache invalidated
+        assert {d["dataset"] for d in after} == {"beta"}
+        assert _post(base + "/datasets/delete", {"names": []})[0] == 400
+        assert _post(base + "/datasets/delete", {"names": "alpha"})[0] == 400
+    finally:
+        srv.shutdown()
+    # deletion not served without a data_path
+    svc2 = RestService(spark, manifest_path=man, with_stats=False)
+    srv2 = make_server(svc2)
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    base2 = f"http://127.0.0.1:{srv2.server_address[1]}"
+    try:
+        assert (
+            _post(base2 + "/datasets/delete", {"names": ["beta"]})[0]
+            == 404
+        )
+        assert os.path.isdir(os.path.join(data, "dataset=beta"))
+    finally:
+        srv2.shutdown()
+
+
 def test_datasets_html_negotiation(rest_server):
     """Accept: text/html renders /datasets as the reference's
     color-coded table (Rest.java:120 @Produces(TEXT_HTML) + the
