@@ -1,0 +1,120 @@
+"""Property test: random BGPs through ``select_text`` vs a naive
+first-principles evaluator.
+
+The naive evaluator implements SPARQL BGP semantics directly — match
+each pattern against the triple set, unify bindings left to right,
+multiset join (disconnected patterns = cross product) — with none of
+the engine's machinery (no join ordering, no pushdown, no Spark). Any
+disagreement is a bug in the engine's compilation, not the oracle:
+twelve rows and three patterns leave nowhere to hide.
+
+Complements the example-based suites: hypothesis explores the corner
+shapes nobody writes by hand (repeated variables inside one pattern,
+all-constant patterns as existence gates, shared vars across
+disconnected components, var-in-predicate-position joins).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from linkedspending_spark.sparql import select_text
+
+SUBJECTS = ["u:s1", "u:s2", "u:s3"]
+PREDICATES = ["p:a", "p:b", "p:c"]
+OBJECTS = ["u:s1", "u:s2", "lit1", "lit2"]
+VARS = ["?x", "?y", "?z"]
+
+#: fixed 12-row triple table (dedup'd set, like the engine's tables) —
+#: built once; hypothesis draws only the query shape
+ROWS = sorted({
+    ("u:s1", "p:a", "u:s2"),
+    ("u:s1", "p:a", "lit1"),
+    ("u:s1", "p:b", "lit2"),
+    ("u:s2", "p:a", "u:s1"),
+    ("u:s2", "p:b", "lit1"),
+    ("u:s2", "p:c", "u:s3"),
+    ("u:s3", "p:a", "u:s3"),
+    ("u:s3", "p:c", "lit1"),
+    ("u:s3", "p:b", "u:s1"),
+    ("u:s1", "p:c", "u:s1"),
+    ("u:s2", "p:c", "lit2"),
+    ("u:s3", "p:a", "lit2"),
+})
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        ROWS, "s string, p string, o string"
+    ).withColumn("dataset", F.lit("g"))
+
+
+def naive_bgp(patterns: list[tuple[str, str, str]]) -> list[tuple]:
+    """First-principles BGP evaluation: fold patterns left to right,
+    each solution extended by every compatible triple match. Returns
+    the solution MULTISET as sorted tuples over the sorted variable
+    names."""
+    sols: list[dict] = [{}]
+    for s, p, o in patterns:
+        new: list[dict] = []
+        for mu in sols:
+            for ts, tp, to in ROWS:
+                ext = dict(mu)
+                ok = True
+                for term, val in ((s, ts), (p, tp), (o, to)):
+                    if term.startswith("?"):
+                        v = term[1:]
+                        if v in ext and ext[v] != val:
+                            ok = False
+                            break
+                        ext[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    new.append(ext)
+        sols = new
+    cols = sorted({v for pat in patterns for t in pat for v in
+                   ([t[1:]] if t.startswith("?") else [])})
+    return sorted(tuple(mu[c] for c in cols) for mu in sols)
+
+
+pattern_st = st.tuples(
+    st.sampled_from(SUBJECTS + VARS),
+    st.sampled_from(PREDICATES + VARS),
+    st.sampled_from(OBJECTS + VARS),
+)
+bgp_st = st.lists(pattern_st, min_size=1, max_size=3).filter(
+    # at least one variable somewhere, else SELECT * projects nothing
+    lambda ps: any(t.startswith("?") for pat in ps for t in pat)
+)
+
+
+def _to_text(patterns) -> str:
+    def w(t: str) -> str:
+        if t.startswith("?"):
+            return t
+        if t.startswith("lit"):
+            return f'"{t}"'
+        return f"<{t}>"
+
+    body = " . ".join(" ".join(w(t) for t in pat) for pat in patterns)
+    return "SELECT * { " + body + " }"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(patterns=bgp_st)
+def test_random_bgp_matches_naive_evaluation(table, patterns):
+    df = select_text(table, _to_text(patterns))
+    cols = sorted(df.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in df.collect())
+    assert got == naive_bgp(patterns), _to_text(patterns)
