@@ -118,3 +118,79 @@ def test_random_bgp_matches_naive_evaluation(table, patterns):
     cols = sorted(df.columns)
     got = sorted(tuple(r[c] for c in cols) for r in df.collect())
     assert got == naive_bgp(patterns), _to_text(patterns)
+
+
+def _naive_sols(patterns) -> list[dict]:
+    """BGP solutions as binding dicts (the naive fold, un-projected)."""
+    sols: list[dict] = [{}]
+    for s, p, o in patterns:
+        new: list[dict] = []
+        for mu in sols:
+            for ts, tp, to in ROWS:
+                ext = dict(mu)
+                ok = True
+                for term, val in ((s, ts), (p, tp), (o, to)):
+                    if term.startswith("?"):
+                        v = term[1:]
+                        if v in ext and ext[v] != val:
+                            ok = False
+                            break
+                        ext[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    new.append(ext)
+        sols = new
+    return sols
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(pattern_st, min_size=1, max_size=2).filter(
+        lambda ps: any(t.startswith("?") for pat in ps for t in pat)
+    ),
+    opt=pattern_st.filter(lambda p: any(t.startswith("?") for t in p)),
+)
+def test_random_optional_matches_naive_left_join(table, base, opt):
+    """SPARQL LeftJoin from first principles: each base solution
+    extends by every COMPATIBLE optional match; with none it is KEPT,
+    NULL-extended — including the disjoint-domain case (no shared
+    variable → every optional row extends every solution)."""
+    base_sols = _naive_sols(base)
+    opt_sols = _naive_sols([opt])
+    base_vars = {t[1:] for pat in base for t in pat if t.startswith("?")}
+    opt_vars = {t[1:] for t in opt if t.startswith("?")}
+    cols = sorted(base_vars | opt_vars)
+    expected = []
+    for mu in base_sols:
+        exts = [
+            m2
+            for m2 in opt_sols
+            if all(mu.get(k, m2[k]) == m2[k] for k in m2)
+        ]
+        if exts:
+            expected += [{**mu, **m2} for m2 in exts]
+        else:
+            expected.append(
+                {**mu, **{v: None for v in opt_vars - set(mu)}}
+            )
+    want = sorted(
+        (tuple(mu.get(c) for c in cols) for mu in expected),
+        key=str,
+    )
+    q = _to_text(base)[:-1] + " OPTIONAL { " + " ".join(
+        (t if t.startswith("?") else
+         (f'"{t}"' if t.startswith("lit") else f"<{t}>"))
+        for t in opt
+    ) + " } }"
+    df = select_text(table, q)
+    assert sorted(df.columns) == cols, q
+    got = sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()), key=str
+    )
+    assert got == want, q
