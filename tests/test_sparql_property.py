@@ -194,3 +194,49 @@ def test_random_optional_matches_naive_left_join(table, base, opt):
         (tuple(r[c] for c in cols) for r in df.collect()), key=str
     )
     assert got == want, q
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(pattern_st, min_size=1, max_size=2).filter(
+        lambda ps: any(t.startswith("?") for pat in ps for t in pat)
+    ),
+    minus=pattern_st,
+)
+def test_random_minus_matches_naive_semantics(table, base, minus):
+    """SPARQL Minus from first principles (§8.3): μ1 is removed iff
+    some minus solution is compatible AND shares at least one bound
+    variable — the disjoint-domain rule means a minus pattern sharing
+    no variable with the base removes NOTHING."""
+    base_sols = _naive_sols(base)
+    minus_sols = _naive_sols([minus])
+    cols = sorted(
+        {t[1:] for pat in base for t in pat if t.startswith("?")}
+    )
+    expected = sorted(
+        (
+            tuple(mu[c] for c in cols)
+            for mu in base_sols
+            if not any(
+                set(mu) & set(m2)
+                and all(mu[k] == m2[k] for k in set(mu) & set(m2))
+                for m2 in minus_sols
+            )
+        ),
+        key=str,
+    )
+    q = _to_text(base)[:-1] + " MINUS { " + " ".join(
+        (t if t.startswith("?") else
+         (f'"{t}"' if t.startswith("lit") else f"<{t}>"))
+        for t in minus
+    ) + " } }"
+    df = select_text(table, q)
+    got = sorted(
+        (tuple(r[c] for c in sorted(df.columns)) for r in df.collect()),
+        key=str,
+    )
+    assert got == expected, q
