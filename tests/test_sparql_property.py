@@ -240,3 +240,44 @@ def test_random_minus_matches_naive_semantics(table, base, minus):
         key=str,
     )
     assert got == expected, q
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=pattern_st.filter(lambda p: any(t.startswith("?") for t in p)),
+    right=pattern_st.filter(lambda p: any(t.startswith("?") for t in p)),
+)
+def test_random_union_matches_naive_semantics(table, left, right):
+    """SPARQL Union from first principles (§8.2): the solution
+    multisets of both branches, variables a branch does not bind come
+    back unbound (NULL)."""
+
+    def w(t: str) -> str:
+        if t.startswith("?"):
+            return t
+        return f'"{t}"' if t.startswith("lit") else f"<{t}>"
+
+    cols = sorted(
+        {t[1:] for t in (*left, *right) if t.startswith("?")}
+    )
+    expected = sorted(
+        (
+            tuple(mu.get(c) for c in cols)
+            for mu in (_naive_sols([left]) + _naive_sols([right]))
+        ),
+        key=str,
+    )
+    q = (
+        "SELECT * { { " + " ".join(w(t) for t in left)
+        + " } UNION { " + " ".join(w(t) for t in right) + " } }"
+    )
+    df = select_text(table, q)
+    assert sorted(df.columns) == cols, q
+    got = sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()), key=str
+    )
+    assert got == expected, q
